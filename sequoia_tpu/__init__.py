@@ -1,0 +1,27 @@
+"""sequoia_tpu: TPU-native rebuild of the SEQUOIA pathology-to-transcriptome pipeline.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+gevaertlab/sequoia-pub (reference mounted at /root/reference), redesigned
+TPU-first:
+
+- Pure-functional model definitions (``sequoia_tpu.models``): ViS (the
+  SummaryMixing linearized transformer), ViT (softmax-attention benchmark
+  variant), HE2RNA (MLP baseline), plus the feature-extraction backbones
+  (ResNet-50, UNI ViT-L/16) — all jittable, shardable, and weight-compatible
+  with the reference's released PyTorch checkpoints via
+  ``sequoia_tpu.models.convert``.
+- Device-side compute ops (``sequoia_tpu.ops``): tissue masking, batched
+  k-means, statistics — written as XLA-friendly jnp programs with Pallas
+  kernels on the hot paths.
+- Sharding utilities (``sequoia_tpu.parallel``): ``jax.sharding.Mesh`` based
+  data/model parallelism over ICI.
+- A host data plane (``sequoia_tpu.data``): ref-file parsing, patient-level
+  CV splits (split parity with the reference), HDF5 feature stores, and a
+  prefetching loader feeding device-resident training steps.
+- Pipeline stages (``sequoia_tpu.pipeline``): tiling, feature extraction,
+  k-means aggregation, spatial sliding-window visualization — same on-disk
+  contracts (patches HDF5, features ``.h5``, ``test_results.pkl``,
+  ``stride-1.csv``) as the reference.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,123 @@
+"""HE2RNA — the MLP (1x1-conv) aggregation baseline.
+
+Behavior contract (reference ``src/he2rna.py:42-106``, itself derived from
+Owkin's HE2RNA): per-tile scoring MLP ``D -> 256 -> 256 -> G`` (1x1 Conv1d ==
+dense over the feature axis) with ReLU + Dropout(0.5) between layers, then a
+top-k masked mean over tiles:
+
+* ``mask`` marks tiles whose feature max > 0 (zero-padded tiles drop out).
+* training: ``k`` is sampled uniformly from ``ks`` per forward pass;
+* eval: predictions for every ``k`` in ``ks`` are averaged;
+* the masked mean divides by ``sum(mask[:, :, :k])`` — the mask of the FIRST
+  ``k`` tiles in input order, not of the top-k tiles.  This is quirky but
+  load-bearing (it rescales by the padded-tile count when k exceeds the
+  number of real tiles) and is reproduced exactly.
+* the reference applies ReLU to predictions at eval/predict time only
+  (he2rna.py evaluate/he2rna_predict) — that lives in the caller, not here,
+  same as the reference.
+
+TPU-first: tiles are a batched axis of one big ``(B*T, D)`` GEMM chain; the
+eval-time k-sweep reuses the tile scores (computed once) across all ks —
+the reference recomputes the full conv stack per k; we don't, the math is
+identical because scores don't depend on k.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from sequoia_tpu.ops.nn import linear
+from sequoia_tpu.utils import torch_init
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class HE2RNAConfig:
+    """Defaults = reference ``src/he2rna.py:392-394``."""
+
+    input_dim: int
+    output_dim: int
+    layers: tuple[int, ...] = (256, 256)
+    ks: tuple[int, ...] = (1, 2, 5, 10, 20, 50, 100)
+    dropout: float = 0.5
+
+
+def init(cfg: HE2RNAConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    dims = (cfg.input_dim,) + tuple(cfg.layers) + (cfg.output_dim,)
+    ws, bs = [], []
+    for k, (din, dout) in zip(jax.random.split(key, len(dims) - 1),
+                              zip(dims[:-1], dims[1:])):
+        w, b = torch_init.linear_params(k, din, dout, dtype)
+        ws.append(w)
+        bs.append(b)
+    return {"w": ws, "b": bs}
+
+
+def tile_scores(cfg: HE2RNAConfig, params: Params, x: jax.Array, *,
+                train: bool = False, rng: jax.Array | None = None) -> jax.Array:
+    """Per-tile gene scores: ``(B, T, D) -> (B, T, G)`` (pre-masking).
+
+    Dropout (p=cfg.dropout) is applied after each hidden ReLU when
+    ``train=True`` (torch ``model.train()`` semantics).
+    """
+    ws, bs = params["w"], params["b"]
+    for i, (w, b) in enumerate(zip(ws[:-1], bs[:-1])):
+        x = jax.nn.relu(linear(x, w, b))
+        if train and cfg.dropout > 0:
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 1.0 - cfg.dropout, x.shape)
+            x = jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
+    return linear(x, ws[-1], bs[-1])
+
+
+def _topk_masked_mean(scores: jax.Array, mask: jax.Array, k: int) -> jax.Array:
+    """Reference ``forward_fixed_k``: top-k over tiles of masked scores,
+    normalized by the mask count of the first ``k`` tiles."""
+    masked = scores * mask[:, :, None]  # (B, T, G)
+    top = jax.lax.top_k(masked.transpose(0, 2, 1), k)[0]  # (B, G, k)
+    denom = jnp.sum(mask[:, :k], axis=1)  # (B,)
+    num = jnp.sum(top * mask[:, None, :k], axis=2)  # (B, G)
+    return num / denom[:, None]
+
+
+def apply(cfg: HE2RNAConfig, params: Params, x: jax.Array, *,
+          train: bool = False, rng: jax.Array | None = None) -> jax.Array:
+    """Forward pass: ``(B, T, D)`` tile features -> ``(B, G)``.
+
+    In training mode ``rng`` drives both the dropout masks and the random
+    choice of ``k`` (reference ``forward``: ``np.random.choice(self.ks)``).
+    """
+    mask = (jnp.max(x, axis=2) > 0).astype(scores_dtype(x))  # (B, T)
+    if train:
+        rng, kkey, dkey = jax.random.split(rng, 3)
+        scores = tile_scores(cfg, params, x, train=True, rng=dkey)
+        ks = jnp.asarray(cfg.ks)
+        idx = jax.random.randint(kkey, (), 0, len(cfg.ks))
+        branches = [lambda s=scores, m=mask, k=int(k): _topk_masked_mean(s, m, k)
+                    for k in cfg.ks]
+        return jax.lax.switch(idx, branches)
+    scores = tile_scores(cfg, params, x, train=False)
+    pred = jnp.zeros(scores.shape[::2], scores.dtype)
+    for k in cfg.ks:
+        pred = pred + _topk_masked_mean(scores, mask, int(k)) / len(cfg.ks)
+    return pred
+
+
+def scores_dtype(x: jax.Array):
+    return jnp.float32 if x.dtype == jnp.float32 else x.dtype
+
+
+def replace_head(cfg: HE2RNAConfig, params: Params, num_outputs: int,
+                 key: jax.Array) -> tuple[HE2RNAConfig, Params]:
+    """Swap the final layer (GTEx->TCGA transfer, reference he2rna.py:403-409)."""
+    fan_in = cfg.layers[-1] if cfg.layers else cfg.input_dim
+    w, b = torch_init.linear_params(key, fan_in, num_outputs)
+    new = {"w": list(params["w"]), "b": list(params["b"])}
+    new["w"][-1] = w
+    new["b"][-1] = b
+    return dataclasses.replace(cfg, output_dim=num_outputs), new
