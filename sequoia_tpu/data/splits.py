@@ -1,0 +1,55 @@
+"""Patient-level cross-validation splits with exact reference parity.
+
+Contract (reference ``src/utils.py:44-110``): splits are computed over the
+*unique patient ids* with sklearn ``KFold(n_splits, shuffle=True,
+random_state=0)``; 10% of each fold's train patients become validation via
+``train_test_split(test_size=0.1, random_state=0)``.  Row indices are then
+recovered by patient membership.  sklearn runs on host — these few thousand
+ids are not TPU work, and bit-exact split parity with the reference matters
+more than speed here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from sklearn.model_selection import KFold, train_test_split
+
+
+def patient_kfold(patient_ids, n_splits: int = 5, random_state: int = 0,
+                  valid_size: float = 0.1):
+    """Returns (train_idx, valid_idx, test_idx) — lists of row-index arrays,
+    one per fold, matching the reference ``patient_kfold`` exactly."""
+    patient_ids = np.asarray(patient_ids)
+    indices = np.arange(len(patient_ids))
+    patients_unique = np.unique(patient_ids)
+
+    skf = KFold(n_splits, shuffle=True, random_state=random_state)
+
+    train_idx, valid_idx, test_idx = [], [], []
+    for ind_train, ind_test in skf.split(patients_unique):
+        patients_train = patients_unique[ind_train]
+        patients_test = patients_unique[ind_test]
+
+        test_idx.append(indices[np.isin(patient_ids, patients_test)])
+        if valid_size > 0:
+            patients_train, patients_valid = train_test_split(
+                patients_train, test_size=valid_size, random_state=0)
+            valid_idx.append(indices[np.isin(patient_ids, patients_valid)])
+        train_idx.append(indices[np.isin(patient_ids, patients_train)])
+
+    return train_idx, valid_idx, test_idx
+
+
+def patient_split(patient_ids, random_state: int = 0):
+    """Single 64/16/20 patient split (reference ``patient_split``)."""
+    patient_ids = np.asarray(patient_ids)
+    patients_unique = np.unique(patient_ids)
+    patients_train, patients_test = train_test_split(
+        patients_unique, test_size=0.2, random_state=random_state)
+    patients_train, patients_val = train_test_split(
+        patients_train, test_size=0.2, random_state=random_state)
+
+    indices = np.arange(len(patient_ids))
+    return (indices[np.isin(patient_ids, patients_train)],
+            indices[np.isin(patient_ids, patients_val)],
+            indices[np.isin(patient_ids, patients_test)])

@@ -1,0 +1,115 @@
+"""Checkpoint interchange with the reference's torch formats.
+
+Contracts:
+* ViS/ViT: ``torch.save(model.state_dict(), 'model_best_{split}.pt')``
+  (reference ``src/vit.py`` train save) — plain name->tensor dicts.
+* HE2RNA: ``torch.save(model, ...)`` — a WHOLE-MODULE pickle (reference
+  ``src/he2rna.py`` fit save).  Loading that without the reference class on
+  the path needs an unpickler shim that substitutes a generic nn.Module for
+  the missing ``he2rna.HE2RNA`` class; ``load_torch_checkpoint`` handles
+  both forms and always returns a flat ``{name: np.ndarray}`` state dict.
+* HuggingFace hub layout (``gevaertlab/sequoia-{cancer}-{fold}``): a local
+  snapshot directory containing ``pytorch_model.bin`` or
+  ``model.safetensors`` (PyTorchModelHubMixin format).  Zero-egress
+  environments pass a local path; with network access the repo id resolves
+  through ``huggingface_hub``.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+
+import numpy as np
+
+
+def _to_numpy_sd(obj) -> dict[str, np.ndarray]:
+    import torch
+
+    if isinstance(obj, torch.nn.Module):
+        obj = obj.state_dict()
+    if hasattr(obj, "state_dict") and not isinstance(obj, dict):
+        obj = obj.state_dict()
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+class _ModuleShim:
+    """Stand-in for un-importable reference model classes in whole-module
+    pickles; restores attributes verbatim so ``state_dict()`` works."""
+
+
+def _shimmed_torch_load(path: str):
+    import torch
+
+    class Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                import torch.nn as nn
+
+                # Unpickling bypasses __init__ (cls.__new__ + state restore),
+                # so a bare nn.Module subclass restores the attribute tree and
+                # state_dict() works.
+                return type(name, (nn.Module,), {})
+
+    with open(path, "rb") as f:
+        return torch.load(f, map_location="cpu", weights_only=False,
+                          pickle_module=_PickleShimModule(Unpickler))
+
+
+class _PickleShimModule:
+    """Minimal pickle-module adapter exposing a custom Unpickler to torch.load."""
+
+    def __init__(self, unpickler):
+        self.Unpickler = unpickler
+        self.load = pickle.load
+        self.loads = pickle.loads
+
+
+def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
+    """Load a ``.pt`` state dict OR whole-module pickle -> numpy state dict."""
+    import torch
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        try:
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+        except (ModuleNotFoundError, AttributeError):
+            obj = _shimmed_torch_load(path)
+    return _to_numpy_sd(obj)
+
+
+def save_torch_state_dict(sd: dict[str, np.ndarray], path: str) -> None:
+    """Write a torch-loadable ``.pt`` state dict (the reference's on-disk
+    checkpoint contract)."""
+    import torch
+    from collections import OrderedDict
+
+    od = OrderedDict((k, torch.from_numpy(np.ascontiguousarray(np.asarray(v))))
+                     for k, v in sd.items())
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    torch.save(od, path)
+
+
+def load_hf_vis_state_dict(repo_or_path: str) -> dict[str, np.ndarray]:
+    """State dict from a PyTorchModelHubMixin layout: a local directory (or
+    downloaded snapshot) with ``model.safetensors`` or ``pytorch_model.bin``."""
+    path = repo_or_path
+    if not os.path.isdir(path):
+        from huggingface_hub import snapshot_download
+
+        path = snapshot_download(repo_or_path)
+    st = os.path.join(path, "model.safetensors")
+    if os.path.exists(st):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(st))
+    return load_torch_checkpoint(os.path.join(path, "pytorch_model.bin"))

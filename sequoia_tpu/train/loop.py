@@ -1,0 +1,248 @@
+"""Training / evaluation loops with the reference's exact selection logic.
+
+Behavior contract (reference ``src/vit.py:117-311``):
+
+* MSE loss, AdamW; per-epoch metrics are the *mean of per-batch values*
+  (loss, MAE, mean per-gene Pearson r), matching the reference's
+  ``np.mean(losses[phase])`` over batches.
+* Model selection + early stopping with ``save_on``/``stop_on`` in
+  {``loss``, ``loss+corr``} and ``patience``/``delta`` as in the reference:
+  the patience-on-loss trip ("early_stop_on_loss_triggered") switches
+  saving to best-correlation-while-loss-within-delta.
+* ``evaluate`` returns ``(preds, real, wsis, projs)`` concatenated over the
+  loader; ``predict`` is the label-free variant.
+
+TPU-first: one compiled train step (fixed batch shapes via BatchLoader
+padding) computing loss/MAE/corr on device — the reference syncs every batch
+to host numpy for metrics; we transfer three scalars instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sequoia_tpu.data.dataset import BatchLoader
+from sequoia_tpu.ops import stats
+
+
+def make_adamw(lr: float = 1e-3, weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """torch.optim.AdamW defaults (betas .9/.999, eps 1e-8, amsgrad=False)."""
+    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+
+
+def make_adam(lr: float) -> optax.GradientTransformation:
+    """torch.optim.Adam with weight_decay=0 (reference he2rna fit)."""
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def make_step_fns(apply_fn: Callable, optimizer: optax.GradientTransformation):
+    """Build jitted (train_step, eval_step) for a ``pred = apply_fn(params, x)``
+    model (ViS/ViT).  HE2RNA has its own steps (dropout rng + k sampling)."""
+
+    def loss_fn(params, feats, rna, valid):
+        pred = apply_fn(params, feats)
+        return stats.masked_mse(pred, rna, valid), pred
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, feats, rna, valid):
+        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, feats, rna, valid)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "loss": loss,
+            "mae": stats.masked_mae(pred, rna, valid),
+            "corr": stats.mean_correlation(pred, rna, valid),
+        }
+        return params, opt_state, metrics
+
+    @jax.jit
+    def eval_step(params, feats, rna, valid):
+        pred = apply_fn(params, feats)
+        metrics = {
+            "loss": stats.masked_mse(pred, rna, valid),
+            "mae": stats.masked_mae(pred, rna, valid),
+            "corr": stats.mean_correlation(pred, rna, valid),
+            "smape": stats.masked_smape(pred, rna, valid),
+        }
+        return pred, metrics
+
+    return train_step, eval_step
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: dict
+    history: list[dict]
+    best_epoch: int
+
+
+def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
+          num_epochs: int = 200, patience: int = 20, delta: float = 0.5,
+          save_on: str = "loss", stop_on: str = "loss",
+          phases=("train", "val"), save_fn: Callable | None = None,
+          log_fn: Callable | None = None, verbose: bool = True) -> TrainResult:
+    """Reference ``vit.train`` semantics over jitted steps.
+
+    ``save_fn(params)`` is invoked whenever the reference would have written
+    ``model_best_{split}.pt``; the returned ``TrainResult.params`` are the
+    last-saved (best) parameters.
+    """
+    train_step, eval_step = make_step_fns(apply_fn, optimizer)
+    opt_state = optimizer.init(params)
+
+    best_params = jax.tree.map(lambda x: np.asarray(x), params)
+    best_loss = np.inf
+    best_score = 0.0
+    best_epoch = -1
+    epoch_since_best = 0
+    epoch_since_best_score = 0
+    epoch_since_ok_loss = 0
+    early_stop_on_loss_triggered = 0
+    history: list[dict] = []
+
+    def save(p, epoch):
+        nonlocal best_params, best_epoch
+        best_params = jax.tree.map(lambda x: np.asarray(x), p)
+        best_epoch = epoch
+        if save_fn is not None:
+            save_fn(best_params)
+
+    for epoch in range(num_epochs):
+        epoch_metrics: dict[str, dict[str, float]] = {}
+        for phase in phases:
+            accum: list[dict] = []
+            for batch in loaders[phase]:
+                if batch.n_valid == 0:
+                    continue
+                feats = jnp.asarray(batch.features)
+                rna = jnp.asarray(batch.rna)
+                valid = jnp.asarray(batch.valid)
+                if phase == "train":
+                    params, opt_state, m = train_step(params, opt_state,
+                                                      feats, rna, valid)
+                else:
+                    _, m = eval_step(params, feats, rna, valid)
+                accum.append(m)
+            accum = jax.device_get(accum)
+            means = {k: float(np.mean([a[k] for a in accum])) for k in accum[0]} \
+                if accum else {"loss": np.nan, "mae": np.nan, "corr": np.nan}
+            epoch_metrics[phase] = means
+            if log_fn:
+                log_fn(epoch, phase, means)
+            if verbose:
+                print(f"Epoch {epoch}: {phase} loss {means['loss']:.6f} "
+                      f"mae {means['mae']:.6f} corr {means['corr']:.4f}")
+
+            if (phase == "val") or (len(phases) == 1):
+                losses = means["loss"]
+                scores = means["corr"]
+
+                if early_stop_on_loss_triggered == 1:
+                    if losses < (best_loss + delta):
+                        epoch_since_ok_loss = 0
+                    else:
+                        epoch_since_ok_loss += 1
+
+                if losses < best_loss:
+                    best_loss = losses
+                    epoch_since_best = 0
+                    if save_on == "loss":
+                        save(params, epoch)
+                    elif save_on == "loss+corr" and early_stop_on_loss_triggered == 0:
+                        save(params, epoch)
+                else:
+                    epoch_since_best += 1
+
+                if scores > best_score:
+                    best_score = scores
+                    epoch_since_best_score = 0
+                    if save_on == "loss+corr" and early_stop_on_loss_triggered == 1:
+                        save(params, epoch)
+                        if verbose:
+                            print(f"Saved model on loss+corr at epoch {epoch}")
+                else:
+                    epoch_since_best_score += 1
+
+        history.append(epoch_metrics)
+
+        if epoch_since_best == patience:
+            early_stop_on_loss_triggered = 1
+            if stop_on == "loss":
+                if verbose:
+                    print(f"Early stopping at epoch {epoch}!")
+                break
+
+        if stop_on == "loss+corr":
+            if early_stop_on_loss_triggered == 1 and epoch_since_best_score == patience:
+                if verbose:
+                    print(f"Early stopping at epoch {epoch}: neither loss nor "
+                          "score improving")
+                break
+            if early_stop_on_loss_triggered == 1 and epoch_since_ok_loss == patience:
+                if verbose:
+                    print(f"Early stopping at epoch {epoch}: loss left the "
+                          f"{delta} band around the best loss")
+                break
+
+    if best_epoch < 0:  # never saved (e.g. 0 epochs): return current params
+        best_params = jax.tree.map(lambda x: np.asarray(x), params)
+    return TrainResult(params=best_params, history=history, best_epoch=best_epoch)
+
+
+def _gather(loader, fn):
+    preds, real, wsis, projs = [], [], [], []
+    metrics_accum = []
+    for batch in loader:
+        if batch.n_valid == 0:
+            continue
+        pred, m = fn(jnp.asarray(batch.features), jnp.asarray(batch.rna),
+                     jnp.asarray(batch.valid))
+        pred = np.asarray(pred)[batch.valid]
+        preds.append(pred)
+        real.append(batch.rna[batch.valid])
+        wsis.extend([w for w, v in zip(batch.wsi, batch.valid) if v])
+        projs.extend([p for p, v in zip(batch.project, batch.valid) if v])
+        metrics_accum.append(jax.device_get(m))
+    preds = np.concatenate(preds, axis=0) if preds else np.zeros((0, 0))
+    real = np.concatenate(real, axis=0) if real else np.zeros((0, 0))
+    means = ({k: float(np.mean([a[k] for a in metrics_accum])) for k in metrics_accum[0]}
+             if metrics_accum else {})
+    return preds, real, np.asarray(wsis), np.asarray(projs), means
+
+
+def evaluate(apply_fn, params, loader: BatchLoader, *, verbose: bool = True,
+             log_fn: Callable | None = None, suffix: str = ""):
+    """Reference ``vit.evaluate``: returns (preds, real, wsis, projs)."""
+    _, eval_step = make_step_fns(apply_fn, make_adamw())
+
+    preds, real, wsis, projs, means = _gather(
+        loader, lambda f, r, v: eval_step(params, f, r, v))
+    if log_fn and means:
+        log_fn(0, "test" + suffix, means)
+    if verbose and means:
+        print(f"Test loss: {means['loss']:.6f}  MAE: {means['mae']:.6f}  "
+              f"SMAPE: {means['smape']:.4f}")
+    return preds, real, wsis, projs
+
+
+def predict(apply_fn, params, loader: BatchLoader):
+    """Reference ``vit.predict``: label-free batched inference."""
+    fwd = jax.jit(apply_fn)
+    preds, wsis, projs = [], [], []
+    for batch in loader:
+        if batch.n_valid == 0:
+            continue
+        pred = np.asarray(fwd(params, jnp.asarray(batch.features)))[batch.valid]
+        preds.append(pred)
+        wsis.extend([w for w, v in zip(batch.wsi, batch.valid) if v])
+        projs.extend([p for p, v in zip(batch.project, batch.valid) if v])
+    preds = np.concatenate(preds, axis=0) if preds else np.zeros((0, 0))
+    return preds, np.asarray(wsis), np.asarray(projs)

@@ -1,0 +1,151 @@
+"""Data plane + training-loop behavior tests on a synthetic feature store."""
+
+import os
+
+import h5py
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from sequoia_tpu.data import dataset as ds
+from sequoia_tpu.data import splits
+from sequoia_tpu.models import he2rna, vis
+from sequoia_tpu.train import he2rna_fit, loop
+
+
+def make_store(root, n_slides=12, n_genes=8, dim=16, tokens=100, project="TCGA-TEST",
+               broken=(), rng=None):
+    rng = rng or np.random.default_rng(0)
+    rows = []
+    for i in range(n_slides):
+        wsi = f"slide_{i:03d}.svs"
+        stem = wsi.replace(".svs", "")
+        d = os.path.join(root, project, stem)
+        os.makedirs(d, exist_ok=True)
+        if i not in broken:
+            with h5py.File(os.path.join(d, stem + ".h5"), "w") as f:
+                f.create_dataset("cluster_features",
+                                 data=rng.normal(size=(tokens, dim)).astype(np.float32))
+        row = {"wsi_file_name": wsi, "patient_id": f"P{i // 2}",
+               "tcga_project": project}
+        for g in range(n_genes):
+            row[f"rna_G{g}"] = float(rng.normal())
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def test_dataset_and_filter(tmp_path):
+    df = make_store(str(tmp_path), broken=(3, 7))
+    filt = ds.filter_no_features(df, str(tmp_path), "cluster_features", verbose=False)
+    assert len(filt) == 10
+    d = ds.FeatureDataset(filt, str(tmp_path))
+    assert d.num_genes == 8 and d.feature_dim == 16
+    feats = d.load_features(0)
+    assert feats.shape == (100, 16)
+    # .svs stripping in the h5 path (reference read_data.py:44-46)
+    assert ".svs" not in d.h5_path(0)
+    assert d.genes == [f"G{g}" for g in range(8)]
+
+
+def test_batch_loader_pads_and_masks(tmp_path):
+    df = make_store(str(tmp_path), n_slides=10, broken=(2,))
+    d = ds.FeatureDataset(df, str(tmp_path))
+    batches = list(ds.BatchLoader(d, batch_size=4))
+    # 9 readable slides -> 2 full batches + 1 padded remainder batch
+    assert len(batches) == 3
+    assert batches[-1].features.shape == (4, 100, 16)
+    assert batches[-1].n_valid == 1
+    assert all(b.features.shape == (4, 100, 16) for b in batches)
+    # broken slide silently skipped (collate-filter semantics)
+    all_wsi = [w for b in batches for w in b.wsi]
+    assert "slide_002.svs" not in all_wsi and len(all_wsi) == 9
+
+
+def test_patient_kfold_reference_parity():
+    """Against the reference formula (utils.py:79-110) executed directly."""
+    from sklearn.model_selection import KFold, train_test_split
+
+    patient_ids = np.array([f"P{i % 7}" for i in range(20)])
+    tr, va, te = splits.patient_kfold(patient_ids, n_splits=3)
+
+    indices = np.arange(20)
+    uniq = np.unique(patient_ids)
+    skf = KFold(3, shuffle=True, random_state=0)
+    for k, (ind_train, ind_test) in enumerate(skf.split(uniq)):
+        p_train, p_test = uniq[ind_train], uniq[ind_test]
+        ref_test = indices[np.any(patient_ids[:, None] == p_test[None], axis=1)]
+        np.testing.assert_array_equal(te[k], ref_test)
+        p_train2, p_valid = train_test_split(p_train, test_size=0.1, random_state=0)
+        ref_val = indices[np.any(patient_ids[:, None] == p_valid[None], axis=1)]
+        ref_train = indices[np.any(patient_ids[:, None] == p_train2[None], axis=1)]
+        np.testing.assert_array_equal(va[k], ref_val)
+        np.testing.assert_array_equal(tr[k], ref_train)
+        # patient-level disjointness
+        assert not set(patient_ids[tr[k]]) & set(patient_ids[te[k]])
+        assert not set(patient_ids[tr[k]]) & set(patient_ids[va[k]])
+
+
+def test_train_loop_learns_and_early_stop_logic(tmp_path):
+    df = make_store(str(tmp_path), n_slides=16, n_genes=4, dim=8)
+    d = ds.FeatureDataset(df, str(tmp_path))
+    cfg = vis.ViSConfig(num_outputs=4, input_dim=8, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+    loaders = {"train": ds.BatchLoader(d, 4, shuffle=True, seed=0),
+               "val": ds.BatchLoader(d, 4)}
+    apply_fn = lambda p, x: vis.apply(cfg, p, x)
+    saved = []
+    res = loop.train(apply_fn, params, loop.make_adamw(1e-3), loaders,
+                     num_epochs=8, patience=3, verbose=False,
+                     save_fn=lambda p: saved.append(True))
+    assert res.best_epoch >= 0 and saved
+    losses = [h["val"]["loss"] for h in res.history]
+    assert losses[-1] < losses[0]  # it learns
+
+    preds, real, wsis, projs = loop.evaluate(apply_fn, res.params,
+                                             ds.BatchLoader(d, 4), verbose=False)
+    assert preds.shape == (16, 4) and real.shape == (16, 4)
+    assert len(wsis) == 16 and set(projs) == {"TCGA-TEST"}
+
+    p2, w2, j2 = loop.predict(apply_fn, res.params, ds.BatchLoader(d, 4))
+    np.testing.assert_allclose(p2, preds, rtol=1e-5, atol=1e-6)
+
+
+def test_he2rna_fit_quick(tmp_path):
+    df = make_store(str(tmp_path), n_slides=12, n_genes=3, dim=8)
+    d = ds.FeatureDataset(df, str(tmp_path))
+    cfg = he2rna.HE2RNAConfig(input_dim=8, output_dim=3, layers=(8,),
+                              ks=(1, 5, 20, 100))
+    params = he2rna.init(cfg, jax.random.PRNGKey(0))
+    out = he2rna_fit.fit(cfg, params, 1e-3,
+                         ds.BatchLoader(d, 4, shuffle=True),
+                         ds.BatchLoader(d, 4),
+                         ds.BatchLoader(d, 4),
+                         max_epochs=3, patience=100, verbose=False)
+    preds, labels, wsis, projs = out
+    assert preds.shape == (12, 3) and (preds >= 0).all()  # ReLU applied
+    assert labels.shape == (12, 3) and len(wsis) == 12
+
+
+def test_stats_match_reference_formulas():
+    import jax.numpy as jnp
+    from sequoia_tpu.ops import stats
+
+    rng = np.random.default_rng(0)
+    pred = rng.normal(size=(6, 5)).astype(np.float32)
+    real = rng.normal(size=(6, 5)).astype(np.float32)
+    real[:, 2] = 1.0  # constant gene -> skipped by compute_correlations
+    valid = np.ones((6,), bool)
+
+    got = float(stats.mean_correlation(jnp.asarray(pred), jnp.asarray(real),
+                                       jnp.asarray(valid)))
+    want = he2rna_fit.host_compute_correlations(real, pred)
+    assert abs(got - want) < 1e-5
+
+    sm = float(stats.masked_smape(jnp.asarray(pred), jnp.asarray(real),
+                                  jnp.asarray(valid)))
+    want_sm = 100 / 6 * np.sum(2 * np.abs(pred - real) /
+                               (np.abs(real) + np.abs(pred)))
+    assert abs(sm - want_sm) < 1e-3
