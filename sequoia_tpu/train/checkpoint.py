@@ -93,7 +93,7 @@ def save_torch_state_dict(sd: dict[str, np.ndarray], path: str) -> None:
     import torch
     from collections import OrderedDict
 
-    od = OrderedDict((k, torch.from_numpy(np.ascontiguousarray(np.asarray(v))))
+    od = OrderedDict((k, torch.from_numpy(np.array(v, copy=True)))
                      for k, v in sd.items())
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     torch.save(od, path)

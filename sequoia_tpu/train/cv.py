@@ -1,0 +1,189 @@
+"""5-fold patient cross-validation drivers (reference ``src/main.py`` and the
+``src/he2rna.py`` __main__ CV, with the reference's shipped import/syntax
+bugs fixed — see SURVEY.md section 7.5).
+
+Output contract: ``test_results.pkl`` =
+``{'split_{i}': {'real', 'preds', 'random', 'wsi_file_name', 'tcga_project'},
+   'genes': [...]}`` (pickle HIGHEST protocol), consumed unchanged by the
+evaluation layer.  Checkpoints: ``model_best_{i}.pt`` torch state dicts.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import numpy as np
+
+from sequoia_tpu.data import dataset as ds
+from sequoia_tpu.data import splits as sp
+from sequoia_tpu.models import convert, he2rna, vis, vit
+from sequoia_tpu.train import checkpoint, he2rna_fit, loop
+
+
+def build_model(model_type: str, num_outputs: int, feature_dim: int, key,
+                depth: int = 6, num_heads: int = 16):
+    """Reference ``main.py`` model factory (vis/vit) -> (cfg, params, apply_fn,
+    to_torch, from_torch)."""
+    if model_type == "vit":
+        cfg = vit.ViTConfig(num_outputs=num_outputs, dim=feature_dim,
+                            depth=depth, heads=num_heads, mlp_dim=2048,
+                            dim_head=64)
+        params = vit.init(cfg, key)
+        return cfg, params, (lambda c: (lambda p, x: vit.apply(c, p, x)))(cfg), \
+            convert.vit_to_torch, convert.vit_from_torch
+    if model_type == "vis":
+        cfg = vis.ViSConfig(num_outputs=num_outputs, input_dim=feature_dim,
+                            depth=depth, nheads=num_heads,
+                            dim_f=64, dim_s=64, dim_c=64)
+        params = vis.init(cfg, key)
+        return cfg, params, (lambda c: (lambda p, x: vis.apply(c, p, x)))(cfg), \
+            convert.vis_to_torch, convert.vis_from_torch
+    raise ValueError('model_type must be "vit" or "vis"')
+
+
+def run_cross_validation(
+        df, feature_path: str, save_dir: str, *, model_type: str = "vis",
+        depth: int = 6, num_heads: int = 16, k: int = 5, batch_size: int = 16,
+        lr: float = 1e-3, num_epochs: int = 200, seed: int = 99,
+        save_on: str = "loss", stop_on: str = "loss", do_train: bool = True,
+        checkpoint_path: str | None = None, change_num_genes: int = 0,
+        log_fn=None, verbose: bool = True) -> dict:
+    """Reference ``src/main.py`` flow: per-fold train -> test-fold eval ->
+    random-model null -> ``test_results.pkl``."""
+    os.makedirs(save_dir, exist_ok=True)
+    key = jax.random.PRNGKey(seed)
+
+    train_idxs, val_idxs, test_idxs = sp.patient_kfold(
+        df["patient_id"].to_numpy(), n_splits=k)
+
+    test_results_splits: dict = {}
+    for i, (train_idx, val_idx, test_idx) in enumerate(
+            zip(train_idxs, val_idxs, test_idxs)):
+        train_df, val_df, test_df = (df.iloc[train_idx], df.iloc[val_idx],
+                                     df.iloc[test_idx])
+        for name, part in (("train", train_df), ("val", val_df), ("test", test_df)):
+            np.save(os.path.join(save_dir, f"{name}_{i}.npy"),
+                    np.unique(part["patient_id"]))
+
+        train_ds = ds.FeatureDataset(train_df, feature_path)
+        val_ds = ds.FeatureDataset(val_df, feature_path)
+        test_ds = ds.FeatureDataset(test_df, feature_path)
+        num_outputs, feature_dim = train_ds.num_genes, train_ds.feature_dim
+
+        key, kinit, krand, khead = jax.random.split(key, 4)
+        if checkpoint_path and change_num_genes:
+            # GTEx->TCGA: build at the pretraining width, load, swap head.
+            cfg, params, apply_fn, to_torch, from_torch = build_model(
+                model_type, change_num_genes, feature_dim, kinit, depth, num_heads)
+            sd = checkpoint.load_torch_checkpoint(checkpoint_path)
+            cfg, params = from_torch(sd, cfg)
+            if model_type == "vis":
+                cfg, params = vis.replace_head(cfg, params, num_outputs, khead)
+                apply_fn = (lambda c: (lambda p, x: vis.apply(c, p, x)))(cfg)
+            else:
+                cfg, params = vit.replace_head(cfg, params, num_outputs, khead)
+                apply_fn = (lambda c: (lambda p, x: vit.apply(c, p, x)))(cfg)
+        else:
+            cfg, params, apply_fn, to_torch, from_torch = build_model(
+                model_type, num_outputs, feature_dim, kinit, depth, num_heads)
+            if checkpoint_path:
+                suff = f"_{i}" if i > 0 else ""
+                path = os.path.join(checkpoint_path, f"model_best{suff}.pt")
+                sd = checkpoint.load_torch_checkpoint(path)
+                cfg, params = from_torch(sd, cfg)
+
+        loaders = {
+            "train": ds.BatchLoader(train_ds, batch_size, shuffle=True, seed=seed),
+            "val": ds.BatchLoader(val_ds, batch_size, shuffle=False),
+        }
+        save_path = os.path.join(save_dir, f"model_best_{i}.pt")
+
+        if do_train:
+            result = loop.train(
+                apply_fn, params, loop.make_adamw(lr), loaders,
+                num_epochs=num_epochs, patience=20, delta=0.5,
+                save_on=save_on, stop_on=stop_on, verbose=verbose,
+                log_fn=log_fn,
+                save_fn=lambda p: checkpoint.save_torch_state_dict(
+                    to_torch(cfg, p), save_path))
+            params = result.params
+
+        test_loader = ds.BatchLoader(test_ds, batch_size, shuffle=False)
+        preds, real, wsis, projs = loop.evaluate(apply_fn, params, test_loader,
+                                                 verbose=verbose)
+
+        # Untrained-model significance null (reference main.py:194-204).
+        _, rand_params, rand_apply, _, _ = build_model(
+            model_type, num_outputs, feature_dim, krand, depth, num_heads)
+        random_preds, _, _, _ = loop.evaluate(rand_apply, rand_params,
+                                              test_loader, verbose=verbose)
+
+        test_results_splits[f"split_{i}"] = {
+            "real": real, "preds": preds, "random": random_preds,
+            "wsi_file_name": wsis, "tcga_project": projs,
+        }
+
+    test_results_splits["genes"] = ds.gene_names(df)
+    with open(os.path.join(save_dir, "test_results.pkl"), "wb") as f:
+        pickle.dump(test_results_splits, f, protocol=pickle.HIGHEST_PROTOCOL)
+    return test_results_splits
+
+
+def run_he2rna_cross_validation(
+        df, feature_path: str, save_dir: str, *, k: int = 5,
+        batch_size: int = 16, lr: float = 1e-3, max_epochs: int = 200,
+        seed: int = 99, checkpoint_path: str | None = None,
+        change_num_genes: bool = False, num_genes: int | None = None,
+        log_fn=None, verbose: bool = True) -> dict:
+    """Reference ``src/he2rna.py`` __main__ CV flow."""
+    os.makedirs(save_dir, exist_ok=True)
+    key = jax.random.PRNGKey(seed)
+
+    train_idxs, val_idxs, test_idxs = sp.patient_kfold(
+        df["patient_id"].to_numpy(), n_splits=k)
+
+    test_results_splits: dict = {}
+    for i, (train_idx, val_idx, test_idx) in enumerate(
+            zip(train_idxs, val_idxs, test_idxs)):
+        train_ds = ds.FeatureDataset(df.iloc[train_idx], feature_path)
+        val_ds = ds.FeatureDataset(df.iloc[val_idx], feature_path)
+        test_ds = ds.FeatureDataset(df.iloc[test_idx], feature_path)
+
+        key, kinit, khead = jax.random.split(key, 3)
+        out_dim = num_genes if change_num_genes and num_genes else train_ds.num_genes
+        cfg = he2rna.HE2RNAConfig(input_dim=train_ds.feature_dim,
+                                  output_dim=out_dim, layers=(256, 256),
+                                  ks=(1, 2, 5, 10, 20, 50, 100))
+        params = he2rna.init(cfg, kinit)
+        if checkpoint_path:
+            sd = checkpoint.load_torch_checkpoint(checkpoint_path)
+            cfg, params = convert.he2rna_from_torch(sd, cfg)
+        if change_num_genes:
+            cfg, params = he2rna.replace_head(cfg, params, train_ds.num_genes, khead)
+
+        test_loader = ds.BatchLoader(test_ds, batch_size, shuffle=False)
+        # Pre-fit random-model null (reference he2rna.py:411).
+        preds_random, labels_random, _, _ = he2rna_fit.he2rna_predict(
+            cfg, params, test_loader)
+
+        save_path = os.path.join(save_dir, f"model_{i}.pt")
+        preds, labels, wsis, projs = he2rna_fit.fit(
+            cfg, params, lr,
+            ds.BatchLoader(train_ds, batch_size, shuffle=True, seed=seed),
+            ds.BatchLoader(val_ds, batch_size, shuffle=False),
+            test_loader, max_epochs=max_epochs, patience=100, seed=seed,
+            log_fn=log_fn, verbose=verbose,
+            save_fn=lambda p: checkpoint.save_torch_state_dict(
+                convert.he2rna_to_torch(cfg, p), save_path))
+
+        test_results_splits[f"split_{i}"] = {
+            "real": labels, "preds": preds, "random": preds_random,
+            "wsi_file_name": wsis, "tcga_project": projs,
+        }
+
+    test_results_splits["genes"] = ds.gene_names(df)
+    with open(os.path.join(save_dir, "test_results.pkl"), "wb") as f:
+        pickle.dump(test_results_splits, f, protocol=pickle.HIGHEST_PROTOCOL)
+    return test_results_splits

@@ -122,6 +122,7 @@ def fit(cfg, params, lr, train_loader, valid_loader, test_loader, *,
         best = 0.0
 
     best_params = jax.tree.map(np.asarray, params)
+    saved_any = False
     epoch_since_best = 0
     for e in range(max_epochs):
         epoch_since_best += 1
@@ -148,6 +149,7 @@ def fit(cfg, params, lr, train_loader, valid_loader, test_loader, *,
                 epoch_since_best = 0
                 best = score
                 best_params = jax.tree.map(np.asarray, params)
+                saved_any = True
                 if save_fn is not None:
                     save_fn(best_params)
             if epoch_since_best == patience:
@@ -157,7 +159,9 @@ def fit(cfg, params, lr, train_loader, valid_loader, test_loader, *,
         elif verbose:
             print(f"Epoch {e + 1}/{max_epochs} loss: {train_loss:.4f}")
 
-    if valid_loader is None:
+    if not saved_any:
+        # Reference fit(): if no epoch ever improved on the initial score,
+        # the FINAL model is saved and used (he2rna.py trailing elif branch).
         best_params = jax.tree.map(np.asarray, params)
         if save_fn is not None:
             save_fn(best_params)
