@@ -1,0 +1,53 @@
+"""Driver-contract checks on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+
+import __graft_entry__ as ge
+from sequoia_tpu.models import vis
+from sequoia_tpu.parallel import sharding as sh
+from sequoia_tpu.train import loop
+
+
+def test_dryrun_multichip_8():
+    assert len(jax.devices()) == 8
+    ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_odd():
+    ge.dryrun_multichip(1)
+
+
+def test_dp_matches_single_device():
+    """A data/model-sharded train step must produce the same loss and params
+    as the unsharded one."""
+    import jax.numpy as jnp
+
+    cfg = vis.ViSConfig(num_outputs=16, input_dim=32, depth=1, nheads=2,
+                        dim_f=8, dim_s=8, dim_c=8, num_clusters=10)
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+    optimizer = loop.make_adamw(1e-3)
+    train_step, _ = loop.make_step_fns(lambda p, x: vis.apply(cfg, p, x),
+                                       optimizer)
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(8, 10, 32)), jnp.float32)
+    rna = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+    valid = jnp.ones((8,), bool)
+
+    p1, o1, m1 = train_step(jax.tree.map(jnp.copy, params),
+                            optimizer.init(params), feats, rna, valid)
+
+    mesh = sh.make_mesh(n_data=4, n_model=2)
+    sp = sh.shard_params(mesh, jax.tree.map(jnp.copy, params))
+    so = sh.replicate(mesh, optimizer.init(params))
+    sf, sr, sv = sh.shard_batch_arrays(mesh, feats, rna, valid)
+    p2, o2, m2 = train_step(sp, so, sf, sr, sv)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    a = np.asarray(p1["head_w"])
+    b = np.asarray(p2["head_w"])
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1["blocks"]["wf"]),
+                               np.asarray(p2["blocks"]["wf"]),
+                               rtol=2e-4, atol=1e-6)
