@@ -1,0 +1,69 @@
+"""Backbone parity: ResNet-50 and UNI ViT-L/16 vs torch-functional goldens."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from sequoia_tpu.models import resnet, uni_vit
+from tests import torch_goldens as tg
+
+
+def rel_err(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-8)
+
+
+def test_resnet50_forward_extract_parity():
+    rng = torch.Generator().manual_seed(0)
+    sd = tg.resnet50_sd(rng)
+    x = torch.randn(2, 3, 64, 64, generator=rng).double()
+    golden = tg.resnet50_forward_extract(sd, x).numpy()
+
+    params = resnet.resnet50_from_torch(sd)
+    cfg = resnet.ResNetConfig()
+    x_nhwc = jnp.asarray(x.numpy().transpose(0, 2, 3, 1), jnp.float32)
+    out = jax.jit(lambda p, im: resnet.forward_extract(cfg, p, im))(params, x_nhwc)
+    assert out.shape == (2, 2048)
+    assert rel_err(out, golden) < 2e-4
+
+
+def test_resnet50_odd_input_size():
+    """256-px patches (the pipeline size) flow through without resizing."""
+    params = resnet.random_params(jax.random.PRNGKey(0))
+    cfg = resnet.ResNetConfig()
+    imgs = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    out = resnet.forward_extract(cfg, params, imgs)
+    assert out.shape == (1, 2048)
+
+
+def test_resnet_uint8_preprocess():
+    u8 = jnp.asarray(np.full((1, 4, 4, 3), 255, np.uint8))
+    x = resnet.preprocess_uint8(u8)
+    want = (1.0 - np.asarray(resnet.IMAGENET_MEAN)) / np.asarray(resnet.IMAGENET_STD)
+    np.testing.assert_allclose(np.asarray(x[0, 0, 0]), want, rtol=1e-5)
+
+
+def test_uni_vit_parity():
+    rng = torch.Generator().manual_seed(1)
+    img, patch, dim, depth, heads, mlp = 32, 8, 64, 2, 4, 128
+    sd = tg.uni_sd(rng, img, patch, dim, depth, heads, mlp)
+    x = torch.randn(2, 3, img, img, generator=rng).double()
+    golden = tg.uni_forward(sd, x, depth=depth, heads=heads).numpy()
+
+    cfg = uni_vit.UniViTConfig(img_size=img, patch_size=patch, dim=dim,
+                               depth=depth, heads=heads, mlp_dim=mlp)
+    cfg2, params = uni_vit.uni_from_torch(sd, cfg)
+    x_nhwc = jnp.asarray(x.numpy().transpose(0, 2, 3, 1), jnp.float32)
+    out = jax.jit(lambda p, im: uni_vit.forward(cfg, p, im))(params, x_nhwc)
+    assert out.shape == (2, dim)
+    assert rel_err(out, golden) < 2e-4
+
+
+def test_uni_config_inference_from_sd():
+    rng = torch.Generator().manual_seed(2)
+    sd = tg.uni_sd(rng, img=32, patch=8, dim=64, depth=3, heads=4, mlp=96)
+    cfg, params = uni_vit.uni_from_torch(sd)
+    assert cfg.depth == 3 and cfg.mlp_dim == 96 and cfg.img_size == 32
+    assert params["blocks"]["w_qkv"].shape == (3, 64, 192)
