@@ -1,0 +1,172 @@
+"""K-means on TPU: kmeans++ seeding + Lloyd iterations as XLA GEMMs.
+
+Behavior contract: the reference clusters each slide's patch features with
+``sklearn.cluster.KMeans(n_clusters=100, random_state=0)`` and stores the
+*mean feature per final label* as the slide's 100 ``cluster_features``
+(reference ``pre_processing/kmean_features.py`` main loop).  This module
+reproduces that algorithm (kmeans++ init, Lloyd with sklearn's
+relative-tolerance stopping rule ``tol * mean(var(X))``, empty-cluster
+relocation to farthest points) with everything on the MXU:
+
+* distances: ``|x|^2 + |c|^2 - 2 x @ c^T`` — one (N,D)x(D,k) GEMM per step;
+* assignment counts/sums: one-hot (N,k) matmuls — no scatters;
+* masked: padded rows (``mask=False``) never win an assignment and never
+  contribute, so ragged slides batch into fixed shapes and ``vmap`` runs
+  many slides per launch.
+
+``kmeans_sklearn`` is the host fallback for bit-parity with reference
+artifacts (sklearn is the reference's implementation, so parity is exact by
+construction).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = 1e30
+
+
+def _pairwise_sq_dist(x, centers):
+    """(N, D), (k, D) -> (N, k) squared distances (f32 accumulate)."""
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    xx = jnp.sum(x * x, axis=1, keepdims=True)
+    cc = jnp.sum(centers * centers, axis=1)
+    xc = jnp.dot(x, centers.T, precision=prec, preferred_element_type=jnp.float32)
+    return jnp.maximum(xx + cc - 2.0 * xc, 0.0)
+
+
+def _plusplus_init(key, x, mask, k: int):
+    """kmeans++ (D^2 sampling) over the valid rows."""
+    n, d = x.shape
+    logm = jnp.where(mask, 0.0, -jnp.inf)
+
+    k0, key = jax.random.split(key)
+    first = jax.random.categorical(k0, logm)
+    centers0 = jnp.zeros((k, d), x.dtype).at[0].set(x[first])
+    d2_0 = jnp.where(mask, jnp.sum((x - x[first]) ** 2, axis=1), 0.0)
+
+    def body(i, carry):
+        centers, d2, key = carry
+        key, sub = jax.random.split(key)
+        logits = jnp.where(mask & (d2 > 0), jnp.log(jnp.maximum(d2, 1e-30)), -jnp.inf)
+        # all-zero d2 (fewer distinct points than clusters): fall back to mask
+        logits = jnp.where(jnp.all(jnp.isneginf(logits)), logm, logits)
+        idx = jax.random.categorical(sub, logits)
+        c = x[idx]
+        centers = centers.at[i].set(c)
+        d2 = jnp.minimum(d2, jnp.where(mask, jnp.sum((x - c) ** 2, axis=1), 0.0))
+        return centers, d2, key
+
+    centers, _, _ = jax.lax.fori_loop(1, k, body, (centers0, d2_0, key))
+    return centers
+
+
+def _lloyd(x, mask, centers, max_iter: int, tol_abs):
+    n, d = x.shape
+    k = centers.shape[0]
+    maskf = mask.astype(x.dtype)
+
+    def assign(centers):
+        d2 = _pairwise_sq_dist(x, centers)
+        labels = jnp.argmin(d2, axis=1)
+        best = jnp.min(d2, axis=1)
+        return labels, jnp.where(mask, best, 0.0)
+
+    def step(state):
+        centers, _, it, _ = state
+        labels, best = assign(centers)
+        onehot = (labels[:, None] == jnp.arange(k)[None, :]).astype(x.dtype)
+        onehot = onehot * maskf[:, None]
+        counts = jnp.sum(onehot, axis=0)  # (k,)
+        prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        sums = jnp.dot(onehot.T, x, precision=prec,
+                       preferred_element_type=jnp.float32)
+        new_centers = jnp.where(counts[:, None] > 0,
+                                sums / jnp.maximum(counts[:, None], 1.0),
+                                centers)
+        # empty-cluster relocation: farthest valid points become centers
+        empty = counts == 0
+        order = jnp.argsort(-best)  # masked rows have best=0 -> sorted last
+        pos = jnp.cumsum(empty.astype(jnp.int32)) - 1
+        candidates = x[order[jnp.clip(pos, 0, n - 1)]]
+        new_centers = jnp.where(empty[:, None], candidates, new_centers)
+
+        shift = jnp.sum((new_centers - centers) ** 2)
+        return new_centers, shift, it + 1, jnp.any(empty)
+
+    def cond(state):
+        _, shift, it, had_empty = state
+        return (it < max_iter) & ((shift > tol_abs) | had_empty | (it == 0))
+
+    init = (centers, jnp.asarray(jnp.inf, x.dtype), jnp.asarray(0, jnp.int32),
+            jnp.asarray(False))
+    centers, _, n_iter, _ = jax.lax.while_loop(cond, step, init)
+    labels, best = assign(centers)
+    inertia = jnp.sum(best)
+    return centers, labels, inertia, n_iter
+
+
+@partial(jax.jit, static_argnames=("n_clusters", "max_iter"))
+def kmeans_fit(x: jax.Array, mask: jax.Array, key: jax.Array,
+               n_clusters: int = 100, max_iter: int = 300, tol: float = 1e-4):
+    """One slide: x (N, D) f32 padded, mask (N,) bool.
+
+    Returns (centers (k,D), labels (N,) — garbage on masked rows, inertia,
+    n_iter).  vmap over a leading slide axis for multi-slide batches.
+    """
+    maskf = mask.astype(x.dtype)
+    n_valid = jnp.maximum(jnp.sum(maskf), 1.0)
+    mean = jnp.sum(x * maskf[:, None], axis=0) / n_valid
+    var = jnp.sum(((x - mean) * maskf[:, None]) ** 2, axis=0) / n_valid
+    tol_abs = tol * jnp.mean(var)  # sklearn's relative tolerance
+
+    centers = _plusplus_init(key, x, mask, n_clusters)
+    return _lloyd(x, mask, centers, max_iter, tol_abs)
+
+
+@partial(jax.jit, static_argnames=("n_clusters",))
+def cluster_means(x: jax.Array, labels: jax.Array, mask: jax.Array,
+                  n_clusters: int = 100) -> jax.Array:
+    """Mean raw feature per final label — the reference's ``cluster_features``
+    definition (mean over members, NaN for empty clusters, matching
+    ``np.mean`` over an empty slice)."""
+    k = n_clusters
+    onehot = (labels[:, None] == jnp.arange(k)[None, :]).astype(x.dtype)
+    onehot = onehot * mask.astype(x.dtype)[:, None]
+    counts = jnp.sum(onehot, axis=0)
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    sums = jnp.dot(onehot.T, x, precision=prec, preferred_element_type=jnp.float32)
+    return jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0),
+                     jnp.nan)
+
+
+def kmeans_cluster_features(features: np.ndarray, n_clusters: int = 100,
+                            seed: int = 0, backend: str = "tpu") -> np.ndarray:
+    """(N, D) patch features -> (k, D) cluster-mean features.
+
+    backend='tpu': this module's kmeans++/Lloyd (fast path).
+    backend='sklearn': exact reference implementation (bit-parity with
+    artifacts produced by the reference pipeline).
+    """
+    features = np.asarray(features, np.float32)
+    if backend == "sklearn":
+        from sklearn.cluster import KMeans
+
+        labels = KMeans(n_clusters=n_clusters, random_state=seed).fit(features).labels_
+        means = [np.mean(features[labels == pos], axis=0) if np.any(labels == pos)
+                 else np.full(features.shape[1], np.nan, np.float32)
+                 for pos in range(n_clusters)]
+        return np.asarray(means, dtype=np.float32)
+
+    x = jnp.asarray(features)
+    mask = jnp.ones((features.shape[0],), bool)
+    _, labels, _, _ = kmeans_fit(x, mask, jax.random.PRNGKey(seed),
+                                 n_clusters=n_clusters)
+    return np.asarray(cluster_means(x, labels, mask, n_clusters=n_clusters))

@@ -1,0 +1,97 @@
+"""TPU k-means quality/behavior tests vs sklearn."""
+
+import numpy as np
+import pytest
+from sklearn.cluster import KMeans
+
+import jax
+import jax.numpy as jnp
+
+from sequoia_tpu.ops import kmeans as km
+
+
+def blobs(n=400, d=16, k=8, seed=0, spread=0.05):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, d)) * 2
+    labels = rng.integers(0, k, size=n)
+    x = centers[labels] + spread * rng.normal(size=(n, d))
+    return x.astype(np.float32)
+
+
+def sk_inertia(x, k, seed=0):
+    m = KMeans(n_clusters=k, random_state=seed).fit(x)
+    return m.inertia_, m
+
+
+def test_kmeans_matches_sklearn_quality():
+    x = blobs()
+    ref_inertia, _ = sk_inertia(x, 8)
+    mask = jnp.ones((x.shape[0],), bool)
+    _, labels, inertia, n_iter = km.kmeans_fit(jnp.asarray(x), mask,
+                                               jax.random.PRNGKey(0),
+                                               n_clusters=8)
+    # well-separated blobs: both must find the optimal clustering
+    assert float(inertia) <= ref_inertia * 1.01
+    assert int(n_iter) < 20
+
+
+def test_kmeans_masked_rows_inert():
+    x = blobs(n=256)
+    pad = np.zeros((64, x.shape[1]), np.float32)
+    xp = jnp.asarray(np.concatenate([x, pad]))
+    mask = jnp.asarray(np.r_[np.ones(256, bool), np.zeros(64, bool)])
+    c1, l1, i1, _ = km.kmeans_fit(xp, mask, jax.random.PRNGKey(1), n_clusters=8)
+    c2, l2, i2, _ = km.kmeans_fit(jnp.asarray(x), jnp.ones((256,), bool),
+                                  jax.random.PRNGKey(1), n_clusters=8)
+    assert abs(float(i1) - float(i2)) / float(i2) < 1e-4
+    m1 = np.asarray(km.cluster_means(xp, l1, mask, 8))
+    m2 = np.asarray(km.cluster_means(jnp.asarray(x), l2,
+                                     jnp.ones((256,), bool), 8))
+    # same clustering up to label permutation: compare sorted rows
+    np.testing.assert_allclose(np.sort(m1, axis=0), np.sort(m2, axis=0),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_cluster_means_match_reference_definition():
+    x = blobs(n=300, k=5)
+    xj = jnp.asarray(x)
+    mask = jnp.ones((300,), bool)
+    _, labels, _, _ = km.kmeans_fit(xj, mask, jax.random.PRNGKey(0), n_clusters=5)
+    means = np.asarray(km.cluster_means(xj, labels, mask, 5))
+    lab = np.asarray(labels)
+    for pos in range(5):
+        sel = x[lab == pos]
+        if len(sel):
+            np.testing.assert_allclose(means[pos], sel.mean(axis=0),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_kmeans_more_clusters_than_distinct_points():
+    """Degenerate slides must not hang or NaN (reference would crash in
+    sklearn; we keep finite centers via relocation)."""
+    x = np.repeat(np.eye(3, 8, dtype=np.float32), 5, axis=0)  # 15 pts, 3 distinct
+    _, labels, inertia, _ = km.kmeans_fit(jnp.asarray(x),
+                                          jnp.ones((15,), bool),
+                                          jax.random.PRNGKey(0), n_clusters=5)
+    assert np.isfinite(float(inertia))
+    assert float(inertia) < 1e-6  # every point sits on a center
+
+
+def test_kmeans_cluster_features_backends_agree_on_blobs():
+    x = blobs(n=500, d=12, k=10, spread=0.01)
+    a = km.kmeans_cluster_features(x, n_clusters=10, backend="tpu")
+    b = km.kmeans_cluster_features(x, n_clusters=10, backend="sklearn")
+    # identical blob partitions -> identical cluster means up to permutation
+    ai = np.lexsort(a.T)
+    bi = np.lexsort(b.T)
+    np.testing.assert_allclose(a[ai], b[bi], rtol=1e-3, atol=1e-4)
+
+
+def test_kmeans_vmap_over_slides():
+    xs = np.stack([blobs(seed=s) for s in range(4)])
+    masks = jnp.ones(xs.shape[:2], bool)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    fit = jax.vmap(lambda x, m, k: km.kmeans_fit(x, m, k, n_clusters=8))
+    centers, labels, inertia, _ = fit(jnp.asarray(xs), masks, keys)
+    assert centers.shape == (4, 8, 16)
+    assert np.all(np.isfinite(np.asarray(inertia)))
