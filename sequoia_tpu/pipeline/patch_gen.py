@@ -1,0 +1,160 @@
+"""Stage 1 — tiling: WSI -> patches HDF5 + tissue mask.
+
+On-disk contract (reference ``pre_processing/patch_gen_hdf5.py``):
+``{patch_path}/{slide_id}/{slide_id}.hdf5`` with one uint8 (ps, ps, 3)
+dataset per kept tile named ``"{x}_{y}"`` (level-0 coordinates),
+``{mask_path}/{slide_id}/mask.npy`` (the [x, y]-indexed low-res tissue
+mask), and a ``complete.txt`` sentinel for idempotent re-runs.
+
+Behavior contract reproduced exactly:
+* mask from the lowest pyramid level, Otsu HSV-S AND NOT(RGB background)
+  AND RGB>50, dilated+eroded 3 iterations;
+* magnification handling: ``patch_size_resized = AppMag/20 * patch_size``;
+* candidate grid stepping ``patch_size_resized[0]`` in BOTH axes (reference
+  quirk, ``patch_gen_hdf5.py`` grid build), shuffled with
+  ``np.random.seed(5)``;
+* keep: coarse-mask hit, per-patch dilated tissue mask > 20%, not
+  low-contrast; resize back to ``patch_size`` when magnification != 20;
+* stop at ``max_patches_per_slide``.
+
+TPU-first: candidate patches are screened in device batches
+(``ops.masking.patch_keep_flags``) — the per-patch Otsu/morphology that
+dominates the reference's Python loop runs as one fused XLA program per
+chunk.  Host decode stays the IO boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+import h5py
+import numpy as np
+
+import jax.numpy as jnp
+
+from sequoia_tpu.data.wsi import SlideReader, open_slide
+from sequoia_tpu.ops import masking
+
+BACKGROUND_THRESHOLD = 0.2
+
+
+def compute_slide_mask(slide: SlideReader, level: str | int = "max"):
+    """Low-res tissue mask in the reference's [x, y] layout."""
+    if level == "max":
+        level = len(slide.level_dimensions) - 1
+    w, h = slide.level_dimensions[level]
+    img = slide.read_region((0, 0), level, (w, h))  # (h, w, 3)
+    img_xy = np.transpose(img, (1, 0, 2))  # reference transposes to [x, y]
+    mask = np.asarray(masking.tissue_mask(jnp.asarray(img_xy)))
+    mask = np.asarray(masking.binary_dilation(jnp.asarray(mask), iterations=3))
+    mask = np.asarray(masking.binary_erosion(jnp.asarray(mask), iterations=3))
+    return mask, level
+
+
+def candidate_grid(xmax: int, ymax: int, step: int, seed: int = 5):
+    """Reference candidate enumeration + seeded shuffle (np.random.seed(5))."""
+    indices = [(x, y) for x in range(0, xmax, step) for y in range(0, ymax, step)]
+    np.random.seed(seed)
+    np.random.shuffle(indices)
+    return indices
+
+
+def extract_patches(slide_path, patches_output_dir: str, mask_path: str,
+                    slide_id: str, patch_size: tuple[int, int] = (256, 256),
+                    max_patches_per_slide: int | None = None,
+                    screen_batch: int = 64, verbose: bool = True) -> int:
+    """Tile one slide.  Returns the number of patches written."""
+    patch_folder = os.path.join(patches_output_dir, slide_id)
+    os.makedirs(patch_folder, exist_ok=True)
+    patch_folder_mask = os.path.join(mask_path, slide_id)
+    os.makedirs(patch_folder_mask, exist_ok=True)
+
+    if os.path.exists(os.path.join(patch_folder, "complete.txt")):
+        if verbose:
+            print(f"{slide_id}: patches have already been extracted")
+        return -1
+
+    slide = open_slide(slide_path)
+    mask, mask_level = compute_slide_mask(slide)
+    np.save(os.path.join(patch_folder_mask, "mask.npy"), mask)
+
+    ratio_x = slide.level_dimensions[0][0] / slide.level_dimensions[mask_level][0]
+    ratio_y = slide.level_dimensions[0][1] / slide.level_dimensions[mask_level][1]
+    xmax, ymax = slide.level_dimensions[0]
+
+    resize_factor = float(slide.properties.get("aperio.AppMag", 20) or 20) / 20.0
+    psr = (int(resize_factor * patch_size[0]), int(resize_factor * patch_size[1]))
+    if verbose:
+        print(f"patch size for {slide_id}: {psr}")
+
+    indices = candidate_grid(xmax, ymax, psr[0])
+    if max_patches_per_slide is None:
+        max_patches_per_slide = len(indices)
+
+    n_written = 0
+    path_hdf5 = os.path.join(patch_folder, f"{slide_id}.hdf5")
+    with h5py.File(path_hdf5, "w") as hdf:
+        pend_imgs: list[np.ndarray] = []
+        pend_xy: list[tuple[int, int]] = []
+
+        def flush():
+            nonlocal n_written
+            if not pend_imgs or n_written >= max_patches_per_slide:
+                pend_imgs.clear()
+                pend_xy.clear()
+                return
+            batch = jnp.asarray(np.stack(pend_imgs))
+            keep = np.asarray(masking.patch_keep_flags(
+                batch, background_threshold=BACKGROUND_THRESHOLD))
+            for img, (x, y), k in zip(pend_imgs, pend_xy, keep):
+                if n_written >= max_patches_per_slide:
+                    break
+                if not k:
+                    continue
+                if resize_factor != 1.0:
+                    from PIL import Image
+
+                    img = np.asarray(Image.fromarray(img).resize(patch_size))
+                hdf.create_dataset(f"{x}_{y}", data=img)
+                n_written += 1
+            pend_imgs.clear()
+            pend_xy.clear()
+
+        for x, y in indices:
+            if n_written >= max_patches_per_slide:
+                break
+            x_mask, y_mask = int(x / ratio_x), int(y / ratio_y)
+            if x_mask >= mask.shape[0] or y_mask >= mask.shape[1]:
+                continue
+            if not mask[x_mask, y_mask]:
+                continue
+            patch = slide.read_region((x, y), 0, psr)
+            pend_imgs.append(patch)
+            pend_xy.append((x, y))
+            if len(pend_imgs) == screen_batch:
+                flush()
+        flush()
+
+    if n_written == 0:
+        if verbose:
+            print(f"no patch extracted for slide {slide_id}")
+    else:
+        with open(os.path.join(patch_folder, "complete.txt"), "w") as f:
+            f.write("Process complete!\n")
+            f.write(f"Total n patch = {n_written}")
+        if verbose:
+            print(f"{slide_id} complete, total n patch = {n_written}")
+    return n_written
+
+
+def run_patch_gen(slide_paths: dict[str, str], patch_path: str, mask_path: str,
+                  patch_size: int = 256, max_patches_per_slide: int | None = None,
+                  verbose: bool = True) -> None:
+    """Tile a set of slides: {slide_id: path}."""
+    for slide_id, path in slide_paths.items():
+        try:
+            extract_patches(path, patch_path, mask_path, slide_id,
+                            (patch_size, patch_size), max_patches_per_slide,
+                            verbose=verbose)
+        except Exception as e:  # per-slide quarantine (reference behavior)
+            print(f"error with slide id {slide_id}: {e}")
