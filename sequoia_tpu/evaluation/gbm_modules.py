@@ -1,0 +1,102 @@
+"""GBM meta-module (Neftel-style) co-expression analysis.
+
+Behavior contract (reference ``spatial_vis/gbm_celltype_analysis.py``):
+given per-tile gene prediction maps (``stride-1.csv``) and meta-module gene
+lists (AC / G1S / G2M / MES1 / MES2 / NPC1 / NPC2 / OPC), produce
+(1) per-slide gene-gene Spearman/Pearson correlation matrices ordered by
+module for clustermap plotting, and (2) per-tile module assignment = the
+module whose member-gene percentile scores have the highest mean, for
+spatial scatter maps.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from scipy.stats import percentileofscore
+
+DEFAULT_MODULES = ("AC", "G1S", "G2M", "MES1", "MES2", "NPC1", "NPC2", "OPC")
+
+
+def load_modules(module_dir: str, modules=DEFAULT_MODULES) -> dict[str, list[str]]:
+    """{module: [genes]} from ``{module_dir}/{name}.npy`` gene-name arrays."""
+    out = {}
+    for m in modules:
+        path = os.path.join(module_dir, f"{m}.npy")
+        if os.path.exists(path):
+            out[m] = [str(g) for g in np.load(path, allow_pickle=True)]
+    return out
+
+
+def module_gene_columns(pred_df: pd.DataFrame,
+                        modules: dict[str, list[str]]) -> dict[str, list[str]]:
+    """Module genes actually present as prediction columns."""
+    return {m: [g for g in genes if g in pred_df.columns]
+            for m, genes in modules.items()}
+
+
+def correlation_matrix(pred_df: pd.DataFrame, modules: dict[str, list[str]],
+                       method: str = "pearson") -> pd.DataFrame:
+    """Gene-gene correlation over tiles, genes ordered by module."""
+    cols = [g for genes in module_gene_columns(pred_df, modules).values()
+            for g in genes]
+    return pred_df[cols].corr(method=method)
+
+
+def percentile_scores(pred_df: pd.DataFrame,
+                      modules: dict[str, list[str]]) -> pd.DataFrame:
+    """Per-tile per-module mean percentile score."""
+    present = module_gene_columns(pred_df, modules)
+    out = pd.DataFrame(index=pred_df.index)
+    for m, genes in present.items():
+        if not genes:
+            continue
+        pct = []
+        for g in genes:
+            vals = pred_df[g].to_numpy()
+            pct.append([percentileofscore(vals, v) if not np.isnan(v) else np.nan
+                        for v in vals])
+        out[m] = np.nanmean(np.asarray(pct), axis=0)
+    return out
+
+
+def assign_modules(pred_df: pd.DataFrame,
+                   modules: dict[str, list[str]]) -> pd.Series:
+    """Per-tile argmax module (the reference's spatial coloring rule)."""
+    scores = percentile_scores(pred_df, modules)
+    return scores.idxmax(axis=1)
+
+
+def plot_clustermap(corr: pd.DataFrame, save_to: str | None = None):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import seaborn as sns
+
+    g = sns.clustermap(corr.fillna(0), cmap="vlag", vmin=-1, vmax=1)
+    if save_to:
+        g.savefig(save_to, dpi=150)
+    return g
+
+
+def plot_spatial_modules(pred_df: pd.DataFrame, assignments: pd.Series,
+                         save_to: str | None = None):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    for m in sorted(assignments.dropna().unique()):
+        sel = assignments == m
+        ax.scatter(pred_df.loc[sel, "xcoord_tf"], pred_df.loc[sel, "ycoord_tf"],
+                   s=8, label=m)
+    ax.invert_yaxis()
+    ax.legend(markerscale=2, fontsize=8)
+    ax.set_aspect("equal")
+    if save_to:
+        fig.savefig(save_to, dpi=150)
+    plt.close(fig)
+    return fig

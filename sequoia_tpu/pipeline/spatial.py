@@ -1,0 +1,190 @@
+"""Stage 8 — spatial expression maps via sliding windows.
+
+Behavior contract (reference ``spatial_vis/visualize.py``): build the valid
+tile grid from the saved ``mask.npy`` (>=50% tissue per tile after
+3-iteration dilation), slide a ``10x10``-tile window at ``stride`` over the
+rescaled grid; windows holding more than 50 tiles are featurized, zero-padded
+to 100 tokens, and run through the fold model; every member tile receives the
+window's gene predictions, and overlapping windows average (stride < 10).
+Output: ``stride-{stride}.csv`` with ``xcoord, ycoord, xcoord_tf, ycoord_tf``
+plus ``{gene}_{fold}`` columns and the across-fold mean ``{gene}`` column.
+
+TPU-first redesign: the reference re-reads and re-featurizes every tile for
+EVERY window that contains it (up to 100x redundant backbone work at
+stride 1 — SURVEY.md section 3.5).  Here each valid tile is featurized ONCE
+(batched uint8 -> backbone), and windows become gathers over the cached
+feature table batched through the aggregator.  Token order inside a window
+(the df row order = column-major over (x, y)) and the zero-padding rule are
+preserved exactly, so outputs match the reference tile-for-tile.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from scipy.ndimage import binary_dilation as _sp_dilate
+
+import jax
+import jax.numpy as jnp
+
+BACKGROUND_THRESHOLD = 0.5
+
+
+def build_valid_tiles(mask_xy: np.ndarray, slide_dims: tuple[int, int],
+                      patch_size_resized: int) -> pd.DataFrame:
+    """Valid-tile DataFrame (reference visualize.py grid build).
+
+    ``mask_xy``: the stage-1 ``mask.npy`` ([x, y] layout); ``slide_dims``:
+    level-0 (width, height).
+    """
+    w, h = slide_dims
+    downsample = int(w / mask_xy.shape[0])
+    ps_in_mask = int(patch_size_resized / downsample)
+    mask_rc = (np.transpose(mask_xy, (1, 0)) * 1)  # [row, col]
+
+    valid = []
+    for col in range(0, w - patch_size_resized, patch_size_resized):
+        for row in range(0, h - patch_size_resized, patch_size_resized):
+            rd, cd = int(row / downsample), int(col / downsample)
+            sub = mask_rc[rd:rd + ps_in_mask, cd:cd + ps_in_mask]
+            if sub.size == 0:
+                continue
+            sub = _sp_dilate(sub, iterations=3)
+            if sub.sum() >= BACKGROUND_THRESHOLD * sub.size:
+                valid.append((col, row))
+
+    df = pd.DataFrame(valid, columns=["xcoord", "ycoord"])
+    df["xcoord_tf"] = ((df["xcoord"] - df["xcoord"].min())
+                       / patch_size_resized).astype(int)
+    df["ycoord_tf"] = ((df["ycoord"] - df["ycoord"].min())
+                       / patch_size_resized).astype(int)
+    return df
+
+
+def featurize_tiles(slide, df: pd.DataFrame, patch_size_resized: int,
+                    extractor, resize_to: int | None = None) -> np.ndarray:
+    """Read + featurize every valid tile ONCE -> (n_tiles, D)."""
+    from PIL import Image
+
+    tiles = []
+    for _, row in df.iterrows():
+        patch = slide.read_region((int(row["xcoord"]), int(row["ycoord"])), 0,
+                                  (patch_size_resized, patch_size_resized))
+        if resize_to and patch.shape[0] != resize_to:
+            patch = np.asarray(Image.fromarray(patch).resize((resize_to, resize_to)))
+        tiles.append(patch)
+    return extractor(np.stack(tiles))
+
+
+def sliding_window_predict(tile_feats: np.ndarray, df: pd.DataFrame,
+                           predict_fn, gene_indices, *, stride: int = 1,
+                           window: int = 10, num_tokens: int = 100,
+                           batch_windows: int = 64) -> dict[int, dict[int, float]]:
+    """Reference ``sliding_window_method`` over cached features.
+
+    ``predict_fn``: (W, num_tokens, D) -> (W, G) batched aggregator forward.
+    Returns {gene_index: {df_row_label: prediction}}.
+    """
+    n, dim = tile_feats.shape
+    xtf = df["xcoord_tf"].to_numpy()
+    ytf = df["ycoord_tf"].to_numpy()
+    labels = df.index.to_numpy()
+    max_x, max_y = int(xtf.max()), int(ytf.max())
+    min_tiles = (window * window) / 2
+
+    # collect member lists per qualifying window (reference order: df rows
+    # are already sorted column-major, matching `window.index`)
+    windows: list[np.ndarray] = []
+    for x in range(0, max_x, stride):
+        for y in range(0, max_y, stride):
+            sel = np.nonzero((xtf >= x) & (xtf < x + window)
+                             & (ytf >= y) & (ytf < y + window))[0]
+            if sel.shape[0] > min_tiles:
+                windows.append(sel)
+
+    sums = {g: np.zeros(n) for g in gene_indices}
+    counts = np.zeros(n, np.int64)
+
+    for start in range(0, len(windows), batch_windows):
+        chunk = windows[start:start + batch_windows]
+        feats = np.zeros((batch_windows, num_tokens, dim), np.float32)
+        for i, sel in enumerate(chunk):
+            feats[i, : len(sel)] = tile_feats[sel[:num_tokens]]
+        preds = np.asarray(predict_fn(feats))  # (W, G)
+        for i, sel in enumerate(chunk):
+            counts[sel] += 1
+            for g in gene_indices:
+                sums[g][sel] += preds[i, g]
+
+    out: dict[int, dict[int, float]] = {g: {} for g in gene_indices}
+    seen = counts > 0
+    for g in gene_indices:
+        vals = sums[g][seen] / counts[seen]
+        for lbl, v in zip(labels[seen], vals):
+            out[g][lbl] = float(v)
+    return out
+
+
+def run_visualize(slide, mask_xy: np.ndarray, gene_ids: list[str],
+                  fold_models: dict[int, callable], extractor, *,
+                  gene_names=None, patch_size: int = 256,
+                  resize_factor: float | None = None, stride: int = 1,
+                  save_path: str | None = None,
+                  resize_patch_to: int | None = None) -> pd.DataFrame:
+    """Full per-slide flow (reference visualize.py __main__):
+
+    ``fold_models``: {fold: predict_fn((W, 100, D) -> (W, G))}.
+    Returns the result DataFrame (and writes ``stride-{stride}.csv``).
+    """
+    if resize_factor is None:
+        resize_factor = float(slide.properties.get("aperio.AppMag", 20) or 20) / 20.0
+    patch_size_resized = int(resize_factor * patch_size)
+
+    df = build_valid_tiles(mask_xy, slide.dimensions, patch_size_resized)
+    res_df = df.copy(deep=True)
+
+    gene_names = list(gene_names) if gene_names is not None else list(gene_ids)
+    inds = []
+    for gname in gene_names:
+        try:
+            inds.append(gene_ids.index(gname))
+        except ValueError:
+            print(f"gene not in predicted values {gname}")
+
+    tile_feats = featurize_tiles(slide, df, patch_size_resized, extractor,
+                                 resize_to=resize_patch_to)
+
+    folds = sorted(fold_models)
+    for fold in folds:
+        preds = sliding_window_predict(tile_feats, df, fold_models[fold],
+                                       inds, stride=stride)
+        for g in inds:
+            res_df[f"{gene_ids[g]}_{fold}"] = res_df.index.map(preds[g])
+
+    for g in inds:
+        cols = [f"{gene_ids[g]}_{i}" for i in folds]
+        res_df[gene_ids[g]] = res_df[cols].mean(axis=1)
+
+    if save_path:
+        os.makedirs(save_path, exist_ok=True)
+        res_df.to_csv(os.path.join(save_path, f"stride-{stride}.csv"))
+    return res_df
+
+
+def make_vis_predict_fn(cfg, params):
+    """Batched ViS/ViT forward for sliding windows."""
+    from sequoia_tpu.models import vis as vis_mod
+
+    fwd = jax.jit(lambda p, x: vis_mod.apply(cfg, p, x))
+    return lambda feats: fwd(params, jnp.asarray(feats))
+
+
+def make_he2rna_predict_fn(cfg, params):
+    """HE2RNA eval forward (k-averaged, NO ReLU — reference visualize.py
+    uses raw model output)."""
+    from sequoia_tpu.models import he2rna as he_mod
+
+    fwd = jax.jit(lambda p, x: he_mod.apply(cfg, p, x, train=False))
+    return lambda feats: fwd(params, jnp.asarray(feats))

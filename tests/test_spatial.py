@@ -1,0 +1,101 @@
+"""Spatial sliding-window parity vs a direct reference-semantics oracle."""
+
+import numpy as np
+import pandas as pd
+
+import jax
+
+from sequoia_tpu.models import vis
+from sequoia_tpu.pipeline import spatial
+
+
+def reference_sliding_window(tile_feats, df, predict_one, inds, stride=1,
+                             window=10, num_tokens=100):
+    """Direct transcription of the reference algorithm semantics (per-window
+    forward, per-tile lists, mean) over the same cached features."""
+    preds = {g: {} for g in inds}
+    max_x, max_y = df["xcoord_tf"].max(), df["ycoord_tf"].max()
+    for x in range(0, max_x, stride):
+        for y in range(0, max_y, stride):
+            w = df[(df["xcoord_tf"] >= x) & (df["xcoord_tf"] < x + window)
+                   & (df["ycoord_tf"] >= y) & (df["ycoord_tf"] < y + window)]
+            if w.shape[0] > (window * window) / 2:
+                feats = tile_feats[w.index.to_numpy()]
+                pad = np.zeros((num_tokens - feats.shape[0], feats.shape[1]),
+                               np.float32)
+                feats = np.concatenate([feats, pad])
+                p = predict_one(feats[None])[0]
+                for key in w.index:
+                    for g in inds:
+                        preds[g].setdefault(key, []).append(p[g])
+    return {g: {k: float(np.mean(v)) for k, v in d.items()}
+            for g, d in preds.items()}
+
+
+def make_grid_df(rng, nx=14, ny=14, keep=0.85, psr=64):
+    pts = [(x * psr, y * psr) for x in range(nx) for y in range(ny)
+           if rng.random() < keep]
+    df = pd.DataFrame(pts, columns=["xcoord", "ycoord"])
+    df["xcoord_tf"] = ((df.xcoord - df.xcoord.min()) / psr).astype(int)
+    df["ycoord_tf"] = ((df.ycoord - df.ycoord.min()) / psr).astype(int)
+    return df
+
+
+def test_sliding_window_matches_reference_oracle():
+    rng = np.random.default_rng(0)
+    df = make_grid_df(rng)
+    n = len(df)
+    D, G = 16, 5
+    tile_feats = rng.normal(size=(n, D)).astype(np.float32)
+
+    cfg = vis.ViSConfig(num_outputs=G, input_dim=D, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+    predict_fn = spatial.make_vis_predict_fn(cfg, params)
+
+    inds = [0, 3]
+    got = spatial.sliding_window_predict(tile_feats, df, predict_fn, inds,
+                                         stride=2, batch_windows=7)
+    want = reference_sliding_window(tile_feats, df,
+                                    lambda f: np.asarray(predict_fn(f)),
+                                    inds, stride=2)
+    assert set(got[0]) == set(want[0])
+    for g in inds:
+        for k in want[g]:
+            assert abs(got[g][k] - want[g][k]) < 1e-4, (g, k)
+
+
+def test_build_valid_tiles_and_run_visualize(tmp_path):
+    from tests.test_pipeline_e2e import synthetic_wsi
+    from sequoia_tpu.pipeline import patch_gen
+
+    slide = synthetic_wsi()
+    mask, _ = patch_gen.compute_slide_mask(slide)
+
+    df = spatial.build_valid_tiles(mask, slide.dimensions, 64)
+    assert len(df) > 30
+    assert {"xcoord", "ycoord", "xcoord_tf", "ycoord_tf"} <= set(df.columns)
+
+    # tiny extractor: mean-pool RGB tiles into a fixed feature dim
+    def extractor(tiles_u8):
+        t = tiles_u8.astype(np.float32) / 255.0
+        pooled = t.reshape(t.shape[0], -1, 3).mean(axis=1)
+        reps = np.tile(pooled, (1, 4))  # (n, 12)
+        return reps.astype(np.float32)
+
+    D, G = 12, 4
+    gene_ids = [f"G{i}" for i in range(G)]
+    cfg = vis.ViSConfig(num_outputs=G, input_dim=D, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    fold_models = {f: spatial.make_vis_predict_fn(
+        cfg, vis.init(cfg, jax.random.PRNGKey(f))) for f in range(2)}
+
+    res = spatial.run_visualize(slide, mask, gene_ids, fold_models, extractor,
+                                gene_names=["G1", "G2"], patch_size=64,
+                                stride=2, save_path=str(tmp_path))
+    assert "G1_0" in res.columns and "G1_1" in res.columns and "G1" in res.columns
+    got_mean = res[["G1_0", "G1_1"]].mean(axis=1)
+    pd.testing.assert_series_equal(res["G1"], got_mean, check_names=False)
+    assert (tmp_path / "stride-2.csv").exists()
+    # tiles covered by qualifying windows carry predictions
+    assert res["G1"].notna().sum() > 10

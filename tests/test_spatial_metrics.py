@@ -1,0 +1,80 @@
+"""EMD / spatial-metric and GBM-module tests."""
+
+import numpy as np
+import pandas as pd
+
+from sequoia_tpu.evaluation import gbm_modules, spatial_metrics as sm
+
+
+def test_emd_basic_properties():
+    a = np.zeros((5, 5))
+    b = np.zeros((5, 5))
+    assert sm.calculate_emd(a, b) == 0.0
+    a[1, 1] = 1.0
+    assert np.isnan(sm.calculate_emd(a, b))
+    b[1, 1] = 1.0
+    assert sm.calculate_emd(a, b) == 0.0
+    # mass moved 3 cells right -> EMD == 3
+    c = np.zeros((5, 5))
+    c[1, 4] = 1.0
+    assert abs(sm.calculate_emd(a, c) - 3.0) < 1e-5
+    assert abs(sm.calculate_emd(a, c, norm=True) - 3.0 / 5) < 1e-5
+
+
+def test_get_average_and_median_filter():
+    gt = pd.DataFrame({"x": [0, 1, 10], "y": [0, 0, 0],
+                       "gene_expr": [1.0, 3.0, 100.0]})
+    assert sm.get_average(0, 0, gt, num_tiles=2) == 2.0
+
+    df = pd.DataFrame({"xcoord_tf": [0, 1, 2, 0, 1, 2, 0, 1, 2],
+                       "ycoord_tf": [0, 0, 0, 1, 1, 1, 2, 2, 2],
+                       "v": [9.0, 1, 2, 3, 4, 5, 6, 7, 8]})
+    # full 3x3 window at center: median of all 9
+    assert sm.median_filter(df, "v", 1, 1, 1) == 5.0
+    # corner window has 4 tiles <= 4.5 -> falls back to the tile's own value
+    assert sm.median_filter(df, "v", 0, 0, 1) == 9.0
+
+
+def test_emd_for_gene_end_to_end():
+    rng = np.random.default_rng(0)
+    tiles = [(x, y) for x in range(6) for y in range(6)]
+    pred = pd.DataFrame(tiles, columns=["xcoord_tf", "ycoord_tf"])
+    pred["xcoord"] = pred["xcoord_tf"] * 64
+    pred["ycoord"] = pred["ycoord_tf"] * 64
+    pred["GENE"] = rng.random(len(pred))
+    gt = pd.DataFrame({
+        "x": pred["xcoord"] + rng.integers(-8, 8, len(pred)),
+        "y": pred["ycoord"] + rng.integers(-8, 8, len(pred)),
+        "gene_expr": pred["GENE"] + 0.05 * rng.standard_normal(len(pred)),
+    })
+    out = sm.emd_for_gene(pred, gt, "GENE")
+    assert set(out) == {"emd", "nr_gt_vals", "emd_filt", "nr_gt_vals_filt"}
+    assert np.isfinite(out["emd"]) and out["emd"] >= 0
+    # identical maps with 1-nearest ground truth -> EMD ~ 0
+    gt_same = pd.DataFrame({"x": pred["xcoord"], "y": pred["ycoord"],
+                            "gene_expr": pred["GENE"]})
+    out2 = sm.emd_for_gene(pred, gt_same, "GENE", num_tiles=1)
+    assert out2["emd"] < 1e-5
+
+
+def test_gbm_module_assignment():
+    rng = np.random.default_rng(1)
+    n = 50
+    df = pd.DataFrame({"xcoord_tf": np.arange(n) % 10,
+                       "ycoord_tf": np.arange(n) // 10})
+    # module A genes high on the first half, module B on the second
+    half = np.r_[np.ones(25), np.zeros(25)]
+    df["a1"] = half * 10 + rng.random(n)
+    df["a2"] = half * 8 + rng.random(n)
+    df["b1"] = (1 - half) * 9 + rng.random(n)
+    modules = {"A": ["a1", "a2", "missing_gene"], "B": ["b1"]}
+
+    present = gbm_modules.module_gene_columns(df, modules)
+    assert present == {"A": ["a1", "a2"], "B": ["b1"]}
+
+    corr = gbm_modules.correlation_matrix(df, modules)
+    assert list(corr.columns) == ["a1", "a2", "b1"]
+    assert corr.loc["a1", "a2"] > 0.9 and corr.loc["a1", "b1"] < -0.9
+
+    assign = gbm_modules.assign_modules(df, modules)
+    assert (assign[:25] == "A").all() and (assign[25:] == "B").all()
