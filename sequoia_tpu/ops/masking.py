@@ -37,6 +37,31 @@ def rgb_to_saturation(img: jax.Array) -> jax.Array:
     return jnp.where(mx > 0, delta / jnp.where(mx > 0, mx, 1.0), 0.0)
 
 
+def _binned_histogram(idx: jax.Array, nbins: int, chunk: int = 4096) -> jax.Array:
+    """(..., P) int32 bin indices -> (..., nbins) f32 counts.
+
+    Accumulates one-hot counts over pixel chunks with ``lax.scan`` so peak
+    memory is O(chunk * nbins) instead of O(P * nbins) — a 256x256 patch
+    would otherwise materialize a 67 MB one-hot per channel.
+    """
+    p = idx.shape[-1]
+    pad = (-p) % chunk
+    if pad:
+        # overflow bin nbins collects the padding and is dropped below
+        idx = jnp.concatenate(
+            [idx, jnp.full(idx.shape[:-1] + (pad,), nbins, idx.dtype)], axis=-1)
+    n = idx.shape[-1] // chunk
+    chunks = jnp.moveaxis(idx.reshape(idx.shape[:-1] + (n, chunk)), -2, 0)
+
+    def step(acc, ch):
+        oh = jax.nn.one_hot(ch, nbins + 1, dtype=jnp.float32)
+        return acc + jnp.sum(oh, axis=-2), None
+
+    acc0 = jnp.zeros(chunks.shape[1:-1] + (nbins + 1,), jnp.float32)
+    hist, _ = jax.lax.scan(step, acc0, chunks)
+    return hist[..., :nbins]
+
+
 def otsu_threshold(values: jax.Array, nbins: int = 256) -> jax.Array:
     """skimage ``threshold_otsu``: 256 bins over [min, max]; returns the
     bin-center threshold maximizing inter-class variance.
@@ -49,8 +74,7 @@ def otsu_threshold(values: jax.Array, nbins: int = 256) -> jax.Array:
     width = (vmax - vmin) / nbins
     safe_w = jnp.where(width > 0, width, 1.0)
     idx = jnp.clip(((v - vmin) / safe_w).astype(jnp.int32), 0, nbins - 1)
-    onehot = jax.nn.one_hot(idx, nbins, dtype=jnp.float32)
-    hist = jnp.sum(onehot, axis=-2)  # (..., nbins)
+    hist = _binned_histogram(idx, nbins)  # (..., nbins)
     centers = vmin + (jnp.arange(nbins, dtype=jnp.float32) + 0.5) * safe_w
 
     w1 = jnp.cumsum(hist, axis=-1)

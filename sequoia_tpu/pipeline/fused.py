@@ -1,0 +1,59 @@
+"""Fused whole-slide program: patch pixels -> gene predictions in ONE
+compiled XLA program.
+
+The production stages (``pipeline.features`` -> ``pipeline.kmeans_stage`` ->
+aggregator inference) interoperate through HDF5 files like the reference.
+This module is the TPU-native fast path when intermediate artifacts aren't
+needed: a single jit composing
+
+    scan over patch batches -> backbone features (stays in HBM)
+    -> kmeans++/Lloyd -> per-cluster mean features
+    -> ViS forward -> (num_genes,) predictions
+
+so patch features never leave the device and XLA overlaps/fuses across
+stage boundaries.  Used by ``bench.py`` and available for serving.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sequoia_tpu.models import resnet, vis
+from sequoia_tpu.ops import kmeans as km
+
+
+def make_slide_program(resnet_params, vis_cfg: vis.ViSConfig, vis_params,
+                       *, n_clusters: int = 100,
+                       compute_dtype=jnp.bfloat16):
+    """Returns ``run(patch_batches_u8, key) -> (num_genes,)`` jitted.
+
+    ``patch_batches_u8``: (n_batches, B, H, W, 3) uint8, zero-padded rows
+    allowed only as full batches (they'd otherwise contribute fake patches).
+    """
+    rcfg = resnet.ResNetConfig(compute_dtype=compute_dtype)
+
+    @jax.jit
+    def features(patch_batches_u8: jax.Array) -> jax.Array:
+        def step(_, u8):
+            return None, resnet.extract_from_uint8(rcfg, resnet_params, u8)
+
+        _, feats = jax.lax.scan(step, None, patch_batches_u8)
+        return feats.reshape(-1, feats.shape[-1])  # (N, D) f32, stays in HBM
+
+    vis_fwd = jax.jit(lambda p, x: vis.apply(vis_cfg, p, x))
+
+    # Stages are compiled separately (a single giant program compiles much
+    # more slowly for no runtime win); intermediates never leave the device,
+    # so the pipeline is still fully device-resident.
+    def run(patch_batches_u8: jax.Array, key: jax.Array) -> jax.Array:
+        feats = features(patch_batches_u8)
+        mask = jnp.ones((feats.shape[0],), bool)
+        _, labels, _, _ = km.kmeans_fit(feats, mask, key,
+                                        n_clusters=n_clusters)
+        cf = km.cluster_means(feats, labels, mask, n_clusters=n_clusters)
+        return vis_fwd(vis_params, cf[None])[0]
+
+    return run
