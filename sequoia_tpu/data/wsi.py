@@ -123,7 +123,8 @@ class PILReader:
 
 
 def open_slide(path_or_reader) -> SlideReader:
-    """Open a WSI with the best available backend."""
+    """Open a WSI with the best available backend: OpenSlide (full SVS
+    support) > native C++ libtiff reader (threaded tile decode) > Pillow."""
     if not isinstance(path_or_reader, (str, os.PathLike)):
         return path_or_reader
     path = str(path_or_reader)
@@ -132,4 +133,22 @@ def open_slide(path_or_reader) -> SlideReader:
 
         return OpenSlideReader(path)
     except ImportError:
-        return PILReader(path)
+        pass
+    try:
+        from sequoia_tpu import native
+
+        if native.available():
+            return native.NativeTiffReader(path)
+    except Exception:
+        pass
+    return PILReader(path)
+
+
+def read_regions(slide: SlideReader, locations, level, size,
+                 nthreads: int = 8) -> np.ndarray:
+    """Batch region decode: uses the reader's parallel fast path when it has
+    one, else a sequential loop.  Returns (n, h, w, 3) uint8."""
+    fast = getattr(slide, "read_regions", None)
+    if fast is not None:
+        return fast(locations, level, size, nthreads=nthreads)
+    return np.stack([slide.read_region(loc, level, size) for loc in locations])

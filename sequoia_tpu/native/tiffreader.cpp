@@ -1,0 +1,281 @@
+// Native WSI tile reader: multi-threaded pyramidal-TIFF region decode.
+//
+// Role: the reference pipeline leans on OpenSlide (C) for WSI decode
+// (reference pre_processing/patch_gen_hdf5.py, spatial_vis/visualize.py).
+// This library supplies that capability for TIFF-based slides (SVS is a
+// TIFF variant) without OpenSlide: libtiff tile decode (JPEG/LZW/deflate
+// via libtiff codecs), a handle pool so independent regions decode on
+// independent threads (no GIL, no shared TIFF* state), and batched
+// region reads that feed the TPU feature-extraction pipeline.
+//
+// C ABI (ctypes-friendly):
+//   str_open(path) -> handle | NULL
+//   str_num_levels(h) -> int
+//   str_level_size(h, level, &w, &h)
+//   str_read_region(h, level, x, y, w, ht, out_rgb) -> 0 on success
+//       (x, y are coordinates IN THAT LEVEL; out = w*ht*3 bytes, row-major)
+//   str_read_regions(h, level, xs, ys, n, w, ht, out, nthreads) -> #ok
+//   str_close(h)
+//
+// Build: make -C sequoia_tpu/native
+
+#include <tiffio.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct LevelInfo {
+  int dir;       // TIFF directory index
+  uint32_t w, h;
+};
+
+struct Slide {
+  std::string path;
+  std::vector<LevelInfo> levels;  // sorted by width desc
+  // Pool of per-thread TIFF handles (TIFF* is not thread-safe).
+  std::mutex pool_mu;
+  std::vector<TIFF*> pool;
+
+  TIFF* acquire() {
+    {
+      std::lock_guard<std::mutex> g(pool_mu);
+      if (!pool.empty()) {
+        TIFF* t = pool.back();
+        pool.pop_back();
+        return t;
+      }
+    }
+    return TIFFOpen(path.c_str(), "rm");
+  }
+  void release(TIFF* t) {
+    std::lock_guard<std::mutex> g(pool_mu);
+    pool.push_back(t);
+  }
+  ~Slide() {
+    for (TIFF* t : pool) TIFFClose(t);
+  }
+};
+
+// Copy the intersection of an RGBA tile/strip block with the request window
+// into the RGB output. `raster` is TIFFReadRGBA* output: bottom-up rows.
+void blit_rgba_bottomup(const uint32_t* raster, uint32_t bw, uint32_t bh,
+                        int64_t bx, int64_t by,  // block origin in level coords
+                        int64_t rx, int64_t ry, int64_t rw, int64_t rh,
+                        uint8_t* out) {
+  int64_t x0 = std::max(bx, rx), x1 = std::min<int64_t>(bx + bw, rx + rw);
+  int64_t y0 = std::max(by, ry), y1 = std::min<int64_t>(by + bh, ry + rh);
+  for (int64_t y = y0; y < y1; ++y) {
+    // TIFFReadRGBATile raster row 0 is the BOTTOM row of the block.
+    const uint32_t* src_row = raster + (bh - 1 - (y - by)) * bw;
+    uint8_t* dst = out + ((y - ry) * rw + (x0 - rx)) * 3;
+    for (int64_t x = x0; x < x1; ++x) {
+      uint32_t px = src_row[x - bx];
+      dst[0] = TIFFGetR(px);
+      dst[1] = TIFFGetG(px);
+      dst[2] = TIFFGetB(px);
+      dst += 3;
+    }
+  }
+}
+
+int read_region_with(TIFF* tif, const LevelInfo& lv, int64_t rx, int64_t ry,
+                     int64_t rw, int64_t rh, uint8_t* out) {
+  if (!TIFFSetDirectory(tif, lv.dir)) return -1;
+  std::memset(out, 0, static_cast<size_t>(rw) * rh * 3);
+
+  if (TIFFIsTiled(tif)) {
+    uint32_t tw = 0, th = 0;
+    TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
+    TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
+    if (!tw || !th) return -2;
+    std::vector<uint32_t> raster(static_cast<size_t>(tw) * th);
+    int64_t tx0 = std::max<int64_t>(0, rx / tw) * tw;
+    int64_t ty0 = std::max<int64_t>(0, ry / th) * th;
+    for (int64_t ty = ty0; ty < ry + rh && ty < (int64_t)lv.h; ty += th) {
+      if (ty + (int64_t)th <= ry) continue;
+      for (int64_t tx = tx0; tx < rx + rw && tx < (int64_t)lv.w; tx += tw) {
+        if (tx + (int64_t)tw <= rx) continue;
+        if (!TIFFReadRGBATile(tif, (uint32_t)tx, (uint32_t)ty, raster.data()))
+          continue;  // unreadable tile -> leave zeros (per-tile quarantine)
+        // edge tiles: raster is still tw x th with garbage beyond the edge;
+        // clamp the blit to the level bounds.
+        uint32_t bw = tw, bh = th;
+        blit_rgba_bottomup(raster.data(), bw, bh, tx, ty, rx, ry, rw, rh, out);
+      }
+    }
+    return 0;
+  }
+
+  // Stripped image: decode intersecting strips.
+  uint32_t rows_per_strip = 0;
+  TIFFGetFieldDefaulted(tif, TIFFTAG_ROWSPERSTRIP, &rows_per_strip);
+  if (!rows_per_strip) rows_per_strip = lv.h;
+  std::vector<uint32_t> raster(static_cast<size_t>(lv.w) * rows_per_strip);
+  int64_t s0 = (ry / rows_per_strip) * rows_per_strip;
+  for (int64_t sy = s0; sy < ry + rh && sy < (int64_t)lv.h;
+       sy += rows_per_strip) {
+    uint32_t nrows = std::min<uint32_t>(rows_per_strip, lv.h - (uint32_t)sy);
+    if (!TIFFReadRGBAStrip(tif, (uint32_t)sy, raster.data())) continue;
+    blit_rgba_bottomup(raster.data(), lv.w, nrows, 0, sy, rx, ry, rw, rh, out);
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* str_open(const char* path) {
+  TIFFSetErrorHandler(nullptr);    // quiet: per-tile errors are tolerated
+  TIFFSetWarningHandler(nullptr);
+  TIFF* tif = TIFFOpen(path, "rm");
+  if (!tif) return nullptr;
+  auto* s = new Slide();
+  s->path = path;
+  int dir = 0;
+  do {
+    uint32_t w = 0, h = 0;
+    TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w);
+    TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &h);
+    if (w && h) s->levels.push_back({dir, w, h});
+    ++dir;
+  } while (TIFFReadDirectory(tif));
+  std::sort(s->levels.begin(), s->levels.end(),
+            [](const LevelInfo& a, const LevelInfo& b) { return a.w > b.w; });
+  s->pool.push_back(tif);
+  if (s->levels.empty()) {
+    delete s;
+    return nullptr;
+  }
+  return s;
+}
+
+int str_num_levels(void* handle) {
+  return (int)static_cast<Slide*>(handle)->levels.size();
+}
+
+void str_level_size(void* handle, int level, int* w, int* h) {
+  auto* s = static_cast<Slide*>(handle);
+  if (level < 0 || level >= (int)s->levels.size()) {
+    *w = *h = 0;
+    return;
+  }
+  *w = (int)s->levels[level].w;
+  *h = (int)s->levels[level].h;
+}
+
+int str_read_region(void* handle, int level, int64_t x, int64_t y,
+                    int64_t w, int64_t h, uint8_t* out) {
+  auto* s = static_cast<Slide*>(handle);
+  if (level < 0 || level >= (int)s->levels.size()) return -1;
+  TIFF* tif = s->acquire();
+  if (!tif) return -3;
+  int rc = read_region_with(tif, s->levels[level], x, y, w, h, out);
+  s->release(tif);
+  return rc;
+}
+
+// Batched parallel region decode: n regions of identical (w, h) at level
+// coords (xs[i], ys[i]) -> out[i * w * h * 3].  Returns the number decoded.
+int str_read_regions(void* handle, int level, const int64_t* xs,
+                     const int64_t* ys, int n, int64_t w, int64_t h,
+                     uint8_t* out, int nthreads) {
+  auto* s = static_cast<Slide*>(handle);
+  if (level < 0 || level >= (int)s->levels.size()) return 0;
+  if (nthreads < 1) nthreads = 1;
+  nthreads = std::min(nthreads, n);
+
+  std::atomic<int> next(0), ok(0);
+  auto worker = [&]() {
+    TIFF* tif = s->acquire();
+    if (!tif) return;
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      if (read_region_with(tif, s->levels[level], xs[i], ys[i], w, h,
+                           out + (size_t)i * w * h * 3) == 0)
+        ok.fetch_add(1);
+    }
+    s->release(tif);
+  };
+
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok.load();
+}
+
+void str_close(void* handle) { delete static_cast<Slide*>(handle); }
+
+// Copy the level-0 ImageDescription (Aperio SVS metadata like
+// "...|AppMag = 40|...") into `buf`; returns the string length or 0.
+int str_description(void* handle, char* buf, int buflen) {
+  auto* s = static_cast<Slide*>(handle);
+  TIFF* tif = s->acquire();
+  if (!tif) return 0;
+  int out = 0;
+  if (TIFFSetDirectory(tif, s->levels[0].dir)) {
+    char* desc = nullptr;
+    if (TIFFGetField(tif, TIFFTAG_IMAGEDESCRIPTION, &desc) && desc) {
+      out = (int)std::min<size_t>(std::strlen(desc), (size_t)buflen - 1);
+      std::memcpy(buf, desc, out);
+      buf[out] = 0;
+    }
+  }
+  s->release(tif);
+  return out;
+}
+
+// Test helper: write `levels` RGB images as a tiled multi-directory TIFF
+// (tile size tw x th).  Lets the test suite exercise the tiled decode path
+// without an external tiled-TIFF producer.
+int str_write_tiled(const char* path, const uint8_t* const* bufs,
+                    const int64_t* ws, const int64_t* hs, int n_levels,
+                    int tw, int th) {
+  TIFF* tif = TIFFOpen(path, "w");
+  if (!tif) return -1;
+  std::vector<uint8_t> tile((size_t)tw * th * 3);
+  for (int lv = 0; lv < n_levels; ++lv) {
+    int64_t w = ws[lv], h = hs[lv];
+    TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, (uint32_t)w);
+    TIFFSetField(tif, TIFFTAG_IMAGELENGTH, (uint32_t)h);
+    TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
+    TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+    TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
+    TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+    TIFFSetField(tif, TIFFTAG_TILEWIDTH, (uint32_t)tw);
+    TIFFSetField(tif, TIFFTAG_TILELENGTH, (uint32_t)th);
+    for (int64_t ty = 0; ty < h; ty += th) {
+      for (int64_t tx = 0; tx < w; tx += tw) {
+        std::memset(tile.data(), 0, tile.size());
+        for (int64_t y = ty; y < std::min<int64_t>(ty + th, h); ++y) {
+          const uint8_t* src = bufs[lv] + (y * w + tx) * 3;
+          int64_t ncols = std::min<int64_t>(tw, w - tx);
+          std::memcpy(tile.data() + (y - ty) * tw * 3, src, ncols * 3);
+        }
+        if (TIFFWriteTile(tif, tile.data(), (uint32_t)tx, (uint32_t)ty, 0,
+                          0) < 0) {
+          TIFFClose(tif);
+          return -2;
+        }
+      }
+    }
+    if (!TIFFWriteDirectory(tif)) {
+      TIFFClose(tif);
+      return -3;
+    }
+  }
+  TIFFClose(tif);
+  return 0;
+}
+
+}  // extern "C"

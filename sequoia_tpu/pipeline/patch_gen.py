@@ -120,6 +120,20 @@ def extract_patches(slide_path, patches_output_dir: str, mask_path: str,
             pend_imgs.clear()
             pend_xy.clear()
 
+        from sequoia_tpu.data.wsi import read_regions
+
+        pend_coords: list[tuple[int, int]] = []
+
+        def decode_and_flush():
+            nonlocal pend_imgs, pend_xy
+            if pend_coords:
+                # parallel decode (native thread pool when available)
+                imgs = read_regions(slide, pend_coords, 0, psr)
+                pend_imgs = list(imgs)
+                pend_xy = list(pend_coords)
+                pend_coords.clear()
+            flush()
+
         for x, y in indices:
             if n_written >= max_patches_per_slide:
                 break
@@ -128,12 +142,10 @@ def extract_patches(slide_path, patches_output_dir: str, mask_path: str,
                 continue
             if not mask[x_mask, y_mask]:
                 continue
-            patch = slide.read_region((x, y), 0, psr)
-            pend_imgs.append(patch)
-            pend_xy.append((x, y))
-            if len(pend_imgs) == screen_batch:
-                flush()
-        flush()
+            pend_coords.append((x, y))
+            if len(pend_coords) == screen_batch:
+                decode_and_flush()
+        decode_and_flush()
 
     if n_written == 0:
         if verbose:

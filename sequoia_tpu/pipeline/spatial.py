@@ -64,18 +64,29 @@ def build_valid_tiles(mask_xy: np.ndarray, slide_dims: tuple[int, int],
 
 
 def featurize_tiles(slide, df: pd.DataFrame, patch_size_resized: int,
-                    extractor, resize_to: int | None = None) -> np.ndarray:
-    """Read + featurize every valid tile ONCE -> (n_tiles, D)."""
+                    extractor, resize_to: int | None = None,
+                    decode_chunk: int = 512) -> np.ndarray:
+    """Read + featurize every valid tile ONCE -> (n_tiles, D).
+
+    Decodes in parallel chunks (native thread pool when available) and
+    streams them through the batched extractor.
+    """
     from PIL import Image
 
-    tiles = []
-    for _, row in df.iterrows():
-        patch = slide.read_region((int(row["xcoord"]), int(row["ycoord"])), 0,
-                                  (patch_size_resized, patch_size_resized))
-        if resize_to and patch.shape[0] != resize_to:
-            patch = np.asarray(Image.fromarray(patch).resize((resize_to, resize_to)))
-        tiles.append(patch)
-    return extractor(np.stack(tiles))
+    from sequoia_tpu.data.wsi import read_regions
+
+    coords = [(int(r["xcoord"]), int(r["ycoord"])) for _, r in df.iterrows()]
+    feats = []
+    for start in range(0, len(coords), decode_chunk):
+        chunk = coords[start:start + decode_chunk]
+        tiles = read_regions(slide, chunk, 0,
+                             (patch_size_resized, patch_size_resized))
+        if resize_to and tiles.shape[1] != resize_to:
+            tiles = np.stack([
+                np.asarray(Image.fromarray(t).resize((resize_to, resize_to)))
+                for t in tiles])
+        feats.append(extractor(tiles))
+    return np.concatenate(feats, axis=0)
 
 
 def sliding_window_predict(tile_feats: np.ndarray, df: pd.DataFrame,

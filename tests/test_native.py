@@ -1,0 +1,84 @@
+"""Native C++ tile reader tests (skipped when the toolchain/libtiff is
+unavailable)."""
+
+import numpy as np
+import pytest
+
+native = pytest.importorskip("sequoia_tpu.native")
+if not native.available():
+    pytest.skip("native library not built", allow_module_level=True)
+
+
+@pytest.fixture()
+def tiled_pyramid(tmp_path):
+    rng = np.random.default_rng(0)
+    lv0 = rng.integers(0, 255, size=(300, 400, 3), dtype=np.uint8)
+    lv1 = lv0[::4, ::4].copy()
+    path = str(tmp_path / "pyr_tiled.tiff")
+    native.write_tiled_tiff(path, [lv0, lv1], tile=(64, 64))
+    return path, lv0, lv1
+
+
+def test_tiled_read_region(tiled_pyramid):
+    path, lv0, lv1 = tiled_pyramid
+    r = native.NativeTiffReader(path)
+    assert r.level_dimensions == [(400, 300), (100, 75)]
+    # unaligned region spanning multiple tiles
+    reg = r.read_region((37, 99), 0, (150, 80))
+    np.testing.assert_array_equal(reg, lv0[99:179, 37:187])
+    # level-1 region with level-0 coordinates
+    reg1 = r.read_region((40, 100), 1, (20, 10))
+    np.testing.assert_array_equal(reg1, lv1[25:35, 10:30])
+    # out-of-bounds tail zero-padded
+    reg2 = r.read_region((392, 296), 0, (16, 16))
+    np.testing.assert_array_equal(reg2[:4, :8], lv0[296:300, 392:400])
+    assert (reg2[4:] == 0).all() and (reg2[:, 8:] == 0).all()
+
+
+def test_batched_parallel_reads(tiled_pyramid):
+    path, lv0, _ = tiled_pyramid
+    r = native.NativeTiffReader(path)
+    rng = np.random.default_rng(1)
+    locs = [(int(x), int(y)) for x, y in
+            zip(rng.integers(0, 336, 40), rng.integers(0, 236, 40))]
+    batch = r.read_regions(locs, 0, (64, 64), nthreads=8)
+    assert batch.shape == (40, 64, 64, 3)
+    for i, (x, y) in enumerate(locs):
+        np.testing.assert_array_equal(batch[i], lv0[y:y + 64, x:x + 64])
+
+
+def test_strip_tiff_via_pil(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    lv0 = rng.integers(0, 255, size=(120, 160, 3), dtype=np.uint8)
+    p = str(tmp_path / "strips.tiff")
+    Image.fromarray(lv0).save(p)
+    r = native.NativeTiffReader(p)
+    reg = r.read_region((10, 20), 0, (32, 16))
+    np.testing.assert_array_equal(reg, lv0[20:36, 10:42])
+
+
+def test_open_slide_prefers_native(tiled_pyramid):
+    from sequoia_tpu.data import wsi
+
+    path, lv0, _ = tiled_pyramid
+    r = wsi.open_slide(path)
+    assert isinstance(r, native.NativeTiffReader)
+    batch = wsi.read_regions(r, [(0, 0), (64, 64)], 0, (32, 32))
+    np.testing.assert_array_equal(batch[1], lv0[64:96, 64:96])
+
+
+def test_patch_gen_with_native_reader(tmp_path):
+    """Full tiling stage through the native decoder."""
+    from sequoia_tpu.pipeline import patch_gen
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    arr = synthetic_wsi()
+    path = str(tmp_path / "synth_tiled.tiff")
+    native.write_tiled_tiff(path, [arr.levels[0], arr.levels[1]], tile=(128, 128))
+
+    n = patch_gen.extract_patches(path, str(tmp_path / "p"), str(tmp_path / "m"),
+                                  "NATIVE-1", (64, 64),
+                                  max_patches_per_slide=30, verbose=False)
+    assert n > 10
