@@ -53,3 +53,41 @@ def patient_split(patient_ids, random_state: int = 0):
     return (indices[np.isin(patient_ids, patients_train)],
             indices[np.isin(patient_ids, patients_val)],
             indices[np.isin(patient_ids, patients_test)])
+
+
+def match_patient_split(patient_ids, split):
+    """Recover row indices from a saved (train, valid, test) patient-id
+    triple (reference ``match_patient_split``)."""
+    patient_ids = np.asarray(patient_ids)
+    indices = np.arange(len(patient_ids))
+    train_patients, valid_patients, test_patients = split
+    return (indices[np.isin(patient_ids, train_patients)],
+            indices[np.isin(patient_ids, valid_patients)],
+            indices[np.isin(patient_ids, test_patients)])
+
+
+def match_patient_kfold(patient_ids, splits):
+    """Recover per-fold row indices from saved patient-id triples
+    (reference ``match_patient_kfold``) — the path used with the shipped
+    ``patient_splits.zip`` artifacts."""
+    patient_ids = np.asarray(patient_ids)
+    indices = np.arange(len(patient_ids))
+    train_idx, valid_idx, test_idx = [], [], []
+    for train_patients, valid_patients, test_patients in splits:
+        train_idx.append(indices[np.isin(patient_ids, train_patients)])
+        valid_idx.append(indices[np.isin(patient_ids, valid_patients)])
+        test_idx.append(indices[np.isin(patient_ids, test_patients)])
+    return train_idx, valid_idx, test_idx
+
+
+def load_shipped_patient_splits(path):
+    """Load a reference ``TCGA-{CANCER}.npy`` split artifact (dict
+    ``fold_i -> {train, val, test}`` patient-id arrays, from the reference's
+    ``patient_splits.zip``) into match_patient_kfold's input format."""
+    obj = np.load(path, allow_pickle=True).item()
+    splits = []
+    for i in range(len(obj)):
+        fold = obj[f"fold_{i}"] if f"fold_{i}" in obj else obj[i]
+        splits.append((np.asarray(fold["train"]), np.asarray(fold["val"]),
+                       np.asarray(fold["test"])))
+    return splits

@@ -192,3 +192,73 @@ def random_params(key, dtype=jnp.float32) -> Params:
             cin = cout
         params[f"layer{s + 1}"] = layer
     return params
+
+
+# ---------------------------------------------------------------------------
+# Variants (reference src/resnet.py RNfour / RNone / ResNetProject — unused
+# by the main pipeline but part of the API surface)
+# ---------------------------------------------------------------------------
+
+def random_params_channels(key, in_channels: int, dtype=jnp.float32) -> Params:
+    """ResNet-50 with a non-RGB stem (4-channel fluorescence / 1-channel
+    grayscale variants)."""
+    params = random_params(key, dtype)
+    kh, kw, _, cout = params["conv1"].shape
+    fan_in = kh * kw * in_channels
+    params["conv1"] = (jax.random.normal(key, (kh, kw, in_channels, cout), dtype)
+                       * np.sqrt(2.0 / fan_in))
+    return params
+
+
+def resnet50_4channel(key=None, sd=None) -> Params:
+    """4-channel-input ResNet-50 (reference ``RNfour``)."""
+    if sd is not None:
+        return resnet50_from_torch(sd)
+    return random_params_channels(key, 4)
+
+
+def resnet50_1channel(key=None, sd=None) -> Params:
+    """1-channel-input ResNet-50 (reference ``RNone``)."""
+    if sd is not None:
+        return resnet50_from_torch(sd)
+    return random_params_channels(key, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetProjectConfig:
+    """Reference ``ResNetProject``: backbone embedding -> Linear(hdim) ->
+    tanh -> dropout -> Linear(1)."""
+
+    hdim: int = 200
+    input_dim: int = 2048
+    dropout: float = 0.3
+    compute_dtype: Any = jnp.float32
+
+
+def resnet_project_init(cfg: ResNetProjectConfig, key) -> Params:
+    from sequoia_tpu.utils import torch_init
+
+    k1, k2 = jax.random.split(key)
+    pw, pb = torch_init.linear_params(k1, cfg.input_dim, cfg.hdim)
+    fw, fb = torch_init.linear_params(k2, cfg.hdim, 1)
+    return {"project_w": pw, "project_b": pb, "fc_w": fw, "fc_b": fb}
+
+
+def resnet_project_extract(cfg: ResNetProjectConfig, proj_params: Params,
+                           backbone_params: Params, images: jax.Array, *,
+                           train: bool = False, rng=None) -> jax.Array:
+    feats = forward_extract(ResNetConfig(cfg.compute_dtype), backbone_params,
+                            images)
+    x = jnp.tanh(feats @ proj_params["project_w"] + proj_params["project_b"])
+    if train and cfg.dropout > 0:
+        keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, x.shape)
+        x = jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
+    return x
+
+
+def resnet_project_forward(cfg: ResNetProjectConfig, proj_params: Params,
+                           backbone_params: Params, images: jax.Array, *,
+                           train: bool = False, rng=None) -> jax.Array:
+    x = resnet_project_extract(cfg, proj_params, backbone_params, images,
+                               train=train, rng=rng)
+    return x @ proj_params["fc_w"] + proj_params["fc_b"]

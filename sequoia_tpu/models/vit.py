@@ -124,3 +124,18 @@ def replace_head(cfg: ViTConfig, params: Params, num_outputs: int,
     new["head_ln_bias"] = jnp.zeros((d,), head_w.dtype)
     new["head_w"], new["head_b"] = head_w, head_b
     return dataclasses.replace(cfg, num_outputs=num_outputs), new
+
+
+def posemb_sincos_2d(h: int, w: int, dim: int, temperature: float = 10000.0,
+                     dtype=jnp.float32) -> jax.Array:
+    """2-D sin/cos positional embedding (reference ``src/vit.py``
+    posemb_sincos_2d — present in the reference API, unused by its pipeline).
+    Returns (h*w, dim)."""
+    assert dim % 4 == 0, "feature dimension must be multiple of 4 for sincos emb"
+    y, x = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    omega = jnp.arange(dim // 4) / (dim // 4 - 1)
+    omega = 1.0 / (temperature ** omega)
+    y = y.reshape(-1)[:, None] * omega[None, :]
+    x = x.reshape(-1)[:, None] * omega[None, :]
+    pe = jnp.concatenate([jnp.sin(x), jnp.cos(x), jnp.sin(y), jnp.cos(y)], axis=1)
+    return pe.astype(dtype)

@@ -113,3 +113,48 @@ def load_hf_vis_state_dict(repo_or_path: str) -> dict[str, np.ndarray]:
 
         return dict(load_file(st))
     return load_torch_checkpoint(os.path.join(path, "pytorch_model.bin"))
+
+
+# ---------------------------------------------------------------------------
+# Full training-state checkpoint/resume (params + optimizer + loop counters)
+# — an addition over the reference, which only saved best-model weights
+# (SURVEY.md section 5 checkpoint/resume).
+# ---------------------------------------------------------------------------
+
+def save_train_state(path: str, params, opt_state, meta: dict) -> None:
+    """Atomic save of a full training state: pytrees as npz leaves + pickled
+    treedefs + JSON-able loop counters."""
+    import jax
+
+    leaves_p, tree_p = jax.tree_util.tree_flatten(params)
+    leaves_o, tree_o = jax.tree_util.tree_flatten(opt_state)
+    payload = {f"p{i}": np.asarray(x) for i, x in enumerate(leaves_p)}
+    payload.update({f"o{i}": np.asarray(x) for i, x in enumerate(leaves_o)})
+    blob = {
+        "treedef_p": pickle.dumps(tree_p),
+        "treedef_o": pickle.dumps(tree_o),
+        "meta": meta,
+        "n_p": len(leaves_p),
+        "n_o": len(leaves_o),
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, __blob__=np.frombuffer(pickle.dumps(blob), np.uint8),
+                 **payload)
+    os.replace(tmp, path)
+
+
+def load_train_state(path: str):
+    """Returns (params, opt_state, meta) saved by ``save_train_state``."""
+    import jax
+
+    with np.load(path, allow_pickle=False) as z:
+        blob = pickle.loads(z["__blob__"].tobytes())
+        leaves_p = [z[f"p{i}"] for i in range(blob["n_p"])]
+        leaves_o = [z[f"o{i}"] for i in range(blob["n_o"])]
+    params = jax.tree_util.tree_unflatten(pickle.loads(blob["treedef_p"]),
+                                          leaves_p)
+    opt_state = jax.tree_util.tree_unflatten(pickle.loads(blob["treedef_o"]),
+                                             leaves_o)
+    return params, opt_state, blob["meta"]

@@ -88,13 +88,20 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
           num_epochs: int = 200, patience: int = 20, delta: float = 0.5,
           save_on: str = "loss", stop_on: str = "loss",
           phases=("train", "val"), save_fn: Callable | None = None,
-          log_fn: Callable | None = None, verbose: bool = True) -> TrainResult:
+          log_fn: Callable | None = None, verbose: bool = True,
+          state_path: str | None = None) -> TrainResult:
     """Reference ``vit.train`` semantics over jitted steps.
 
     ``save_fn(params)`` is invoked whenever the reference would have written
     ``model_best_{split}.pt``; the returned ``TrainResult.params`` are the
     last-saved (best) parameters.
+
+    ``state_path`` enables full resume (params + optimizer + early-stop
+    counters are checkpointed after every epoch and restored on restart) —
+    an addition over the reference's best-weights-only saves.
     """
+    from sequoia_tpu.train import checkpoint as ckpt_io
+
     train_step, eval_step = make_step_fns(apply_fn, optimizer)
     opt_state = optimizer.init(params)
 
@@ -107,6 +114,23 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
     epoch_since_ok_loss = 0
     early_stop_on_loss_triggered = 0
     history: list[dict] = []
+    start_epoch = 0
+
+    import os
+    if state_path and os.path.exists(state_path):
+        packed, opt_state, meta = ckpt_io.load_train_state(state_path)
+        params, best_params = packed["params"], packed["best"]
+        (start_epoch, best_loss, best_score, best_epoch, epoch_since_best,
+         epoch_since_best_score, epoch_since_ok_loss,
+         early_stop_on_loss_triggered) = (
+            meta["epoch"] + 1, meta["best_loss"], meta["best_score"],
+            meta["best_epoch"], meta["epoch_since_best"],
+            meta["epoch_since_best_score"], meta["epoch_since_ok_loss"],
+            meta["early_stop_on_loss_triggered"])
+        history = meta.get("history", [])
+        if verbose:
+            print(f"resumed training state from {state_path} at epoch "
+                  f"{start_epoch}")
 
     def save(p, epoch):
         nonlocal best_params, best_epoch
@@ -115,7 +139,7 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
         if save_fn is not None:
             save_fn(best_params)
 
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         epoch_metrics: dict[str, dict[str, float]] = {}
         for phase in phases:
             accum: list[dict] = []
@@ -172,6 +196,20 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
                     epoch_since_best_score += 1
 
         history.append(epoch_metrics)
+
+        if state_path:
+            ckpt_io.save_train_state(
+                state_path,
+                {"params": jax.tree.map(np.asarray, params),
+                 "best": best_params},
+                jax.tree.map(np.asarray, opt_state),
+                {"epoch": epoch, "best_loss": float(best_loss),
+                 "best_score": float(best_score), "best_epoch": best_epoch,
+                 "epoch_since_best": epoch_since_best,
+                 "epoch_since_best_score": epoch_since_best_score,
+                 "epoch_since_ok_loss": epoch_since_ok_loss,
+                 "early_stop_on_loss_triggered": early_stop_on_loss_triggered,
+                 "history": history})
 
         if epoch_since_best == patience:
             early_stop_on_loss_triggered = 1

@@ -149,3 +149,48 @@ def test_stats_match_reference_formulas():
     want_sm = 100 / 6 * np.sum(2 * np.abs(pred - real) /
                                (np.abs(real) + np.abs(pred)))
     assert abs(sm - want_sm) < 1e-3
+
+
+def test_train_state_resume(tmp_path):
+    df = make_store(str(tmp_path / "f"), n_slides=8, n_genes=3, dim=8)
+    d = ds.FeatureDataset(df, str(tmp_path / "f"))
+    cfg = vis.ViSConfig(num_outputs=3, input_dim=8, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    apply_fn = lambda p, x: vis.apply(cfg, p, x)
+    state = str(tmp_path / "state.npz")
+
+    def loaders():
+        return {"train": ds.BatchLoader(d, 4, shuffle=True, seed=0),
+                "val": ds.BatchLoader(d, 4)}
+
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+    r1 = loop.train(apply_fn, params, loop.make_adamw(1e-3), loaders(),
+                    num_epochs=3, verbose=False, state_path=state)
+    assert os.path.exists(state)
+    assert len(r1.history) == 3
+
+    # resume continues from epoch 3 and runs exactly 2 more
+    params2 = vis.init(cfg, jax.random.PRNGKey(0))
+    r2 = loop.train(apply_fn, params2, loop.make_adamw(1e-3), loaders(),
+                    num_epochs=5, verbose=False, state_path=state)
+    assert len(r2.history) == 5
+    # loss keeps decreasing across the resume boundary
+    assert r2.history[-1]["val"]["loss"] < r1.history[0]["val"]["loss"]
+
+
+def test_save_load_train_state_roundtrip(tmp_path):
+    from sequoia_tpu.train import checkpoint as ck
+    import optax
+
+    params = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+              "b": [np.ones(4, np.float32)]}
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+    path = str(tmp_path / "s.npz")
+    ck.save_train_state(path, params, opt_state, {"epoch": 7, "best_loss": 0.5})
+    p2, o2, meta = ck.load_train_state(path)
+    assert meta["epoch"] == 7
+    np.testing.assert_array_equal(p2["a"], params["a"])
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                            np.asarray(b)),
+                 opt_state, o2)

@@ -1,0 +1,108 @@
+"""Generate synthetic example data in the reference's input schema.
+
+Produces ``examples/ref_file.csv`` (``wsi_file_name, patient_id,
+rna_{GENE}..., tcga_project`` — the reference's input contract),
+``examples/gene_list.csv``, and optionally a ready-made feature store
+(cluster_features h5 tree) plus synthetic pyramidal WSIs, so every stage of
+the pipeline can be exercised without TCGA access.
+
+Usage:
+    python tools/make_example_data.py --out examples --n_slides 5 \
+        --n_genes 200 [--features] [--wsis]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def gene_names(n: int) -> list[str]:
+    return [f"GENE{i:05d}" for i in range(n)]
+
+
+def make_ref_file(out: str, n_slides: int, n_genes: int, project: str,
+                  seed: int = 0) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    genes = gene_names(n_genes)
+    rows = []
+    for i in range(n_slides):
+        row = {
+            "wsi_file_name": f"SYNTH-{project.split('-')[-1]}-{i:04d}.svs",
+            "patient_id": f"SYNTH-PAT-{i // 2:04d}",
+        }
+        base = rng.normal(size=n_genes) * 2 + 8
+        for g, v in zip(genes, base):
+            row[f"rna_{g}"] = round(float(np.maximum(v, 0)), 4)
+        row["tcga_project"] = project
+        rows.append(row)
+    df = pd.DataFrame(rows)
+    os.makedirs(out, exist_ok=True)
+    df.to_csv(os.path.join(out, "ref_file.csv"), index=False)
+    pd.DataFrame({"gene_name": genes}).to_csv(
+        os.path.join(out, "gene_list.csv"), index=False)
+    return df
+
+
+def make_feature_store(out: str, df: pd.DataFrame, dim: int = 2048,
+                       tokens: int = 100, n_patches: int = 500,
+                       seed: int = 0) -> None:
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    for _, row in df.iterrows():
+        wsi = row["wsi_file_name"].replace(".svs", "")
+        d = os.path.join(out, "features", row["tcga_project"], wsi)
+        os.makedirs(d, exist_ok=True)
+        with h5py.File(os.path.join(d, wsi + ".h5"), "w") as f:
+            f.create_dataset("resnet_features",
+                             data=rng.normal(size=(n_patches, dim)).astype(np.float32))
+            f.create_dataset("cluster_features",
+                             data=rng.normal(size=(tokens, dim)).astype(np.float32))
+
+
+def make_wsis(out: str, df: pd.DataFrame, seed: int = 0) -> None:
+    from tests.test_pipeline_e2e import synthetic_wsi  # reuse the generator
+    from sequoia_tpu import native
+
+    os.makedirs(os.path.join(out, "HE"), exist_ok=True)
+    for i, (_, row) in enumerate(df.iterrows()):
+        slide = synthetic_wsi(seed=seed + i)
+        stem = row["wsi_file_name"].replace(".svs", "")
+        path = os.path.join(out, "HE", stem + ".tiff")
+        if native.available():
+            native.write_tiled_tiff(path, slide.levels, tile=(128, 128))
+        else:
+            from PIL import Image
+
+            Image.fromarray(slide.levels[0]).save(
+                path, save_all=True,
+                append_images=[Image.fromarray(lv) for lv in slide.levels[1:]])
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", type=str, default="examples")
+    p.add_argument("--n_slides", type=int, default=5)
+    p.add_argument("--n_genes", type=int, default=200)
+    p.add_argument("--project", type=str, default="TCGA-SYNT")
+    p.add_argument("--features", action="store_true",
+                   help="also write a synthetic feature store")
+    p.add_argument("--wsis", action="store_true",
+                   help="also write synthetic pyramidal WSIs")
+    p.add_argument("--feature_dim", type=int, default=2048)
+    args = p.parse_args()
+
+    df = make_ref_file(args.out, args.n_slides, args.n_genes, args.project)
+    if args.features:
+        make_feature_store(args.out, df, dim=args.feature_dim)
+    if args.wsis:
+        make_wsis(args.out, df)
+    print(f"wrote {args.out}/ref_file.csv ({len(df)} slides, "
+          f"{args.n_genes} genes)")
