@@ -66,10 +66,21 @@ def _plusplus_init(key, x, mask, k: int):
     return centers
 
 
-def _lloyd(x, mask, centers, max_iter: int, tol_abs):
+def _pallas_tile_n(n: int) -> int | None:
+    for t in (512, 256, 128):
+        if n % t == 0:
+            return t
+    return None
+
+
+def _lloyd(x, mask, centers, max_iter: int, tol_abs, use_pallas: bool = False,
+           pallas_interpret: bool = False):
     n, d = x.shape
     k = centers.shape[0]
     maskf = mask.astype(x.dtype)
+
+    tile_n = _pallas_tile_n(n) if use_pallas else None
+    use_pallas = use_pallas and tile_n is not None
 
     def assign(centers):
         d2 = _pairwise_sq_dist(x, centers)
@@ -77,16 +88,29 @@ def _lloyd(x, mask, centers, max_iter: int, tol_abs):
         best = jnp.min(d2, axis=1)
         return labels, jnp.where(mask, best, 0.0)
 
-    def step(state):
-        centers, _, it, _ = state
+    def stats(centers):
+        """(sums (k,D), counts (k,), best (N,)) for the current assignment."""
+        if use_pallas:
+            from sequoia_tpu.ops import pallas_kmeans
+
+            kpad = ((k + 127) // 128) * 128
+            cpad = jnp.pad(centers, ((0, kpad - k), (0, 0)),
+                           constant_values=1e8)  # sentinels never win argmin
+            sums, counts, _, best = pallas_kmeans.lloyd_stats(
+                x, mask, cpad, tile_n=tile_n, interpret=pallas_interpret)
+            return sums[:k], counts[:k], best
         labels, best = assign(centers)
         onehot = (labels[:, None] == jnp.arange(k)[None, :]).astype(x.dtype)
         onehot = onehot * maskf[:, None]
-        counts = jnp.sum(onehot, axis=0)  # (k,)
         prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
                 else jax.lax.Precision.DEFAULT)
         sums = jnp.dot(onehot.T, x, precision=prec,
                        preferred_element_type=jnp.float32)
+        return sums, jnp.sum(onehot, axis=0), best
+
+    def step(state):
+        centers, _, it, _ = state
+        sums, counts, best = stats(centers)
         new_centers = jnp.where(counts[:, None] > 0,
                                 sums / jnp.maximum(counts[:, None], 1.0),
                                 centers)
@@ -112,13 +136,18 @@ def _lloyd(x, mask, centers, max_iter: int, tol_abs):
     return centers, labels, inertia, n_iter
 
 
-@partial(jax.jit, static_argnames=("n_clusters", "max_iter"))
+@partial(jax.jit, static_argnames=("n_clusters", "max_iter", "use_pallas",
+                                   "pallas_interpret"))
 def kmeans_fit(x: jax.Array, mask: jax.Array, key: jax.Array,
-               n_clusters: int = 100, max_iter: int = 300, tol: float = 1e-4):
+               n_clusters: int = 100, max_iter: int = 300, tol: float = 1e-4,
+               use_pallas: bool = False, pallas_interpret: bool = False):
     """One slide: x (N, D) f32 padded, mask (N,) bool.
 
     Returns (centers (k,D), labels (N,) — garbage on masked rows, inertia,
     n_iter).  vmap over a leading slide axis for multi-slide batches.
+
+    ``use_pallas=True`` runs the Lloyd inner step through the fused Pallas
+    kernel (ops/pallas_kmeans.py) when shapes allow; identical math.
     """
     maskf = mask.astype(x.dtype)
     n_valid = jnp.maximum(jnp.sum(maskf), 1.0)
@@ -127,7 +156,8 @@ def kmeans_fit(x: jax.Array, mask: jax.Array, key: jax.Array,
     tol_abs = tol * jnp.mean(var)  # sklearn's relative tolerance
 
     centers = _plusplus_init(key, x, mask, n_clusters)
-    return _lloyd(x, mask, centers, max_iter, tol_abs)
+    return _lloyd(x, mask, centers, max_iter, tol_abs, use_pallas,
+                  pallas_interpret)
 
 
 @partial(jax.jit, static_argnames=("n_clusters",))
