@@ -54,14 +54,58 @@ def cluster_features_for(features: np.ndarray, n_clusters: int, seed: int,
     return np.asarray(km.cluster_means(xj, labels, mj, n_clusters=n_clusters))
 
 
+def _write_cluster_features(path: str, means: np.ndarray) -> bool:
+    try:
+        with h5py.File(path, "r+") as f:
+            if "cluster_features" in f:
+                return False
+            f.create_dataset("cluster_features", data=means)
+        return True
+    except OSError as e:
+        print(f"Error writing cluster_features to {path}: {e}")
+        return False
+
+
 def run_kmeans(df, feature_path: str, *, num_clusters: int = 100,
                feat_name: str = "resnet_features", seed: int = 0,
                backend: str = "tpu", gtex_tissue: str | None = None,
+               group_size: int = 8, use_pallas: bool = False,
                verbose: bool = True) -> int:
     """Append ``cluster_features`` for every slide in the ref file.
-    Returns the number of slides clustered."""
+
+    backend='tpu' batches up to ``group_size`` slides of the same padded
+    shape bucket through a single vmapped kmeans fit per launch; 'sklearn'
+    runs the exact reference implementation per slide on host.
+    Returns the number of slides clustered.
+    """
     df = df.drop_duplicates(["wsi_file_name"])
     done = 0
+    pending: dict[int, list[tuple[str, np.ndarray, int]]] = {}
+
+    vfit = jax.vmap(lambda x, m, k: km.kmeans_fit(
+        x, m, k, n_clusters=num_clusters, use_pallas=use_pallas))
+    vmeans = jax.vmap(lambda x, l, m: km.cluster_means(
+        x, l, m, n_clusters=num_clusters))
+
+    def flush_bucket(nb: int) -> int:
+        group = pending.pop(nb, [])
+        if not group:
+            return 0
+        d = group[0][1].shape[1]
+        xs = np.zeros((len(group), nb, d), np.float32)
+        masks = np.zeros((len(group), nb), bool)
+        for i, (_, feats, n) in enumerate(group):
+            xs[i, :n] = feats
+            masks[i, :n] = True
+        xj, mj = jnp.asarray(xs), jnp.asarray(masks)
+        keys = jnp.stack([jax.random.PRNGKey(seed)] * len(group))
+        _, labels, _, _ = vfit(xj, mj, keys)
+        means = np.asarray(vmeans(xj, labels, mj))
+        wrote = 0
+        for i, (path, _, _) in enumerate(group):
+            wrote += int(_write_cluster_features(path, means[i]))
+        return wrote
+
     for _, row in df.iterrows():
         wsi = str(row["wsi_file_name"])
         if gtex_tissue is not None:
@@ -72,30 +116,34 @@ def run_kmeans(df, feature_path: str, *, num_clusters: int = 100,
 
         path = os.path.join(feature_path, str(project), wsi, wsi + ".h5")
         try:
-            f = h5py.File(path, "r+")
+            with h5py.File(path, "r") as f:
+                if feat_name not in f:
+                    if verbose:
+                        print(f"No {feat_name} for {path}")
+                    continue
+                if f[feat_name].shape[0] < num_clusters:
+                    if verbose:
+                        print(f"{wsi} less number of patches than clusters")
+                    continue
+                if "cluster_features" in f.keys():
+                    if verbose:
+                        print(f"{wsi}: Cluster feature already available")
+                    continue
+                features = np.asarray(f[feat_name][:], np.float32)
         except OSError:
             print(f"Cannot open file {path}")
             continue
-        try:
-            if feat_name not in f:
-                if verbose:
-                    print(f"No {feat_name} for {path}")
-                continue
-            features = f[feat_name]
-            if features.shape[0] < num_clusters:
-                if verbose:
-                    print(f"{wsi} less number of patches than clusters")
-                continue
-            if "cluster_features" in f.keys():
-                if verbose:
-                    print(f"{wsi}: Cluster feature already available")
-                continue
-            means = cluster_features_for(np.asarray(features[:], np.float32),
-                                         num_clusters, seed, backend)
-            f.create_dataset("cluster_features", data=means)
-            done += 1
-        except Exception as e:
-            print(f"{wsi}: Error in creating cluster_features: {e}")
-        finally:
-            f.close()
+
+        if backend == "sklearn":
+            means = cluster_features_for(features, num_clusters, seed, backend)
+            done += int(_write_cluster_features(path, means))
+            continue
+
+        nb = _bucket(features.shape[0])
+        pending.setdefault(nb, []).append((path, features, features.shape[0]))
+        if len(pending[nb]) == group_size:
+            done += flush_bucket(nb)
+
+    for nb in list(pending):
+        done += flush_bucket(nb)
     return done

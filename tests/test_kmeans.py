@@ -95,3 +95,38 @@ def test_kmeans_vmap_over_slides():
     centers, labels, inertia, _ = fit(jnp.asarray(xs), masks, keys)
     assert centers.shape == (4, 8, 16)
     assert np.all(np.isfinite(np.asarray(inertia)))
+
+
+def test_run_kmeans_grouped_batching(tmp_path):
+    """Multiple same-bucket slides go through one vmapped fit and all get
+    correct cluster_features."""
+    import os
+    import h5py
+    import pandas as pd
+    from sequoia_tpu.pipeline import kmeans_stage
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(5):
+        wsi = f"s{i}"
+        d = tmp_path / "TCGA-X" / wsi
+        os.makedirs(d)
+        n = 200 + 17 * i  # same bucket (256) for i<4, bucket 512 for i=4? 268<512
+        feats = blobs(n=n, d=16, k=6, seed=i)
+        with h5py.File(d / f"{wsi}.h5", "w") as f:
+            f.create_dataset("resnet_features", data=feats)
+        rows.append({"wsi_file_name": wsi, "patient_id": f"P{i}",
+                     "tcga_project": "TCGA-X", "rna_A": 1.0})
+    df = pd.DataFrame(rows)
+    done = kmeans_stage.run_kmeans(df, str(tmp_path), num_clusters=6,
+                                   group_size=3, verbose=False)
+    assert done == 5
+    for i in range(5):
+        with h5py.File(tmp_path / "TCGA-X" / f"s{i}" / f"s{i}.h5", "r") as f:
+            cf = f["cluster_features"][:]
+        assert cf.shape == (6, 16) and np.isfinite(cf).all()
+        # cluster means must be near the 6 blob centers (tight blobs)
+        feats = blobs(n=200 + 17 * i, d=16, k=6, seed=i)
+        # each cluster mean should be close to at least one data point
+        dmin = np.min(np.linalg.norm(cf[:, None] - feats[None], axis=2), axis=1)
+        assert (dmin < 0.5).all()
