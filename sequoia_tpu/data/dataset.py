@@ -191,3 +191,49 @@ class BatchLoader:
                 pend_feats, pend_rna, pend_wsi, pend_proj = [], [], [], []
         if pend_feats:
             yield flush()
+
+
+class PrefetchIterator:
+    """Background-thread prefetch wrapping any batch iterator.
+
+    h5py releases the GIL during HDF5 I/O, so a single reader thread keeps
+    the device fed (the double-buffered host pipeline from SURVEY.md
+    section 5: host I/O must overlap device compute once the compute side is
+    20x faster)."""
+
+    _SENTINEL = object()
+
+    def __init__(self, iterable, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as e:  # propagate into the consumer
+                self._err = e
+            finally:
+                self._q.put(self._SENTINEL)
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def prefetch(loader, depth: int = 2):
+    """Iterate ``loader`` with ``depth`` batches read ahead on a thread."""
+    return PrefetchIterator(iter(loader), depth=depth)

@@ -194,3 +194,25 @@ def test_save_load_train_state_roundtrip(tmp_path):
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                             np.asarray(b)),
                  opt_state, o2)
+
+
+def test_prefetch_iterator(tmp_path):
+    df = make_store(str(tmp_path), n_slides=9, n_genes=2, dim=8)
+    d = ds.FeatureDataset(df, str(tmp_path))
+    direct = list(ds.BatchLoader(d, 4))
+    pre = list(ds.prefetch(ds.BatchLoader(d, 4), depth=2))
+    assert len(pre) == len(direct)
+    for a, b in zip(pre, direct):
+        np.testing.assert_array_equal(a.features, b.features)
+        assert a.wsi == b.wsi
+
+
+def test_prefetch_propagates_errors():
+    def bad():
+        yield 1
+        raise ValueError("boom")
+
+    it = ds.prefetch(bad())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        next(it)
