@@ -1,0 +1,114 @@
+"""One-call slide serving: WSI path (or patch/feature arrays) -> gene panel.
+
+Production-facing composition of the pipeline for inference (the reference
+has no serving story; its stages are glued by files on disk).  The
+``SlidePredictor`` holds jitted programs for every stage and keeps
+intermediates on device:
+
+    predict_wsi(path)        tiling -> features -> k-means -> ViS
+    predict_patches(u8)      features -> k-means -> ViS
+    predict_features(feats)  k-means -> ViS
+    predict_cluster_features(cf)  ViS only
+
+Fold ensembling (the reference's 5-fold averaging,
+``evaluation/predict_independent_dataset.py``) is supported by passing
+several ViS checkpoints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sequoia_tpu.data.wsi import open_slide
+from sequoia_tpu.models import vis
+from sequoia_tpu.ops import kmeans as km
+from sequoia_tpu.pipeline import patch_gen
+from sequoia_tpu.pipeline.features import FeatureExtractor
+
+
+class SlidePredictor:
+    def __init__(self, extractor: FeatureExtractor,
+                 vis_models: list[tuple[vis.ViSConfig, dict]], *,
+                 n_clusters: int = 100, max_patches: int = 4000,
+                 patch_size: int = 256, kmeans_seed: int = 0,
+                 use_pallas_kmeans: bool = False):
+        self.extractor = extractor
+        self.n_clusters = n_clusters
+        self.max_patches = max_patches
+        self.patch_size = patch_size
+        self.kmeans_seed = kmeans_seed
+        self.use_pallas = use_pallas_kmeans
+        self._models = [(cfg, params,
+                         jax.jit(lambda p, x, c=cfg: vis.apply(c, p, x)))
+                        for cfg, params in vis_models]
+        self.genes = None  # caller may attach the gene-name list
+
+    # -- stages -----------------------------------------------------------
+
+    def extract_patches(self, wsi_path) -> np.ndarray:
+        """Tissue-screened patches from a WSI (in-memory, no HDF5)."""
+        slide = open_slide(wsi_path)
+        mask, mask_level = patch_gen.compute_slide_mask(slide)
+        ratio_x = slide.level_dimensions[0][0] / slide.level_dimensions[mask_level][0]
+        ratio_y = slide.level_dimensions[0][1] / slide.level_dimensions[mask_level][1]
+        xmax, ymax = slide.level_dimensions[0]
+        rf = float(slide.properties.get("aperio.AppMag", 20) or 20) / 20.0
+        psr = int(rf * self.patch_size)
+
+        from sequoia_tpu.data.wsi import read_regions
+        from sequoia_tpu.ops import masking
+
+        kept = []
+        coords = []
+        for x, y in patch_gen.candidate_grid(xmax, ymax, psr):
+            xm, ym = int(x / ratio_x), int(y / ratio_y)
+            if xm < mask.shape[0] and ym < mask.shape[1] and mask[xm, ym]:
+                coords.append((x, y))
+        for s in range(0, len(coords), 64):
+            chunk = coords[s:s + 64]
+            imgs = read_regions(slide, chunk, 0, (psr, psr))
+            flags = np.asarray(masking.patch_keep_flags(jnp.asarray(imgs)))
+            for img, ok in zip(imgs, flags):
+                if ok:
+                    if rf != 1.0:
+                        from PIL import Image
+
+                        img = np.asarray(Image.fromarray(img).resize(
+                            (self.patch_size, self.patch_size)))
+                    kept.append(img)
+                if len(kept) >= self.max_patches:
+                    break
+            if len(kept) >= self.max_patches:
+                break
+        return np.stack(kept) if kept else np.zeros(
+            (0, self.patch_size, self.patch_size, 3), np.uint8)
+
+    def cluster(self, feats: np.ndarray) -> jax.Array:
+        xj = jnp.asarray(feats)
+        mask = jnp.ones((feats.shape[0],), bool)
+        _, labels, _, _ = km.kmeans_fit(
+            xj, mask, jax.random.PRNGKey(self.kmeans_seed),
+            n_clusters=self.n_clusters, use_pallas=self.use_pallas)
+        return km.cluster_means(xj, labels, mask, n_clusters=self.n_clusters)
+
+    # -- entry points -------------------------------------------------------
+
+    def predict_cluster_features(self, cf) -> np.ndarray:
+        """(100, D) or (B, 100, D) -> fold-averaged (B, G)."""
+        cf = jnp.asarray(cf)
+        if cf.ndim == 2:
+            cf = cf[None]
+        preds = [fwd(params, cf) for _, params, fwd in self._models]
+        return np.mean([np.asarray(p) for p in preds], axis=0)
+
+    def predict_features(self, feats: np.ndarray) -> np.ndarray:
+        return self.predict_cluster_features(self.cluster(feats))
+
+    def predict_patches(self, patches_u8: np.ndarray) -> np.ndarray:
+        return self.predict_features(self.extractor(patches_u8))
+
+    def predict_wsi(self, wsi_path) -> np.ndarray:
+        return self.predict_patches(self.extract_patches(wsi_path))

@@ -67,6 +67,8 @@ def _shimmed_torch_load(path: str):
 class _PickleShimModule:
     """Minimal pickle-module adapter exposing a custom Unpickler to torch.load."""
 
+    __name__ = "sequoia_pickle_shim"
+
     def __init__(self, unpickler):
         self.Unpickler = unpickler
         self.load = pickle.load

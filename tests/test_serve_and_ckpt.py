@@ -1,0 +1,107 @@
+"""Serving API + checkpoint-shim tests."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sequoia_tpu.models import convert, he2rna, resnet, vis
+from sequoia_tpu.pipeline.features import FeatureExtractor
+from sequoia_tpu.serve import SlidePredictor
+from sequoia_tpu.train import checkpoint
+
+
+def make_predictor(n_folds=2, n_clusters=8):
+    extractor = FeatureExtractor("resnet",
+                                 resnet.random_params(jax.random.PRNGKey(0)),
+                                 batch_size=16, patch_size=64)
+    cfg = vis.ViSConfig(num_outputs=5, input_dim=2048, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=n_clusters)
+    models = [(cfg, vis.init(cfg, jax.random.PRNGKey(i)))
+              for i in range(n_folds)]
+    return SlidePredictor(extractor, models, n_clusters=n_clusters,
+                          max_patches=48, patch_size=64)
+
+
+def test_predict_from_patches_and_features():
+    rng = np.random.default_rng(0)
+    pred = make_predictor()
+    patches = rng.integers(0, 256, size=(20, 64, 64, 3), dtype=np.uint8)
+    out = pred.predict_patches(patches)
+    assert out.shape == (1, 5) and np.isfinite(out).all()
+
+    feats = rng.normal(size=(30, 2048)).astype(np.float32)
+    out2 = pred.predict_features(feats)
+    assert out2.shape == (1, 5)
+
+    # fold averaging: single-model predictors bracket the ensemble
+    single0 = SlidePredictor(pred.extractor, [ (pred._models[0][0], pred._models[0][1]) ],
+                             n_clusters=8).predict_features(feats)
+    single1 = SlidePredictor(pred.extractor, [ (pred._models[1][0], pred._models[1][1]) ],
+                             n_clusters=8).predict_features(feats)
+    np.testing.assert_allclose(out2, (single0 + single1) / 2, rtol=1e-5, atol=1e-6)
+
+
+def test_predict_from_wsi():
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    pred = make_predictor()
+    out = pred.predict_wsi(synthetic_wsi())
+    assert out.shape == (1, 5) and np.isfinite(out).all()
+
+
+def test_whole_module_pickle_shim(tmp_path):
+    """Load a reference-style torch.save(model) whole-module pickle without
+    the defining module on the path."""
+    import torch
+    import torch.nn as nn
+
+    mod = types.ModuleType("he2rna_fake_module")
+
+    class HE2RNA(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv0 = nn.Conv1d(8, 6, 1)
+            self.conv1 = nn.Conv1d(6, 4, 1)
+
+    HE2RNA.__module__ = "he2rna_fake_module"
+    HE2RNA.__qualname__ = "HE2RNA"
+    mod.HE2RNA = HE2RNA
+    sys.modules["he2rna_fake_module"] = mod
+    m = HE2RNA()
+    path = str(tmp_path / "whole_module.pt")
+    torch.save(m, path)
+    want = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    del sys.modules["he2rna_fake_module"]  # simulate missing reference code
+
+    sd = checkpoint.load_torch_checkpoint(path)
+    assert set(sd) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(sd[k], want[k])
+
+    # and it converts into our HE2RNA
+    cfg, params = convert.he2rna_from_torch(sd)
+    assert cfg.input_dim == 8 and cfg.output_dim == 4 and cfg.layers == (6,)
+
+
+def test_hf_layout_safetensors_dir(tmp_path):
+    """PyTorchModelHubMixin local snapshot with model.safetensors."""
+    from safetensors.numpy import save_file
+
+    cfg = vis.ViSConfig(num_outputs=3, input_dim=8, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=5)
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+    sd = {k: np.ascontiguousarray(np.asarray(v))
+          for k, v in convert.vis_to_torch(cfg, params).items()}
+    save_file(sd, str(tmp_path / "model.safetensors"))
+
+    loaded = checkpoint.load_hf_vis_state_dict(str(tmp_path))
+    cfg2, params2 = convert.vis_from_torch(loaded)
+    assert cfg2 == cfg
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params, params2)
