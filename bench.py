@@ -35,7 +35,7 @@ REF_SLIDES_PER_HOUR = 72.0  # see module docstring
 
 PATCHES_PER_SLIDE = 4096
 PATCH = 256
-FEAT_BATCH = 256
+FEAT_BATCH = 128  # measured fastest per-patch inside the scan (v5e sweep)
 NUM_CLUSTERS = 100
 NUM_GENES = 20820
 FEAT_DIM = 2048
@@ -57,16 +57,19 @@ def main() -> None:
     log(f"device: {dev}")
     n_batches = PATCHES_PER_SLIDE // FEAT_BATCH
 
-    rng = np.random.default_rng(0)
-    base = rng.integers(0, 256, size=(FEAT_BATCH, PATCH, PATCH, 3),
-                        dtype=np.uint8)
+    # Relay probe (small, for transparency only — the sandbox tunnel is
+    # ~0.3-40 MB/s and highly variable; real v5e PCIe is ~10-25 GB/s).
+    probe = np.zeros((4 * 1024 * 1024,), np.uint8)
     t0 = time.perf_counter()
-    base_dev = jax.device_put(base)
-    _ = float(jnp.sum(base_dev[0, 0, 0].astype(jnp.int32)))
-    t_stage = time.perf_counter() - t0
-    log(f"staged {base.nbytes / 1e6:.0f} MB in {t_stage:.1f}s "
-        f"({base.nbytes / 1e6 / t_stage:.0f} MB/s sandbox relay; "
-        "real v5e PCIe ~10-25 GB/s)")
+    pd_ = jax.device_put(probe)
+    _ = float(jnp.sum(pd_[:8].astype(jnp.int32)))
+    log(f"sandbox relay h2d probe: {4 / (time.perf_counter() - t0):.1f} MB/s")
+
+    # Patch pixels synthesized ON DEVICE: the benchmark measures the
+    # framework's compute path, not the sandbox tunnel.
+    base_dev = jax.random.randint(jax.random.PRNGKey(42),
+                                  (FEAT_BATCH, PATCH, PATCH, 3), 0, 256,
+                                  jnp.uint8)
 
     rcfg = resnet.ResNetConfig(compute_dtype=jnp.bfloat16)
     rparams = resnet.random_params(jax.random.PRNGKey(0))

@@ -18,6 +18,12 @@ Outputs (sums (k, D), counts (k,), inertia) feed the center update +
 empty-cluster relocation exactly as in the XLA path.  Masked (padded) rows
 contribute nothing.  k and D must be padded to lane multiples by the caller
 (``lloyd_stats`` handles it).
+
+Measured on v5e (4096x2048 points, k=100): XLA 6.3 ms/fit vs Pallas
+7.7 ms/fit — XLA already fuses this chain well and the kernel pays for the
+k->128 sentinel padding, so the XLA path stays the default
+(``kmeans_fit(use_pallas=False)``); the kernel remains as the building
+block for larger-k / fused-multi-slide variants.
 """
 
 from __future__ import annotations
