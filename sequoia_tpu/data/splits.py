@@ -91,3 +91,23 @@ def load_shipped_patient_splits(path):
         splits.append((np.asarray(fold["train"]), np.asarray(fold["val"]),
                        np.asarray(fold["test"])))
     return splits
+
+
+def load_test_wsis(path):
+    """Load the reference's ``test_wsis.pkl`` artifact
+    ({cancer: {split_i: [wsi ids]}}).  Returns the dict unchanged."""
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def filter_by_test_wsis(df, test_wsis, cancer: str, split: int | str):
+    """Rows of ``df`` whose wsi_file_name is in the artifact's
+    {cancer}/{split} test list."""
+    import numpy as np
+
+    key = split if split in test_wsis.get(cancer, {}) else f"split_{split}"
+    wanted = set(map(str, test_wsis[cancer][key]))
+    keep = df["wsi_file_name"].astype(str).isin(wanted)
+    return df[keep].reset_index(drop=True)
