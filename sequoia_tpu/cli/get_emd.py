@@ -1,0 +1,65 @@
+"""EMD comparison of spatial prediction maps vs spatial-transcriptomics
+ground truth (reference ``spatial_vis/get_emd.py`` CLI contract).
+
+Ground truth comes from a Visium h5ad (requires scanpy) or a CSV with
+``x, y, gene_expr`` columns per gene (``--gt_csv_template`` with ``{gene}``).
+Writes ``metrics.csv`` with raw + median-filtered/percentile EMD per gene.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pandas as pd
+
+from sequoia_tpu.evaluation import spatial_metrics as sm
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="EMD vs spatial ground truth")
+    p.add_argument("--pred_csv", type=str, required=True,
+                   help="stride-1.csv prediction map")
+    p.add_argument("--gene_names", type=str, required=True,
+                   help="comma-separated genes or .npy of names")
+    p.add_argument("--save_folder", type=str, required=True)
+    p.add_argument("--h5ad", type=str, default=None,
+                   help="spatial ground-truth AnnData (needs scanpy)")
+    p.add_argument("--gt_csv_template", type=str, default=None,
+                   help="per-gene CSV template with {gene}, columns x,y,gene_expr")
+    p.add_argument("--num_tiles", type=int, default=4,
+                   help="GT spots averaged per prediction tile")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.gene_names.endswith(".npy"):
+        genes = [str(g) for g in np.load(args.gene_names, allow_pickle=True)]
+    else:
+        genes = args.gene_names.split(",")
+
+    pred_df = pd.read_csv(args.pred_csv)
+    rows = []
+    for gene in genes:
+        try:
+            if args.h5ad:
+                gt = sm.load_ground_truth_h5ad(args.h5ad, gene)
+            elif args.gt_csv_template:
+                gt = pd.read_csv(args.gt_csv_template.format(gene=gene))
+            else:
+                raise SystemExit("provide --h5ad or --gt_csv_template")
+            out = sm.emd_for_gene(pred_df, gt, gene, num_tiles=args.num_tiles)
+            rows.append({"gene": gene, **out})
+        except Exception as e:
+            print(f"{gene}: {e}")
+
+    os.makedirs(args.save_folder, exist_ok=True)
+    pd.DataFrame(rows).to_csv(os.path.join(args.save_folder, "metrics.csv"),
+                              index=False)
+    print(f"wrote {args.save_folder}/metrics.csv ({len(rows)} genes)")
+
+
+if __name__ == "__main__":
+    main()

@@ -63,3 +63,15 @@ def shard_batch_arrays(mesh: Mesh, features, rna, valid):
     return (jax.device_put(features, _named(mesh, P("data"))),
             jax.device_put(rna, _named(mesh, P("data", "model"))),
             jax.device_put(valid, _named(mesh, P("data"))))
+
+
+def shard_array(mesh: Mesh, x, spec: P):
+    """Place one array with a PartitionSpec on the mesh."""
+    return jax.device_put(x, _named(mesh, spec))
+
+
+def dp_images(mesh: Mesh, images):
+    """Shard an image/patch batch over the 'data' axis — the multi-chip
+    layout for the feature-extraction stage (each chip runs the backbone on
+    its batch shard; no collectives needed until aggregation)."""
+    return shard_array(mesh, images, P("data"))

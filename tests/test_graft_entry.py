@@ -51,3 +51,24 @@ def test_dp_matches_single_device():
     np.testing.assert_allclose(np.asarray(p1["blocks"]["wf"]),
                                np.asarray(p2["blocks"]["wf"]),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_dp_feature_extraction_matches_single_device():
+    """Backbone forward over a 'data'-sharded patch batch == unsharded."""
+    import jax.numpy as jnp
+    from sequoia_tpu.models import resnet
+
+    params = resnet.random_params(jax.random.PRNGKey(0))
+    cfg = resnet.ResNetConfig()
+    fwd = jax.jit(lambda p, u8: resnet.extract_from_uint8(cfg, p, u8))
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, size=(8, 64, 64, 3), dtype=np.uint8)
+
+    ref = np.asarray(fwd(params, jnp.asarray(imgs)))
+
+    mesh = sh.make_mesh(n_data=8, n_model=1)
+    sharded = sh.dp_images(mesh, jnp.asarray(imgs))
+    got = np.asarray(fwd(sh.replicate(mesh, params), sharded))
+    # sharded execution reorders conv reductions -> small fp drift
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-2)
