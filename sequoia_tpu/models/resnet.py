@@ -78,11 +78,45 @@ def _bottleneck(x, p, stride):
     return jax.nn.relu(y + x)
 
 
+def stem_space_to_depth(x: jax.Array, w_s2d: jax.Array) -> jax.Array:
+    """7x7/s2 stem as space-to-depth(2) + 4x4/s1 conv — mathematically exact
+    (the 7x7 kernel is zero-padded to 8x8 at the leading taps), and much
+    friendlier to the MXU than a stride-2 conv over 3 channels.
+
+    x: (B, H, W, 3) with H, W even; w_s2d: (4, 4, 12, 64) from
+    ``fold_stem_to_s2d``.
+    """
+    b, h, w, c = x.shape
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(b, h // 2, w // 2, 4 * c)  # channel order (di, dj, c)
+    prec = (jax.lax.Precision.HIGHEST if xs.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    # original: k=7 pad=3 stride 2 == k=8 pad(4,3) stride 2 with a zero
+    # leading tap == block-space k=4 pad(2,1) stride 1.
+    return jax.lax.conv_general_dilated(
+        xs, w_s2d.astype(xs.dtype), (1, 1), ((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=prec, preferred_element_type=jnp.float32).astype(xs.dtype)
+
+
+def fold_stem_to_s2d(conv1: jax.Array) -> jax.Array:
+    """(7, 7, 3, 64) stem kernel -> (4, 4, 12, 64) space-to-depth kernel."""
+    w8 = jnp.pad(conv1, ((1, 0), (1, 0), (0, 0), (0, 0)))  # zero leading taps
+    kh, kw, c, o = w8.shape
+    w = w8.reshape(kh // 2, 2, kw // 2, 2, c, o)  # ti = 2*bi + di
+    w = w.transpose(0, 2, 1, 3, 4, 5)             # (bi, bj, di, dj, c, o)
+    return w.reshape(kh // 2, kw // 2, 4 * c, o)
+
+
 def forward_extract(cfg: ResNetConfig, params: Params, images: jax.Array) -> jax.Array:
     """(B, H, W, 3) normalized float -> (B, 2048) pooled features
     (reference ``resnet.py`` forward_extract)."""
     x = images.astype(cfg.compute_dtype)
-    x = jax.nn.relu(_bn(_conv(x, params["conv1"], stride=2), params["bn1"]))
+    if "conv1_s2d" in params and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        x = jax.nn.relu(_bn(stem_space_to_depth(x, params["conv1_s2d"]),
+                            params["bn1"]))
+    else:
+        x = jax.nn.relu(_bn(_conv(x, params["conv1"], stride=2), params["bn1"]))
     # torch maxpool 3x3 stride 2 pad 1
     x = jax.lax.reduce_window(
         x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
@@ -134,6 +168,15 @@ def _conv_w(sd, name) -> jnp.ndarray:
     return jnp.asarray(_np(sd[name]).transpose(2, 3, 1, 0))
 
 
+def enable_s2d_stem(params: Params) -> Params:
+    """Attach the space-to-depth stem kernel (used automatically for
+    even-sized inputs; ``conv1`` is kept for the general path)."""
+    if params["conv1"].shape[:2] == (7, 7):
+        params = dict(params)
+        params["conv1_s2d"] = fold_stem_to_s2d(params["conv1"])
+    return params
+
+
 def resnet50_from_torch(sd) -> Params:
     """torchvision resnet50 state dict -> our NHWC/folded-BN pytree."""
     params: Params = {
@@ -157,7 +200,7 @@ def resnet50_from_torch(sd) -> Params:
                 blk["downsample_bn"] = _fold_bn(sd, pre + "downsample.1")
             layer.append(blk)
         params[f"layer{s + 1}"] = layer
-    return params
+    return enable_s2d_stem(params)
 
 
 def random_params(key, dtype=jnp.float32) -> Params:
@@ -191,7 +234,7 @@ def random_params(key, dtype=jnp.float32) -> Params:
             layer.append(blk)
             cin = cout
         params[f"layer{s + 1}"] = layer
-    return params
+    return enable_s2d_stem(params)
 
 
 # ---------------------------------------------------------------------------

@@ -67,3 +67,36 @@ def test_uni_config_inference_from_sd():
     cfg, params = uni_vit.uni_from_torch(sd)
     assert cfg.depth == 3 and cfg.mlp_dim == 96 and cfg.img_size == 32
     assert params["blocks"]["w_qkv"].shape == (3, 64, 192)
+
+
+def test_s2d_stem_exactness():
+    """space-to-depth stem == stride-2 7x7 conv, bit-for-bit math."""
+    import jax.numpy as jnp_
+    from jax import lax
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(7, 7, 3, 16)).astype(np.float32) * 0.1)
+
+    ref = lax.conv_general_dilated(
+        x, w, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    got = resnet.stem_space_to_depth(x, resnet.fold_stem_to_s2d(w))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_forward_extract_s2d_matches_plain():
+    params = resnet.random_params(jax.random.PRNGKey(3))
+    assert "conv1_s2d" in params
+    plain = {k: v for k, v in params.items() if k != "conv1_s2d"}
+    cfg = resnet.ResNetConfig()
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 64, 64, 3)),
+                    jnp.float32)
+    a = resnet.forward_extract(cfg, params, x)
+    b = resnet.forward_extract(cfg, plain, x)
+    # different stem reduction order accumulates ~1e-4 through 50 layers
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-3)
