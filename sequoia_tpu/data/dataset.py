@@ -95,6 +95,7 @@ class FeatureDataset:
         for i in range(len(self.df)):
             feats = self.load_features(i)
             if feats is not None:
+                self.num_tokens = int(feats.shape[0])
                 return feats.shape[-1]
         raise FileNotFoundError(
             f"No readable '{self.feature_use}' features under {self.features_path}")

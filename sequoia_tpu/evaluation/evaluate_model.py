@@ -1,5 +1,5 @@
 """Offline per-gene evaluation of ``test_results.pkl`` (reference
-``evaluation/evaluate_model.py`` semantics, vectorized over genes).
+``evaluation/evaluate_model.py:29-143`` semantics, vectorized over genes).
 
 Per cancer: concatenate the k folds' test predictions; per gene compute
 Pearson(real, pred) and Pearson(real, random), the one-tailed Steiger test

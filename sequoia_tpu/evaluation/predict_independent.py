@@ -1,5 +1,5 @@
 """Independent-cohort inference with the released 5-fold ViS weights
-(reference ``evaluation/predict_independent_dataset.py``, shipped bugs fixed).
+(reference ``evaluation/predict_independent_dataset.py:44-96``, shipped bugs fixed).
 
 Loads ``gevaertlab/sequoia-{cancer}-{fold}`` checkpoints (HF repo id when the
 hub is reachable, or local snapshot directories / ``.pt`` files for
@@ -31,6 +31,25 @@ def fold_checkpoint_source(template: str, fold: int) -> str:
     return f"{template}-{fold}"
 
 
+def ensemble_predict(cfg, fold_params_list, loader):
+    """Fold-averaged predictions via one vmapped forward over stacked fold
+    parameters.  Returns (mean_preds (n, G), wsis)."""
+    import jax.numpy as jnp
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *fold_params_list)
+    fwd = jax.jit(jax.vmap(lambda p, x: vis.apply(cfg, p, x),
+                           in_axes=(0, None)))
+    preds, wsis = [], []
+    for batch in loader:
+        if batch.n_valid == 0:
+            continue
+        p = np.asarray(fwd(stacked, jnp.asarray(batch.features)))  # (F, B, G)
+        preds.append(p.mean(axis=0)[batch.valid])
+        wsis.extend([w for w, v in zip(batch.wsi, batch.valid) if v])
+    return (np.concatenate(preds) if preds else np.zeros((0, cfg.num_outputs)),
+            np.asarray(wsis))
+
+
 def predict_independent(df: pd.DataFrame, feature_path: str, save_dir: str, *,
                         checkpoint_template: str, folds: int = 5,
                         feature_use: str = "cluster_features",
@@ -45,33 +64,35 @@ def predict_independent(df: pd.DataFrame, feature_path: str, save_dir: str, *,
     feature_dim = test_ds.feature_dim
 
     key = jax.random.PRNGKey(seed)
-    res_preds, res_random = [], []
-    wsis = None
+
+    # Load all folds, stack their parameter pytrees, and run the whole
+    # ensemble as ONE vmapped forward per batch (the reference loops folds
+    # over the dataset five times).
+    cfg = None
+    fold_params = []
     for fold in range(folds):
         src = fold_checkpoint_source(checkpoint_template, fold)
         if os.path.isfile(src):
             sd = checkpoint.load_torch_checkpoint(src)
         else:
             sd = checkpoint.load_hf_vis_state_dict(src)
-        cfg, params = convert.vis_from_torch(sd)
-        apply_fn = (lambda c: (lambda p, x: vis.apply(c, p, x)))(cfg)
-        preds, wsis, _ = loop.predict(apply_fn, params, loader)
-
-        key, krand = jax.random.split(key)
-        rand_cfg = vis.ViSConfig(num_outputs=test_ds.num_genes,
-                                 input_dim=feature_dim, depth=depth,
-                                 nheads=num_heads, dim_f=64, dim_s=64, dim_c=64)
-        rand_params = vis.init(rand_cfg, krand)
-        rand_apply = (lambda c: (lambda p, x: vis.apply(c, p, x)))(rand_cfg)
-        random_preds, _, _ = loop.predict(rand_apply, rand_params, loader)
-
-        res_preds.append(preds)
-        res_random.append(random_preds)
+        fcfg, params = convert.vis_from_torch(sd)
+        if cfg is None:
+            cfg = fcfg
+        elif fcfg != cfg:
+            raise ValueError(f"fold {fold} architecture differs: {fcfg} != {cfg}")
+        fold_params.append(params)
         if verbose:
-            print(f"fold {fold}: predicted {preds.shape[0]} slides from {src}")
+            print(f"fold {fold}: loaded {src}")
 
-    avg_preds = np.mean(res_preds, axis=0)
-    avg_random = np.mean(res_random, axis=0)
+    rand_cfg = vis.ViSConfig(num_outputs=test_ds.num_genes,
+                             input_dim=feature_dim, depth=depth,
+                             nheads=num_heads, dim_f=64, dim_s=64, dim_c=64)
+    key, *rkeys = jax.random.split(key, folds + 1)
+    rand_params = [vis.init(rand_cfg, k) for k in rkeys]
+
+    avg_preds, wsis = ensemble_predict(cfg, fold_params, loader)
+    avg_random, _ = ensemble_predict(rand_cfg, rand_params, loader)
     test_results = {
         "pred": pd.DataFrame(avg_preds, index=wsis, columns=genes),
         "random": pd.DataFrame(avg_random, index=wsis, columns=genes),

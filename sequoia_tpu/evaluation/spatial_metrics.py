@@ -1,6 +1,6 @@
 """Spatial-map vs ground-truth metrics: Earth Mover's Distance and helpers.
 
-Behavior contract (reference ``spatial_vis/get_emd.py``): per gene, the
+Behavior contract (reference ``spatial_vis/get_emd.py:27-90,142-205``): per gene, the
 prediction map (``stride-1.csv``) is compared with spatial-transcriptomics
 ground truth: nearest-``num_tiles`` GT spots are averaged onto each
 prediction tile, a 3x3 median filter + percentile transform smooth the GT,

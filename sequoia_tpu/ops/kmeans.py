@@ -3,7 +3,7 @@
 Behavior contract: the reference clusters each slide's patch features with
 ``sklearn.cluster.KMeans(n_clusters=100, random_state=0)`` and stores the
 *mean feature per final label* as the slide's 100 ``cluster_features``
-(reference ``pre_processing/kmean_features.py`` main loop).  This module
+(reference ``pre_processing/kmean_features.py:96-108``).  This module
 reproduces that algorithm (kmeans++ init, Lloyd with sklearn's
 relative-tolerance stopping rule ``tol * mean(var(X))``, empty-cluster
 relocation to farthest points) with everything on the MXU:

@@ -9,7 +9,7 @@ Behavior contract (reference ``pre_processing/patch_gen_hdf5.py:25-38,
 computed with skimage semantics (``rgb2hsv`` on [0,1] floats;
 ``threshold_otsu`` with 256 bins spanning the image's own min..max), then
 ``scipy.ndimage.binary_dilation``/``erosion`` with the default cross
-structuring element, 3 iterations.  Patch acceptance re-runs the mask on the
+structuring element, 3 iterations (``patch_gen_hdf5.py:70-71``).  Patch acceptance re-runs the mask on the
 patch (>=20% tissue) and rejects low-contrast patches per skimage
 ``is_low_contrast`` (gray p99-p1 range < 5% of the dtype range).
 

@@ -1,6 +1,6 @@
 """Stage 2 — feature extraction: patches HDF5 -> per-patch embeddings.
 
-On-disk contract (reference ``pre_processing/compute_features_hdf5.py``):
+On-disk contract (reference ``pre_processing/compute_features_hdf5.py:99-139``):
 ``{feature_path}/{project}/{wsi}/{wsi}.h5`` with dataset
 ``{feat_type}_features`` of shape (N, 2048) for resnet / (N, 1024) for uni;
 ``complete_tile.txt`` sentinel after success, ``complete_resnet.txt``

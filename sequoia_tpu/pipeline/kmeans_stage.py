@@ -1,13 +1,13 @@
 """Stage 3 — k-means aggregation: patch features -> 100 cluster features.
 
-On-disk contract (reference ``pre_processing/kmean_features.py``): opens the
+On-disk contract (reference ``pre_processing/kmean_features.py:65-113``): opens the
 slide's feature ``.h5`` in r+, skips slides with fewer patches than clusters
 or with ``cluster_features`` already present, appends a ``cluster_features``
 dataset of shape (num_clusters, D) holding the mean raw feature per final
 k-means label.
 
 The reference resolves every slide's project from row 0 of the ref file
-(``kmean_features.py`` project lookup) — a recorded bug; here each row's own
+(``kmean_features.py:70``) — a recorded bug; here each row's own
 ``tcga_project`` is used (GTEx mode keeps the explicit ``--gtex_tissue``
 override).
 

@@ -1,6 +1,6 @@
 """Stage 1 — tiling: WSI -> patches HDF5 + tissue mask.
 
-On-disk contract (reference ``pre_processing/patch_gen_hdf5.py``):
+On-disk contract (reference ``pre_processing/patch_gen_hdf5.py:51-133``):
 ``{patch_path}/{slide_id}/{slide_id}.hdf5`` with one uint8 (ps, ps, 3)
 dataset per kept tile named ``"{x}_{y}"`` (level-0 coordinates),
 ``{mask_path}/{slide_id}/mask.npy`` (the [x, y]-indexed low-res tissue

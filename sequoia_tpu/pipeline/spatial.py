@@ -1,6 +1,6 @@
 """Stage 8 — spatial expression maps via sliding windows.
 
-Behavior contract (reference ``spatial_vis/visualize.py``): build the valid
+Behavior contract (reference ``spatial_vis/visualize.py:35-102,185-205``): build the valid
 tile grid from the saved ``mask.npy`` (>=50% tissue per tile after
 3-iteration dilation), slide a ``10x10``-tile window at ``stride`` over the
 rescaled grid; windows holding more than 50 tiles are featurized, zero-padded

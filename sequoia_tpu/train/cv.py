@@ -23,20 +23,21 @@ from sequoia_tpu.train import checkpoint, he2rna_fit, loop
 
 
 def build_model(model_type: str, num_outputs: int, feature_dim: int, key,
-                depth: int = 6, num_heads: int = 16):
+                depth: int = 6, num_heads: int = 16, num_clusters: int = 100):
     """Reference ``main.py`` model factory (vis/vit) -> (cfg, params, apply_fn,
     to_torch, from_torch)."""
     if model_type == "vit":
         cfg = vit.ViTConfig(num_outputs=num_outputs, dim=feature_dim,
                             depth=depth, heads=num_heads, mlp_dim=2048,
-                            dim_head=64)
+                            dim_head=64, num_clusters=num_clusters)
         params = vit.init(cfg, key)
         return cfg, params, (lambda c: (lambda p, x: vit.apply(c, p, x)))(cfg), \
             convert.vit_to_torch, convert.vit_from_torch
     if model_type == "vis":
         cfg = vis.ViSConfig(num_outputs=num_outputs, input_dim=feature_dim,
                             depth=depth, nheads=num_heads,
-                            dim_f=64, dim_s=64, dim_c=64)
+                            dim_f=64, dim_s=64, dim_c=64,
+                            num_clusters=num_clusters)
         params = vis.init(cfg, key)
         return cfg, params, (lambda c: (lambda p, x: vis.apply(c, p, x)))(cfg), \
             convert.vis_to_torch, convert.vis_from_torch
@@ -72,11 +73,14 @@ def run_cross_validation(
         test_ds = ds.FeatureDataset(test_df, feature_path)
         num_outputs, feature_dim = train_ds.num_genes, train_ds.feature_dim
 
+        num_clusters = getattr(train_ds, "num_tokens", 100)
+
         key, kinit, krand, khead = jax.random.split(key, 4)
         if checkpoint_path and change_num_genes:
             # GTEx->TCGA: build at the pretraining width, load, swap head.
             cfg, params, apply_fn, to_torch, from_torch = build_model(
-                model_type, change_num_genes, feature_dim, kinit, depth, num_heads)
+                model_type, change_num_genes, feature_dim, kinit, depth,
+                num_heads, num_clusters)
             sd = checkpoint.load_torch_checkpoint(checkpoint_path)
             cfg, params = from_torch(sd, cfg)
             if model_type == "vis":
@@ -87,7 +91,8 @@ def run_cross_validation(
                 apply_fn = (lambda c: (lambda p, x: vit.apply(c, p, x)))(cfg)
         else:
             cfg, params, apply_fn, to_torch, from_torch = build_model(
-                model_type, num_outputs, feature_dim, kinit, depth, num_heads)
+                model_type, num_outputs, feature_dim, kinit, depth, num_heads,
+                num_clusters)
             if checkpoint_path:
                 suff = f"_{i}" if i > 0 else ""
                 path = os.path.join(checkpoint_path, f"model_best{suff}.pt")
@@ -116,7 +121,8 @@ def run_cross_validation(
 
         # Untrained-model significance null (reference main.py:194-204).
         _, rand_params, rand_apply, _, _ = build_model(
-            model_type, num_outputs, feature_dim, krand, depth, num_heads)
+            model_type, num_outputs, feature_dim, krand, depth, num_heads,
+            num_clusters)
         random_preds, _, _, _ = loop.evaluate(rand_apply, rand_params,
                                               test_loader, verbose=verbose)
 

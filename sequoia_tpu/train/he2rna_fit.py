@@ -1,6 +1,6 @@
 """HE2RNA training ("fit") with the reference's selection semantics.
 
-Behavior contract (reference ``src/he2rna.py:108-320``):
+Behavior contract (reference ``src/he2rna.py:108-320``; fit at ``:217-320``):
 * Adam (not AdamW), weight_decay=0; MSE loss.
 * Train-mode forward samples one k per step and applies Dropout(0.5).
 * Validation each epoch: loss on raw predictions, mean per-gene Pearson on

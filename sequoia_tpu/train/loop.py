@@ -10,7 +10,8 @@ Behavior contract (reference ``src/vit.py:117-311``):
   the patience-on-loss trip ("early_stop_on_loss_triggered") switches
   saving to best-correlation-while-loss-within-delta.
 * ``evaluate`` returns ``(preds, real, wsis, projs)`` concatenated over the
-  loader; ``predict`` is the label-free variant.
+  loader (reference ``vit.py:245-291``); ``predict`` is the label-free
+  variant (``vit.py:293-311``).
 
 TPU-first: one compiled train step (fixed batch shapes via BatchLoader
 padding) computing loss/MAE/corr on device — the reference syncs every batch
