@@ -82,3 +82,47 @@ def test_cli_evaluate_model(tmp_path):
     assert (tmp_path / "results" / "all_genes.csv").exists()
     sig = pd.read_csv(tmp_path / "results" / "sig_genes.csv", index_col=0)
     assert len(sig) == G  # perfectly-correlated predictions are significant
+
+
+def test_cli_pretrain_gtex_quick(tmp_path, monkeypatch):
+    from sequoia_tpu.cli import pretrain_gtex as pg
+
+    store = tmp_path / "features"
+    df = make_store(str(store), n_slides=8, n_genes=4, dim=8)
+    ref = tmp_path / "gtex_ref.csv"
+    df.to_csv(ref, index=False)
+
+    monkeypatch.chdir(tmp_path)
+    pg.main(["--path_csv", str(ref), "--feature_path", str(store),
+             "--model", "vis", "--num_epochs", "2", "--batch_size", "4",
+             "--save_dir", str(tmp_path / "pre"), "--exp_name", "q",
+             "--quick", "0"])
+    # date-stamped experiment dir with a torch checkpoint inside
+    exp_dirs = list((tmp_path / "pre").iterdir())
+    assert len(exp_dirs) == 1 and exp_dirs[0].name.endswith("_q")
+    assert (exp_dirs[0] / "model_best.pt").exists()
+
+    # the checkpoint round-trips through the fine-tune head-swap path
+    # (same architecture flags as pretraining, like the reference requires)
+    from sequoia_tpu.train import cv
+    out = cv.run_cross_validation(
+        df, str(store), str(tmp_path / "ft"), model_type="vis",
+        k=2, batch_size=4, num_epochs=1, verbose=False,
+        checkpoint_path=str(exp_dirs[0] / "model_best.pt"),
+        change_num_genes=4)
+    assert "split_0" in out
+
+
+def test_cli_pretrain_gtex_he2rna(tmp_path, monkeypatch):
+    from sequoia_tpu.cli import pretrain_gtex as pg
+
+    store = tmp_path / "features"
+    df = make_store(str(store), n_slides=6, n_genes=3, dim=8)
+    ref = tmp_path / "gtex_ref.csv"
+    df.to_csv(ref, index=False)
+    monkeypatch.chdir(tmp_path)
+    pg.main(["--path_csv", str(ref), "--feature_path", str(store),
+             "--model", "he2rna", "--num_epochs", "1", "--batch_size", "4",
+             "--save_dir", str(tmp_path / "pre"), "--exp_name", "h"])
+    exp_dirs = list((tmp_path / "pre").iterdir())
+    assert (exp_dirs[0] / "model.pt").exists()
