@@ -59,10 +59,12 @@ def _conv(x, w, stride=1, dtype=None):
             else jax.lax.Precision.DEFAULT)
     kh, kw = w.shape[0], w.shape[1]
     pad = ((kh // 2, kh // 2), (kw // 2, kw // 2)) if kh > 1 else ((0, 0), (0, 0))
+    from sequoia_tpu.ops.nn import accum_type
+
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=prec, preferred_element_type=jnp.float32).astype(x.dtype)
+        precision=prec, preferred_element_type=accum_type(x)).astype(x.dtype)
 
 
 def _bn(x, p):
@@ -93,10 +95,12 @@ def stem_space_to_depth(x: jax.Array, w_s2d: jax.Array) -> jax.Array:
             else jax.lax.Precision.DEFAULT)
     # original: k=7 pad=3 stride 2 == k=8 pad(4,3) stride 2 with a zero
     # leading tap == block-space k=4 pad(2,1) stride 1.
+    from sequoia_tpu.ops.nn import accum_type
+
     return jax.lax.conv_general_dilated(
         xs, w_s2d.astype(xs.dtype), (1, 1), ((2, 1), (2, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=prec, preferred_element_type=jnp.float32).astype(xs.dtype)
+        precision=prec, preferred_element_type=accum_type(xs)).astype(xs.dtype)
 
 
 def fold_stem_to_s2d(conv1: jax.Array) -> jax.Array:

@@ -53,7 +53,12 @@ Params = dict[str, Any]
 
 @dataclasses.dataclass(frozen=True)
 class ViSConfig:
-    """Architecture hyperparameters (defaults = reference ``src/main.py:144-147``)."""
+    """Architecture hyperparameters (defaults = reference ``src/main.py:144-147``).
+
+    ``compute_dtype``: None keeps the f32 parity path (HIGHEST-precision
+    matmuls); "bfloat16" runs blocks in bf16 with f32 accumulation and f32
+    LayerNorm/head output — the training/serving fast path.
+    """
 
     num_outputs: int
     input_dim: int
@@ -63,6 +68,7 @@ class ViSConfig:
     dim_s: int = 64
     dim_c: int = 64
     num_clusters: int = 100
+    compute_dtype: str | None = None
 
     @property
     def proj_in(self) -> int:
@@ -153,13 +159,15 @@ def _block(cfg: ViSConfig, x: jax.Array, bp: dict[str, jax.Array]) -> jax.Array:
 
 def apply(cfg: ViSConfig, params: Params, x: jax.Array) -> jax.Array:
     """Forward pass: ``(B, N, D)`` cluster features -> ``(B, G)`` predictions."""
+    if cfg.compute_dtype is not None:
+        x = x.astype(cfg.compute_dtype)
     x = x + params["pos_emb"].astype(x.dtype)
 
     def body(carry, bp):
         return _block(cfg, carry, bp), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
-    x = jnp.mean(x, axis=1)
+    x = jnp.mean(x.astype(jnp.float32), axis=1)
     x = layer_norm(x, params["head_ln_scale"], params["head_ln_bias"])
     return linear(x, params["head_w"], params["head_b"])
 

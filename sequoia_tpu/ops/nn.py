@@ -49,10 +49,20 @@ def matmul_precision(x: jax.Array) -> jax.lax.Precision:
             else jax.lax.Precision.DEFAULT)
 
 
+def accum_type(x: jax.Array):
+    """Accumulation dtype request: f32 everywhere except low-precision
+    operands on the CPU backend (its DotThunk lacks BF16xBF16=F32)."""
+    if x.dtype == jnp.float32 or jax.default_backend() != "cpu":
+        return jnp.float32
+    return None
+
+
 def linear(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
-    """``x @ w (+ b)`` with f32 accumulation on the MXU."""
-    y = jnp.dot(x, w, precision=matmul_precision(x),
-                preferred_element_type=jnp.float32)
+    """``x @ w (+ b)`` with f32 accumulation on the MXU.  Weights stored in
+    f32 are cast down to match a low-precision activation dtype (bf16 fast
+    path) so the MXU runs at full rate."""
+    y = jnp.dot(x, w.astype(x.dtype), precision=matmul_precision(x),
+                preferred_element_type=accum_type(x))
     if b is not None:
         y = y + b
     return y.astype(x.dtype) if x.dtype != jnp.float32 else y
@@ -60,5 +70,7 @@ def linear(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
 
 def einsum(spec: str, *ops: jax.Array) -> jax.Array:
     """``jnp.einsum`` with the same precision policy as :func:`linear`."""
+    dt = ops[0].dtype
+    ops = tuple(o.astype(dt) for o in ops)
     return jnp.einsum(spec, *ops, precision=matmul_precision(ops[0]),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=accum_type(ops[0]))

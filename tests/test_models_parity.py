@@ -194,3 +194,17 @@ def test_replace_head_changes_only_head():
     assert cfg2.num_outputs == 33 and params2["head_w"].shape == (16, 33)
     np.testing.assert_array_equal(np.asarray(params["blocks"]["wf"]),
                                   np.asarray(params2["blocks"]["wf"]))
+
+
+def test_vis_bf16_fast_path_close_to_f32():
+    import dataclasses as dc
+
+    cfg = vis.ViSConfig(num_outputs=16, input_dim=64, depth=2, nheads=4,
+                        dim_f=8, dim_s=8, dim_c=8, num_clusters=10)
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 10, 64), jnp.float32)
+    ref = np.asarray(vis.apply(cfg, params, x))
+    fast = np.asarray(vis.apply(dc.replace(cfg, compute_dtype="bfloat16"),
+                                params, x))
+    assert fast.dtype == np.float32
+    assert rel_err(fast, ref) < 3e-2  # bf16 mantissa budget
