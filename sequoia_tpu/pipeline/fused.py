@@ -1,17 +1,19 @@
-"""Fused whole-slide program: patch pixels -> gene predictions in ONE
-compiled XLA program.
+"""Device-resident whole-slide program: patch pixels -> gene predictions
+without any host round-trips.
 
 The production stages (``pipeline.features`` -> ``pipeline.kmeans_stage`` ->
 aggregator inference) interoperate through HDF5 files like the reference.
 This module is the TPU-native fast path when intermediate artifacts aren't
-needed: a single jit composing
+needed:
 
     scan over patch batches -> backbone features (stays in HBM)
     -> kmeans++/Lloyd -> per-cluster mean features
     -> ViS forward -> (num_genes,) predictions
 
-so patch features never leave the device and XLA overlaps/fuses across
-stage boundaries.  Used by ``bench.py`` and available for serving.
+Patch features never leave the device.  The stages compile as separate jits
+(one mega-program compiles far slower for no runtime win — intermediates
+already stay in HBM between dispatches).  Used by ``bench.py`` and available
+for serving.
 """
 
 from __future__ import annotations

@@ -1,0 +1,67 @@
+"""cli.visualize end-to-end on a synthetic TCGA-layout workspace."""
+
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from sequoia_tpu.models import convert, vis
+from sequoia_tpu.pipeline import patch_gen
+from sequoia_tpu.train import checkpoint
+from tests.test_pipeline_e2e import synthetic_wsi
+
+
+def test_cli_visualize_tcga_layout(tmp_path, monkeypatch):
+    from sequoia_tpu.cli import visualize as cv
+
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+
+    monkeypatch.chdir(tmp_path)
+    project = "TCGA-SYN"
+    wsi = "TCGA-AA-0001.svs"
+    stem = wsi.replace(".svs", "")
+
+    # slide + stage-1 mask in the reference TCGA path convention
+    slide = synthetic_wsi()
+    os.makedirs(f"TCGA/{project}", exist_ok=True)
+    native.write_tiled_tiff(f"TCGA/{project}/{wsi}",
+                            [slide.levels[0], slide.levels[1]], tile=(128, 128))
+    mask, _ = patch_gen.compute_slide_mask(slide)
+    os.makedirs(f"TCGA/{project}_Masks/{stem}", exist_ok=True)
+    np.save(f"TCGA/{project}_Masks/{stem}/mask.npy", mask)
+
+    # fold checkpoints + test_results.pkl with the gene list
+    genes = [f"G{i}" for i in range(5)]
+    ckpt_dir = "vis_resnet/syn/"
+    os.makedirs(ckpt_dir, exist_ok=True)
+    cfg = vis.ViSConfig(num_outputs=5, input_dim=2048, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    for fold in range(2):
+        params = vis.init(cfg, jax.random.PRNGKey(fold))
+        name = "model_best.pt" if fold == 0 else f"model_best_{fold}.pt"
+        checkpoint.save_torch_state_dict(convert.vis_to_torch(cfg, params),
+                                         os.path.join(ckpt_dir, name))
+    with open(os.path.join(ckpt_dir, "test_results.pkl"), "wb") as f:
+        pickle.dump({"genes": genes}, f)
+
+    cv.main(["--study", "syn", "--project", project, "--gene_names", "G1,G3",
+             "--wsi_file_name", wsi, "--save_folder", "maps",
+             "--model_type", "vis", "--feat_type", "resnet",
+             "--folds", "0,1", "--stride", "4", "--patch_size", "64",
+             "--weights", "random", "--batch_size", "32"])
+
+    out = pd.read_csv(f"visualizations/{project}/maps/{wsi}/stride-4.csv",
+                      index_col=0)
+    for col in ("xcoord", "ycoord", "xcoord_tf", "ycoord_tf",
+                "G1_0", "G1_1", "G1", "G3_0", "G3_1", "G3"):
+        assert col in out.columns, col
+    assert out["G1"].notna().sum() > 5
+    pd.testing.assert_series_equal(out["G1"],
+                                   out[["G1_0", "G1_1"]].mean(axis=1),
+                                   check_names=False)

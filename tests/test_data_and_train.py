@@ -216,3 +216,17 @@ def test_prefetch_propagates_errors():
     assert next(it) == 1
     with pytest.raises(ValueError):
         next(it)
+
+
+def test_stage_timer():
+    import time
+    from sequoia_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("features", items=100):
+        time.sleep(0.01)
+    with t.stage("kmeans", items=100):
+        time.sleep(0.005)
+    assert t.rate("features") > 0
+    assert t.slides_per_hour("features") == t.rate("features") * 3600
+    assert "features" in t.report() and "kmeans" in t.report()
