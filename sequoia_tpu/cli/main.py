@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["loss", "loss+corr"])
     p.add_argument("--stop_on", type=str, default="loss",
                    choices=["loss", "loss+corr"])
+    p.add_argument("--resume", action="store_true",
+                   help="checkpoint/resume full training state per fold")
     return p
 
 
@@ -80,7 +82,8 @@ def main(argv=None) -> None:
         batch_size=args.batch_size, lr=args.lr, num_epochs=args.num_epochs,
         seed=args.seed, save_on=args.save_on, stop_on=args.stop_on,
         do_train=args.train, checkpoint_path=args.checkpoint,
-        change_num_genes=args.change_num_genes, log_fn=log_fn)
+        change_num_genes=args.change_num_genes, log_fn=log_fn,
+        resume=args.resume)
     finish()
 
 

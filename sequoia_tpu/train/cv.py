@@ -50,7 +50,7 @@ def run_cross_validation(
         lr: float = 1e-3, num_epochs: int = 200, seed: int = 99,
         save_on: str = "loss", stop_on: str = "loss", do_train: bool = True,
         checkpoint_path: str | None = None, change_num_genes: int = 0,
-        log_fn=None, verbose: bool = True) -> dict:
+        log_fn=None, verbose: bool = True, resume: bool = False) -> dict:
     """Reference ``src/main.py`` flow: per-fold train -> test-fold eval ->
     random-model null -> ``test_results.pkl``."""
     os.makedirs(save_dir, exist_ok=True)
@@ -111,6 +111,8 @@ def run_cross_validation(
                 num_epochs=num_epochs, patience=20, delta=0.5,
                 save_on=save_on, stop_on=stop_on, verbose=verbose,
                 log_fn=log_fn,
+                state_path=(os.path.join(save_dir, f"train_state_{i}.npz")
+                            if resume else None),
                 save_fn=lambda p: checkpoint.save_torch_state_dict(
                     to_torch(cfg, p), save_path))
             params = result.params

@@ -90,7 +90,8 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
           save_on: str = "loss", stop_on: str = "loss",
           phases=("train", "val"), save_fn: Callable | None = None,
           log_fn: Callable | None = None, verbose: bool = True,
-          state_path: str | None = None) -> TrainResult:
+          state_path: str | None = None,
+          prefetch_depth: int = 2) -> TrainResult:
     """Reference ``vit.train`` semantics over jitted steps.
 
     ``save_fn(params)`` is invoked whenever the reference would have written
@@ -144,7 +145,11 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
         epoch_metrics: dict[str, dict[str, float]] = {}
         for phase in phases:
             accum: list[dict] = []
-            for batch in loaders[phase]:
+            from sequoia_tpu.data.dataset import prefetch as _prefetch
+
+            batches = (_prefetch(loaders[phase], depth=prefetch_depth)
+                       if prefetch_depth else loaders[phase])
+            for batch in batches:
                 if batch.n_valid == 0:
                     continue
                 feats = jnp.asarray(batch.features)

@@ -158,3 +158,16 @@ def test_he2rna_cv_end_to_end(tmp_path):
     for i in range(2):
         assert (out[f"split_{i}"]["preds"] >= 0).all()
     assert os.path.exists(save / "model_0.pt")
+
+
+def test_cv_vit_variant(tmp_path):
+    store = tmp_path / "features"
+    df = make_store(str(store), n_slides=12, n_genes=4, dim=16)
+    out = cv.run_cross_validation(
+        df, str(store), str(tmp_path / "exp"), model_type="vit", depth=1,
+        num_heads=2, k=2, batch_size=4, num_epochs=1, verbose=False,
+        resume=True)
+    assert set(out) == {"split_0", "split_1", "genes"}
+    assert (tmp_path / "exp" / "train_state_0.npz").exists()
+    sd = checkpoint.load_torch_checkpoint(str(tmp_path / "exp" / "model_best_0.pt"))
+    assert "transformer.layers.0.0.to_qkv.weight" in sd
