@@ -46,11 +46,30 @@ Params = dict[str, Any]
 
 @dataclasses.dataclass(frozen=True)
 class ResNetConfig:
+    """``block='bottleneck'`` covers resnet50/101/152; ``'basic'`` covers
+    resnet18/34 (reference ``src/resnet.py`` constructors)."""
+
     compute_dtype: Any = jnp.float32
+    blocks_per_stage: tuple[int, ...] = BLOCKS_PER_STAGE
+    block: str = "bottleneck"
+
+    @property
+    def expansion(self) -> int:
+        return EXPANSION if self.block == "bottleneck" else 1
 
     @property
     def feature_dim(self) -> int:
-        return STAGE_WIDTH[-1] * EXPANSION  # 2048
+        return STAGE_WIDTH[-1] * self.expansion  # 2048 / 512
+
+DEPTH_TO_STAGES = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+                   101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+def config_for_depth(depth: int, compute_dtype=jnp.float32) -> ResNetConfig:
+    """resnet{18,34,50,101,152} configs (reference resnet.py constructors)."""
+    return ResNetConfig(compute_dtype=compute_dtype,
+                        blocks_per_stage=DEPTH_TO_STAGES[depth],
+                        block="basic" if depth in (18, 34) else "bottleneck")
 
 
 def _conv(x, w, stride=1, dtype=None):
@@ -75,6 +94,15 @@ def _bottleneck(x, p, stride):
     y = jax.nn.relu(_bn(_conv(x, p["conv1"]), p["bn1"]))
     y = jax.nn.relu(_bn(_conv(y, p["conv2"], stride), p["bn2"]))
     y = _bn(_conv(y, p["conv3"]), p["bn3"])
+    if "downsample_conv" in p:
+        x = _bn(_conv(x, p["downsample_conv"], stride), p["downsample_bn"])
+    return jax.nn.relu(y + x)
+
+
+def _basic_block(x, p, stride):
+    """torchvision BasicBlock (resnet18/34): two 3x3 convs, expansion 1."""
+    y = jax.nn.relu(_bn(_conv(x, p["conv1"], stride), p["bn1"]))
+    y = _bn(_conv(y, p["conv2"]), p["bn2"])
     if "downsample_conv" in p:
         x = _bn(_conv(x, p["downsample_conv"], stride), p["downsample_bn"])
     return jax.nn.relu(y + x)
@@ -126,10 +154,11 @@ def forward_extract(cfg: ResNetConfig, params: Params, images: jax.Array) -> jax
         x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
         jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         ((0, 0), (1, 1), (1, 1), (0, 0)))
-    for s, nblocks in enumerate(BLOCKS_PER_STAGE):
+    block_fn = _bottleneck if cfg.block == "bottleneck" else _basic_block
+    for s, nblocks in enumerate(cfg.blocks_per_stage):
         for b in range(nblocks):
             stride = 2 if (b == 0 and s > 0) else 1
-            x = _bottleneck(x, params[f"layer{s + 1}"][b], stride)
+            x = block_fn(x, params[f"layer{s + 1}"][b], stride)
     feats = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
     return feats
 
@@ -181,30 +210,43 @@ def enable_s2d_stem(params: Params) -> Params:
     return params
 
 
-def resnet50_from_torch(sd) -> Params:
-    """torchvision resnet50 state dict -> our NHWC/folded-BN pytree."""
+def resnet_from_torch(sd) -> tuple[ResNetConfig, Params]:
+    """torchvision ResNet state dict (any depth) -> (config, pytree)."""
     params: Params = {
         "conv1": _conv_w(sd, "conv1.weight"),
         "bn1": _fold_bn(sd, "bn1"),
     }
-    for s, nblocks in enumerate(BLOCKS_PER_STAGE):
+    blocks_per_stage = []
+    has_conv3 = "layer1.0.conv3.weight" in sd
+    for s in range(4):
         layer = []
-        for b in range(nblocks):
+        b = 0
+        while f"layer{s + 1}.{b}.conv1.weight" in sd:
             pre = f"layer{s + 1}.{b}."
             blk = {
                 "conv1": _conv_w(sd, pre + "conv1.weight"),
                 "bn1": _fold_bn(sd, pre + "bn1"),
                 "conv2": _conv_w(sd, pre + "conv2.weight"),
                 "bn2": _fold_bn(sd, pre + "bn2"),
-                "conv3": _conv_w(sd, pre + "conv3.weight"),
-                "bn3": _fold_bn(sd, pre + "bn3"),
             }
+            if has_conv3:
+                blk["conv3"] = _conv_w(sd, pre + "conv3.weight")
+                blk["bn3"] = _fold_bn(sd, pre + "bn3")
             if pre + "downsample.0.weight" in sd:
                 blk["downsample_conv"] = _conv_w(sd, pre + "downsample.0.weight")
                 blk["downsample_bn"] = _fold_bn(sd, pre + "downsample.1")
             layer.append(blk)
+            b += 1
+        blocks_per_stage.append(b)
         params[f"layer{s + 1}"] = layer
-    return enable_s2d_stem(params)
+    cfg = ResNetConfig(blocks_per_stage=tuple(blocks_per_stage),
+                       block="bottleneck" if has_conv3 else "basic")
+    return cfg, enable_s2d_stem(params)
+
+
+def resnet50_from_torch(sd) -> Params:
+    """torchvision resnet50 state dict -> our NHWC/folded-BN pytree."""
+    return resnet_from_torch(sd)[1]
 
 
 def random_params(key, dtype=jnp.float32) -> Params:

@@ -100,3 +100,65 @@ def test_forward_extract_s2d_matches_plain():
     # different stem reduction order accumulates ~1e-4 through 50 layers
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_resnet18_basic_block_parity():
+    """resnet18 (BasicBlock) loads from a torchvision-style sd and matches
+    the torch eval math."""
+    import torch.nn.functional as F
+
+    rng = torch.Generator().manual_seed(8)
+    sd = {}
+
+    def convw(name, cout, cin, k):
+        sd[name + ".weight"] = (torch.randn(cout, cin, k, k, generator=rng)
+                                * (cin * k * k) ** -0.5).double()
+
+    def bn(name, c):
+        sd[name + ".weight"] = (1 + 0.1 * torch.randn(c, generator=rng)).double()
+        sd[name + ".bias"] = (0.1 * torch.randn(c, generator=rng)).double()
+        sd[name + ".running_mean"] = (0.1 * torch.randn(c, generator=rng)).double()
+        sd[name + ".running_var"] = (1 + 0.1 * torch.rand(c, generator=rng)).double()
+
+    convw("conv1", 64, 3, 7); bn("bn1", 64)
+    cin = 64
+    for s, nblocks in enumerate((2, 2, 2, 2)):
+        cout = 64 * 2 ** s
+        for b in range(nblocks):
+            pre = f"layer{s + 1}.{b}."
+            convw(pre + "conv1", cout, cin, 3); bn(pre + "bn1", cout)
+            convw(pre + "conv2", cout, cout, 3); bn(pre + "bn2", cout)
+            if b == 0 and (s > 0):
+                convw(pre + "downsample.0", cout, cin, 1)
+                bn(pre + "downsample.1", cout)
+            cin = cout
+
+    def bn_eval(x, name):
+        return torch.nn.functional.batch_norm(
+            x, sd[name + ".running_mean"], sd[name + ".running_var"],
+            sd[name + ".weight"], sd[name + ".bias"], training=False, eps=1e-5)
+
+    x = torch.randn(1, 3, 64, 64, generator=rng).double()
+    y = F.relu(bn_eval(F.conv2d(x, sd["conv1.weight"], stride=2, padding=3), "bn1"))
+    y = F.max_pool2d(y, 3, 2, 1)
+    for s, nblocks in enumerate((2, 2, 2, 2)):
+        for b in range(nblocks):
+            pre = f"layer{s + 1}.{b}."
+            stride = 2 if (b == 0 and s > 0) else 1
+            z = F.relu(bn_eval(F.conv2d(y, sd[pre + "conv1.weight"],
+                                        stride=stride, padding=1), pre + "bn1"))
+            z = bn_eval(F.conv2d(z, sd[pre + "conv2.weight"], padding=1), pre + "bn2")
+            if pre + "downsample.0.weight" in sd:
+                y = bn_eval(F.conv2d(y, sd[pre + "downsample.0.weight"],
+                                     stride=stride), pre + "downsample.1")
+            y = F.relu(z + y)
+    golden = F.adaptive_avg_pool2d(y, (1, 1)).flatten(1).numpy()
+
+    cfg, params = resnet.resnet_from_torch(sd)
+    assert cfg.block == "basic" and cfg.blocks_per_stage == (2, 2, 2, 2)
+    assert cfg.feature_dim == 512
+    out = resnet.forward_extract(cfg, params,
+                                 jnp.asarray(x.numpy().transpose(0, 2, 3, 1),
+                                             jnp.float32))
+    assert out.shape == (1, 512)
+    assert rel_err(out, golden) < 2e-3
