@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gtex_tissue", type=str, default=None)
     p.add_argument("--seed", type=int, default=99)
     p.add_argument("--backend", type=str, default="tpu",
-                   choices=["tpu", "sklearn"])
+                   choices=["tpu", "hybrid", "sklearn"])
     return p
 
 

@@ -47,7 +47,11 @@ class HE2RNAConfig:
     dropout: float = 0.5
 
 
-def init(cfg: HE2RNAConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+def init(cfg: HE2RNAConfig, key: jax.Array, dtype=jnp.float32,
+         bias_init=None) -> Params:
+    """``bias_init``: optional (G,) vector for the output layer's bias
+    (reference HE2RNA ctor's ``bias_init``, used to seed the head with mean
+    expression values)."""
     dims = (cfg.input_dim,) + tuple(cfg.layers) + (cfg.output_dim,)
     ws, bs = [], []
     for k, (din, dout) in zip(jax.random.split(key, len(dims) - 1),
@@ -55,6 +59,8 @@ def init(cfg: HE2RNAConfig, key: jax.Array, dtype=jnp.float32) -> Params:
         w, b = torch_init.linear_params(k, din, dout, dtype)
         ws.append(w)
         bs.append(b)
+    if bias_init is not None:
+        bs[-1] = jnp.asarray(bias_init, dtype)
     return {"w": ws, "b": bs}
 
 

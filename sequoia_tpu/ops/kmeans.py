@@ -182,10 +182,18 @@ def kmeans_cluster_features(features: np.ndarray, n_clusters: int = 100,
     """(N, D) patch features -> (k, D) cluster-mean features.
 
     backend='tpu': this module's kmeans++/Lloyd (fast path).
+    backend='hybrid': sklearn-exact kmeans++ seeding on host + Lloyd on TPU
+    (near-bit-parity at TPU speed).
     backend='sklearn': exact reference implementation (bit-parity with
     artifacts produced by the reference pipeline).
     """
     features = np.asarray(features, np.float32)
+    if backend == "hybrid":
+        centers = sklearn_plusplus_centers(features, n_clusters, seed)
+        x = jnp.asarray(features)
+        mask = jnp.ones((features.shape[0],), bool)
+        _, labels, _, _ = kmeans_lloyd(x, mask, jnp.asarray(centers))
+        return np.asarray(cluster_means(x, labels, mask, n_clusters=n_clusters))
     if backend == "sklearn":
         from sklearn.cluster import KMeans
 
@@ -200,3 +208,35 @@ def kmeans_cluster_features(features: np.ndarray, n_clusters: int = 100,
     _, labels, _, _ = kmeans_fit(x, mask, jax.random.PRNGKey(seed),
                                  n_clusters=n_clusters)
     return np.asarray(cluster_means(x, labels, mask, n_clusters=n_clusters))
+
+
+@partial(jax.jit, static_argnames=("max_iter", "use_pallas"))
+def kmeans_lloyd(x: jax.Array, mask: jax.Array, init_centers: jax.Array,
+                 max_iter: int = 300, tol: float = 1e-4,
+                 use_pallas: bool = False):
+    """Lloyd iterations from explicit initial centers (for host-side
+    seeding).  Same return contract as :func:`kmeans_fit`."""
+    maskf = mask.astype(x.dtype)
+    n_valid = jnp.maximum(jnp.sum(maskf), 1.0)
+    mean = jnp.sum(x * maskf[:, None], axis=0) / n_valid
+    var = jnp.sum(((x - mean) * maskf[:, None]) ** 2, axis=0) / n_valid
+    tol_abs = tol * jnp.mean(var)
+    return _lloyd(x, mask, init_centers, max_iter, tol_abs, use_pallas)
+
+
+def sklearn_plusplus_centers(features: np.ndarray, n_clusters: int,
+                             seed: int = 0) -> np.ndarray:
+    """sklearn's exact kmeans++ seeding (identical RNG stream to
+    ``KMeans(random_state=seed)`` with the default single init) — the
+    'hybrid' parity path from SURVEY.md section 7.4: seed on host with
+    sklearn bit-parity, run Lloyd on TPU."""
+    from sklearn.cluster._kmeans import _kmeans_plusplus
+    from sklearn.utils import check_random_state
+
+    X = np.ascontiguousarray(features, np.float32)
+    centers, _ = _kmeans_plusplus(
+        X, n_clusters,
+        x_squared_norms=(X * X).sum(axis=1),
+        sample_weight=np.ones(X.shape[0], X.dtype),
+        random_state=check_random_state(seed))
+    return np.asarray(centers, np.float32)

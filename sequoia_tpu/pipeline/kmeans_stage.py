@@ -40,8 +40,8 @@ def _bucket(n: int) -> int:
 
 def cluster_features_for(features: np.ndarray, n_clusters: int, seed: int,
                          backend: str = "tpu") -> np.ndarray:
-    if backend == "sklearn":
-        return km.kmeans_cluster_features(features, n_clusters, seed, "sklearn")
+    if backend in ("sklearn", "hybrid"):
+        return km.kmeans_cluster_features(features, n_clusters, seed, backend)
     n, d = features.shape
     nb = _bucket(n)
     x = np.zeros((nb, d), np.float32)
@@ -134,7 +134,7 @@ def run_kmeans(df, feature_path: str, *, num_clusters: int = 100,
             print(f"Cannot open file {path}")
             continue
 
-        if backend == "sklearn":
+        if backend in ("sklearn", "hybrid"):
             means = cluster_features_for(features, num_clusters, seed, backend)
             done += int(_write_cluster_features(path, means))
             continue

@@ -130,3 +130,13 @@ def test_run_kmeans_grouped_batching(tmp_path):
         # each cluster mean should be close to at least one data point
         dmin = np.min(np.linalg.norm(cf[:, None] - feats[None], axis=2), axis=1)
         assert (dmin < 0.5).all()
+
+
+def test_hybrid_backend_matches_sklearn():
+    """sklearn-seeded TPU Lloyd == full sklearn fit on well-posed data."""
+    x = blobs(n=400, d=16, k=8, spread=0.03)
+    ours = km.kmeans_cluster_features(x, n_clusters=8, seed=0, backend="hybrid")
+    ref = km.kmeans_cluster_features(x, n_clusters=8, seed=0, backend="sklearn")
+    # identical seeding + same Lloyd fixed point -> same clusters, possibly
+    # permuted only if sklearn reorders (it doesn't for single init)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
