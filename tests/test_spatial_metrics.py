@@ -78,3 +78,59 @@ def test_gbm_module_assignment():
 
     assign = gbm_modules.assign_modules(df, modules)
     assert (assign[:25] == "A").all() and (assign[25:] == "B").all()
+
+
+def test_cli_get_emd_with_csv_ground_truth(tmp_path):
+    from sequoia_tpu.cli import get_emd as cli_emd
+
+    rng = np.random.default_rng(3)
+    tiles = [(x, y) for x in range(6) for y in range(6)]
+    pred = pd.DataFrame(tiles, columns=["xcoord_tf", "ycoord_tf"])
+    pred["xcoord"] = pred["xcoord_tf"] * 64
+    pred["ycoord"] = pred["ycoord_tf"] * 64
+    pred["GENEA"] = rng.random(len(pred))
+    pred["GENEB"] = rng.random(len(pred))
+    pred_csv = tmp_path / "stride-1.csv"
+    pred.to_csv(pred_csv, index=False)
+
+    for g in ("GENEA", "GENEB"):
+        gt = pd.DataFrame({"x": pred["xcoord"], "y": pred["ycoord"],
+                           "gene_expr": pred[g] + 0.01 * rng.standard_normal(len(pred))})
+        gt.to_csv(tmp_path / f"gt_{g}.csv", index=False)
+
+    cli_emd.main(["--pred_csv", str(pred_csv), "--gene_names", "GENEA,GENEB",
+                  "--save_folder", str(tmp_path / "out"),
+                  "--gt_csv_template", str(tmp_path / "gt_{gene}.csv")])
+    out = pd.read_csv(tmp_path / "out" / "metrics.csv")
+    assert set(out["gene"]) == {"GENEA", "GENEB"}
+    assert {"emd", "emd_filt", "nr_gt_vals", "nr_gt_vals_filt"} <= set(out.columns)
+    assert np.isfinite(out["emd"]).all()
+
+
+def test_cli_gbm_analysis(tmp_path):
+    from sequoia_tpu.cli import gbm_analysis as cli_gbm
+
+    rng = np.random.default_rng(4)
+    n = 60
+    df = pd.DataFrame({"xcoord_tf": np.arange(n) % 10,
+                       "ycoord_tf": np.arange(n) // 10})
+    half = np.r_[np.ones(30), np.zeros(30)]
+    df["g1"] = half * 5 + rng.random(n)
+    df["g2"] = half * 4 + rng.random(n)
+    df["g3"] = (1 - half) * 5 + rng.random(n)
+    csv = tmp_path / "slideX" / "stride-1.csv"
+    csv.parent.mkdir()
+    df.to_csv(csv, index=False)
+
+    mod_dir = tmp_path / "modules"
+    mod_dir.mkdir()
+    np.save(mod_dir / "AC.npy", np.asarray(["g1", "g2"], dtype=object))
+    np.save(mod_dir / "MES1.npy", np.asarray(["g3"], dtype=object))
+
+    cli_gbm.main(["--pred_csv", str(csv), "--module_dir", str(mod_dir),
+                  "--save_folder", str(tmp_path / "out")])
+    assert (tmp_path / "out" / "slideX_corr.csv").exists()
+    assert (tmp_path / "out" / "slideX_clustermap.png").exists()
+    assert (tmp_path / "out" / "slideX_spatial.png").exists()
+    mods = pd.read_csv(tmp_path / "out" / "slideX_modules.csv", index_col=0)
+    assert set(mods.iloc[:, 0].unique()) == {"AC", "MES1"}
