@@ -50,7 +50,8 @@ def run_cross_validation(
         lr: float = 1e-3, num_epochs: int = 200, seed: int = 99,
         save_on: str = "loss", stop_on: str = "loss", do_train: bool = True,
         checkpoint_path: str | None = None, change_num_genes: int = 0,
-        log_fn=None, verbose: bool = True, resume: bool = False) -> dict:
+        log_fn=None, verbose: bool = True, resume: bool = False,
+        mesh=None) -> dict:
     """Reference ``src/main.py`` flow: per-fold train -> test-fold eval ->
     random-model null -> ``test_results.pkl``."""
     os.makedirs(save_dir, exist_ok=True)
@@ -113,6 +114,7 @@ def run_cross_validation(
                 log_fn=log_fn,
                 state_path=(os.path.join(save_dir, f"train_state_{i}.npz")
                             if resume else None),
+                mesh=mesh,
                 save_fn=lambda p: checkpoint.save_torch_state_dict(
                     to_torch(cfg, p), save_path))
             params = result.params

@@ -91,7 +91,7 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
           phases=("train", "val"), save_fn: Callable | None = None,
           log_fn: Callable | None = None, verbose: bool = True,
           state_path: str | None = None,
-          prefetch_depth: int = 2) -> TrainResult:
+          prefetch_depth: int = 2, mesh=None) -> TrainResult:
     """Reference ``vit.train`` semantics over jitted steps.
 
     ``save_fn(params)`` is invoked whenever the reference would have written
@@ -101,11 +101,22 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
     ``state_path`` enables full resume (params + optimizer + early-stop
     counters are checkpointed after every epoch and restored on restart) —
     an addition over the reference's best-weights-only saves.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with ('data', 'model') axes enables
+    multi-chip training — params placed via ``parallel.shard_params`` (gene
+    head over 'model'), every batch sharded over 'data'; XLA inserts the
+    gradient collectives.
     """
     from sequoia_tpu.train import checkpoint as ckpt_io
 
     train_step, eval_step = make_step_fns(apply_fn, optimizer)
-    opt_state = optimizer.init(params)
+    if mesh is not None:
+        from sequoia_tpu.parallel import sharding as _sh
+
+        params = _sh.shard_params(mesh, params)
+        opt_state = _sh.replicate(mesh, optimizer.init(params))
+    else:
+        opt_state = optimizer.init(params)
 
     best_params = jax.tree.map(lambda x: np.asarray(x), params)
     best_loss = np.inf
@@ -152,9 +163,15 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
             for batch in batches:
                 if batch.n_valid == 0:
                     continue
-                feats = jnp.asarray(batch.features)
-                rna = jnp.asarray(batch.rna)
-                valid = jnp.asarray(batch.valid)
+                if mesh is not None:
+                    from sequoia_tpu.parallel import sharding as _sh
+
+                    feats, rna, valid = _sh.shard_batch_arrays(
+                        mesh, batch.features, batch.rna, batch.valid)
+                else:
+                    feats = jnp.asarray(batch.features)
+                    rna = jnp.asarray(batch.rna)
+                    valid = jnp.asarray(batch.valid)
                 if phase == "train":
                     params, opt_state, m = train_step(params, opt_state,
                                                       feats, rna, valid)

@@ -72,3 +72,31 @@ def test_dp_feature_extraction_matches_single_device():
     got = np.asarray(fwd(sh.replicate(mesh, params), sharded))
     # sharded execution reorders conv reductions -> small fp drift
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-2)
+
+
+def test_full_training_loop_on_mesh(tmp_path):
+    """loop.train with a ('data','model') mesh reproduces the unsharded run."""
+    from tests.test_data_and_train import make_store
+    from sequoia_tpu.data import dataset as dsm
+
+    df = make_store(str(tmp_path), n_slides=16, n_genes=8, dim=16)
+    d = dsm.FeatureDataset(df, str(tmp_path))
+
+    cfg = vis.ViSConfig(num_outputs=8, input_dim=16, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    apply_fn = lambda p, x: vis.apply(cfg, p, x)
+
+    def run(mesh):
+        loaders = {"train": dsm.BatchLoader(d, 8, shuffle=True, seed=0),
+                   "val": dsm.BatchLoader(d, 8)}
+        params = vis.init(cfg, jax.random.PRNGKey(0))
+        return loop.train(apply_fn, params, loop.make_adamw(1e-3), loaders,
+                          num_epochs=2, verbose=False, mesh=mesh)
+
+    r_single = run(None)
+    r_mesh = run(sh.make_mesh(n_data=4, n_model=2))
+    for a, b in zip(r_single.history, r_mesh.history):
+        assert abs(a["val"]["loss"] - b["val"]["loss"]) < 1e-4
+    np.testing.assert_allclose(np.asarray(r_single.params["head_w"]),
+                               np.asarray(r_mesh.params["head_w"]),
+                               rtol=2e-4, atol=1e-6)
