@@ -160,3 +160,24 @@ def load_train_state(path: str):
     opt_state = jax.tree_util.tree_unflatten(pickle.loads(blob["treedef_o"]),
                                              leaves_o)
     return params, opt_state, blob["meta"]
+
+
+def save_orbax(path: str, tree) -> None:
+    """Orbax StandardCheckpointer save (production path: async-capable,
+    sharded-array aware — the right backend for multi-chip training states;
+    the npz format above stays for small single-host states)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def load_orbax(path: str, like=None):
+    """Orbax load; ``like`` (a pytree of arrays/ShapeDtypeStructs) restores
+    exact structure/dtypes when given."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(os.path.abspath(path), like)
+        return ckptr.restore(os.path.abspath(path))

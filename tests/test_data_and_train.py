@@ -230,3 +230,16 @@ def test_stage_timer():
     assert t.rate("features") > 0
     assert t.slides_per_hour("features") == t.rate("features") * 3600
     assert "features" in t.report() and "kmeans" in t.report()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from sequoia_tpu.train import checkpoint as ck
+
+    cfg = vis.ViSConfig(num_outputs=4, input_dim=8, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=5)
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt")
+    ck.save_orbax(path, params)
+    restored = ck.load_orbax(path, like=params)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params, restored)
