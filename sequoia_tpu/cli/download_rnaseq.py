@@ -20,7 +20,6 @@ import json
 import os
 import urllib.request
 
-import numpy as np
 import pandas as pd
 
 GDC = "https://api.gdc.cancer.gov"

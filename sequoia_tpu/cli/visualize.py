@@ -19,7 +19,7 @@ import pandas as pd
 
 from sequoia_tpu.cli.compute_features import load_extractor
 from sequoia_tpu.data.wsi import open_slide
-from sequoia_tpu.models import convert, he2rna as he_mod
+from sequoia_tpu.models import convert
 from sequoia_tpu.pipeline import spatial
 from sequoia_tpu.train import checkpoint
 

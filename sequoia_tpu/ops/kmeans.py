@@ -27,9 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BIG = 1e30
-
-
 def _pairwise_sq_dist(x, centers):
     """(N, D), (k, D) -> (N, k) squared distances (f32 accumulate)."""
     prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32

@@ -17,7 +17,6 @@ Contracts:
 
 from __future__ import annotations
 
-import io
 import os
 import pickle
 
@@ -37,11 +36,6 @@ def _to_numpy_sd(obj) -> dict[str, np.ndarray]:
             v = v.detach().cpu().numpy()
         out[k] = np.asarray(v)
     return out
-
-
-class _ModuleShim:
-    """Stand-in for un-importable reference model classes in whole-module
-    pickles; restores attributes verbatim so ``state_dict()`` works."""
 
 
 def _shimmed_torch_load(path: str):
