@@ -105,3 +105,60 @@ def test_hf_layout_safetensors_dir(tmp_path):
     assert cfg2 == cfg
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), params, params2)
+
+
+def test_tools_convert_weights_roundtrip(tmp_path):
+    sys.path.insert(0, "tools")
+    import convert_weights as cw
+
+    cfg = vis.ViSConfig(num_outputs=4, input_dim=8, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=5)
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+    src = str(tmp_path / "a.pt")
+    checkpoint.save_torch_state_dict(convert.vis_to_torch(cfg, params), src)
+
+    dst = str(tmp_path / "b.pt")
+    cw.main(["--model", "vis", "--src", src, "--dst", dst, "--to", "torch"])
+    sd2 = checkpoint.load_torch_checkpoint(dst)
+    cfg2, params2 = convert.vis_from_torch(sd2)
+    assert cfg2 == cfg
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params, params2)
+
+    cw.main(["--model", "vis", "--src", src, "--dst",
+             str(tmp_path / "orb"), "--to", "orbax"])
+    restored = checkpoint.load_orbax(str(tmp_path / "orb"), like=params)
+    np.testing.assert_array_equal(np.asarray(restored["head_w"]),
+                                  np.asarray(params["head_w"]))
+
+
+def test_tools_parity_check(tmp_path):
+    import pickle as pk
+    sys.path.insert(0, "tools")
+    import parity_check as pc
+
+    rng = np.random.default_rng(0)
+    genes = ["A", "B", "C"]
+    real = rng.normal(size=(20, 3)).astype(np.float32)
+    pred = real + 0.1 * rng.normal(size=(20, 3)).astype(np.float32)
+    wsis = np.asarray([f"w{i}" for i in range(20)])
+
+    def dump(path, pred_, order):
+        res = {"genes": genes, "split_0": {
+            "real": real[order], "preds": pred_[order],
+            "random": pred_[order], "wsi_file_name": wsis[order],
+            "tcga_project": ["X"] * 20}}
+        with open(path, "wb") as f:
+            pk.dump(res, f)
+
+    dump(tmp_path / "ref.pkl", pred, np.arange(20))
+    # ours: same predictions, shuffled slide order -> must still PASS
+    dump(tmp_path / "ours.pkl", pred, rng.permutation(20))
+    assert pc.main(["--ref", str(tmp_path / "ref.pkl"),
+                    "--ours", str(tmp_path / "ours.pkl")]) == 0
+
+    # perturbed predictions -> FAIL
+    dump(tmp_path / "bad.pkl", pred + 0.3 * rng.normal(size=pred.shape).astype(np.float32),
+         np.arange(20))
+    assert pc.main(["--ref", str(tmp_path / "ref.pkl"),
+                    "--ours", str(tmp_path / "bad.pkl")]) == 1
