@@ -81,14 +81,49 @@ def tile_scores(cfg: HE2RNAConfig, params: Params, x: jax.Array, *,
     return linear(x, ws[-1], bs[-1])
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _topk_core(mt: jax.Array, mask: jax.Array, k: int) -> jax.Array:
+    """(B, G, T) masked scores -> (B, G) top-k masked mean.
+
+    Custom VJP: XLA's ``top_k`` gradient materializes an iota broadcast with
+    a trailing size-1 dim whose (8,128) tile padding explodes to ~18 GB at
+    the production shape (B=16, G=20820, T=100); the hand-written backward
+    scatters ``g * mask[:k]/denom`` straight to the selected indices.
+    """
+    top = jax.lax.top_k(mt, k)[0]
+    denom = jnp.sum(mask[:, :k], axis=1)
+    num = jnp.sum(top * mask[:, None, :k], axis=2)
+    return num / denom[:, None]
+
+
+def _topk_core_fwd(mt, mask, k):
+    vals, idx = jax.lax.top_k(mt, k)
+    denom = jnp.sum(mask[:, :k], axis=1)
+    num = jnp.sum(vals * mask[:, None, :k], axis=2)
+    return num / denom[:, None], (idx, mask, denom, mt.shape)
+
+
+def _topk_core_bwd(k, res, g):
+    idx, mask, denom, shape = res
+    b, gdim, t = shape
+    upd = g[:, :, None] * (mask[:, None, :k] / denom[:, None, None])  # (B,G,k)
+    b_ix = jnp.arange(b)[:, None, None]
+    g_ix = jnp.arange(gdim)[None, :, None]
+    dmt = jnp.zeros(shape, g.dtype).at[b_ix, g_ix, idx].add(upd)
+    return dmt, jnp.zeros_like(mask)
+
+
+_topk_core.defvjp(_topk_core_fwd, _topk_core_bwd)
+
+
 def _topk_masked_mean(scores: jax.Array, mask: jax.Array, k: int) -> jax.Array:
     """Reference ``forward_fixed_k``: top-k over tiles of masked scores,
     normalized by the mask count of the first ``k`` tiles."""
     masked = scores * mask[:, :, None]  # (B, T, G)
-    top = jax.lax.top_k(masked.transpose(0, 2, 1), k)[0]  # (B, G, k)
-    denom = jnp.sum(mask[:, :k], axis=1)  # (B,)
-    num = jnp.sum(top * mask[:, None, :k], axis=2)  # (B, G)
-    return num / denom[:, None]
+    return _topk_core(masked.transpose(0, 2, 1), mask, k)
 
 
 def apply(cfg: HE2RNAConfig, params: Params, x: jax.Array, *,

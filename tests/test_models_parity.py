@@ -208,3 +208,28 @@ def test_vis_bf16_fast_path_close_to_f32():
                                 params, x))
     assert fast.dtype == np.float32
     assert rel_err(fast, ref) < 3e-2  # bf16 mantissa budget
+
+
+def test_he2rna_topk_custom_vjp_matches_autodiff():
+    """The hand-written top-k backward == autodiff through lax.top_k."""
+    rng = np.random.default_rng(9)
+    B, T, G, k = 3, 20, 7, 5
+    scores = jnp.asarray(rng.normal(size=(B, T, G)).astype(np.float32))
+    mask = jnp.asarray((rng.random((B, T)) > 0.2).astype(np.float32))
+
+    def with_custom(s):
+        return jnp.sum(he2rna._topk_masked_mean(s, mask, k) ** 2)
+
+    def with_autodiff(s):
+        masked = s * mask[:, :, None]
+        top = jax.lax.top_k(masked.transpose(0, 2, 1), k)[0]
+        denom = jnp.sum(mask[:, :k], axis=1)
+        num = jnp.sum(top * mask[:, None, :k], axis=2)
+        return jnp.sum((num / denom[:, None]) ** 2)
+
+    np.testing.assert_allclose(float(with_custom(scores)),
+                               float(with_autodiff(scores)), rtol=1e-6)
+    g1 = jax.grad(with_custom)(scores)
+    g2 = jax.grad(with_autodiff)(scores)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
