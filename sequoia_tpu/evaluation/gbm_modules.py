@@ -45,28 +45,54 @@ def correlation_matrix(pred_df: pd.DataFrame, modules: dict[str, list[str]],
     return pred_df[cols].corr(method=method)
 
 
+MERGED_CATEGORIES = {
+    "ac": ("AC",),
+    "cc": ("G1S", "G2M"),
+    "mes": ("MES1", "MES2"),
+    "lin": ("NPC1", "NPC2", "OPC"),
+}
+
+
+def merge_categories(modules: dict[str, list[str]],
+                     categories: dict[str, tuple] = None) -> dict[str, list[str]]:
+    """The reference's merged coloring categories (ac / cc=cell-cycle /
+    mes / lin=lineage) from the eight Neftel modules."""
+    categories = categories or MERGED_CATEGORIES
+    return {label: [g for m in parts for g in modules.get(m, [])]
+            for label, parts in categories.items()}
+
+
 def percentile_scores(pred_df: pd.DataFrame,
                       modules: dict[str, list[str]]) -> pd.DataFrame:
-    """Per-tile per-module mean percentile score."""
+    """Per-tile per-module score: mean expression over the module's genes,
+    percentile-transformed within the slide (the reference's order of
+    operations: mean first, then ``percentileofscore``)."""
     present = module_gene_columns(pred_df, modules)
     out = pd.DataFrame(index=pred_df.index)
     for m, genes in present.items():
         if not genes:
             continue
-        pct = []
-        for g in genes:
-            vals = pred_df[g].to_numpy()
-            pct.append([percentileofscore(vals, v) if not np.isnan(v) else np.nan
-                        for v in vals])
-        out[m] = np.nanmean(np.asarray(pct), axis=0)
+        vals = pred_df[genes].mean(axis=1).to_numpy()
+        out[m] = [percentileofscore(vals, v) if not np.isnan(v) else np.nan
+                  for v in vals]
     return out
 
 
 def assign_modules(pred_df: pd.DataFrame,
                    modules: dict[str, list[str]]) -> pd.Series:
-    """Per-tile argmax module (the reference's spatial coloring rule)."""
+    """Per-tile argmax module/category (the reference's spatial coloring
+    rule: highest percentile of the category mean)."""
     scores = percentile_scores(pred_df, modules)
     return scores.idxmax(axis=1)
+
+
+def average_correlation(corr_dfs: list[pd.DataFrame]) -> pd.DataFrame:
+    """Across-slide mean gene-gene correlation (the reference's
+    ``total_clustered`` map)."""
+    out = corr_dfs[0].copy()
+    for df in corr_dfs[1:]:
+        out = out + df
+    return out / len(corr_dfs)
 
 
 def plot_clustermap(corr: pd.DataFrame, save_to: str | None = None):

@@ -134,3 +134,29 @@ def test_cli_gbm_analysis(tmp_path):
     assert (tmp_path / "out" / "slideX_spatial.png").exists()
     mods = pd.read_csv(tmp_path / "out" / "slideX_modules.csv", index_col=0)
     assert set(mods.iloc[:, 0].unique()) == {"AC", "MES1"}
+
+
+def test_merge_categories_and_average_corr():
+    mods = {"AC": ["a"], "G1S": ["b"], "G2M": ["c"], "MES1": ["d"],
+            "MES2": [], "NPC1": ["e"], "NPC2": [], "OPC": ["f"]}
+    merged = gbm_modules.merge_categories(mods)
+    assert merged == {"ac": ["a"], "cc": ["b", "c"], "mes": ["d"],
+                      "lin": ["e", "f"]}
+
+    c1 = pd.DataFrame([[1.0, 0.0], [0.0, 1.0]], columns=["a", "b"],
+                      index=["a", "b"])
+    c2 = pd.DataFrame([[1.0, 1.0], [1.0, 1.0]], columns=["a", "b"],
+                      index=["a", "b"])
+    avg = gbm_modules.average_correlation([c1, c2])
+    np.testing.assert_allclose(avg.values, [[1.0, 0.5], [0.5, 1.0]])
+
+
+def test_percentile_scores_mean_then_percentile():
+    from scipy.stats import percentileofscore
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"g1": rng.random(20), "g2": rng.random(20)})
+    scores = gbm_modules.percentile_scores(df, {"M": ["g1", "g2"]})
+    means = df[["g1", "g2"]].mean(axis=1).to_numpy()
+    want = [percentileofscore(means, v) for v in means]
+    np.testing.assert_allclose(scores["M"].to_numpy(), want)
