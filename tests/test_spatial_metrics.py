@@ -128,12 +128,18 @@ def test_cli_gbm_analysis(tmp_path):
     np.save(mod_dir / "MES1.npy", np.asarray(["g3"], dtype=object))
 
     cli_gbm.main(["--pred_csv", str(csv), "--module_dir", str(mod_dir),
-                  "--save_folder", str(tmp_path / "out")])
+                  "--save_folder", str(tmp_path / "out"), "--merged", "0"])
     assert (tmp_path / "out" / "slideX_corr.csv").exists()
     assert (tmp_path / "out" / "slideX_clustermap.png").exists()
     assert (tmp_path / "out" / "slideX_spatial.png").exists()
     mods = pd.read_csv(tmp_path / "out" / "slideX_modules.csv", index_col=0)
     assert set(mods.iloc[:, 0].unique()) == {"AC", "MES1"}
+
+    # merged categories (the reference coloring): AC -> ac, MES1 -> mes
+    cli_gbm.main(["--pred_csv", str(csv), "--module_dir", str(mod_dir),
+                  "--save_folder", str(tmp_path / "out2")])
+    mods2 = pd.read_csv(tmp_path / "out2" / "slideX_modules.csv", index_col=0)
+    assert set(mods2.iloc[:, 0].unique()) == {"ac", "mes"}
 
 
 def test_merge_categories_and_average_corr():
