@@ -23,7 +23,8 @@ from sequoia_tpu.train import checkpoint, he2rna_fit, loop
 
 
 def build_model(model_type: str, num_outputs: int, feature_dim: int, key,
-                depth: int = 6, num_heads: int = 16, num_clusters: int = 100):
+                depth: int = 6, num_heads: int = 16, num_clusters: int = 100,
+                compute_dtype: str | None = None):
     """Reference ``main.py`` model factory (vis/vit) -> (cfg, params, apply_fn,
     to_torch, from_torch)."""
     if model_type == "vit":
@@ -37,7 +38,8 @@ def build_model(model_type: str, num_outputs: int, feature_dim: int, key,
         cfg = vis.ViSConfig(num_outputs=num_outputs, input_dim=feature_dim,
                             depth=depth, nheads=num_heads,
                             dim_f=64, dim_s=64, dim_c=64,
-                            num_clusters=num_clusters)
+                            num_clusters=num_clusters,
+                            compute_dtype=compute_dtype)
         params = vis.init(cfg, key)
         return cfg, params, (lambda c: (lambda p, x: vis.apply(c, p, x)))(cfg), \
             convert.vis_to_torch, convert.vis_from_torch
