@@ -89,24 +89,13 @@ def featurize_tiles(slide, df: pd.DataFrame, patch_size_resized: int,
     return np.concatenate(feats, axis=0)
 
 
-def sliding_window_predict(tile_feats: np.ndarray, df: pd.DataFrame,
-                           predict_fn, gene_indices, *, stride: int = 1,
-                           window: int = 10, num_tokens: int = 100,
-                           batch_windows: int = 64) -> dict[int, dict[int, float]]:
-    """Reference ``sliding_window_method`` over cached features.
-
-    ``predict_fn``: (W, num_tokens, D) -> (W, G) batched aggregator forward.
-    Returns {gene_index: {df_row_label: prediction}}.
-    """
-    n, dim = tile_feats.shape
+def collect_windows(df: pd.DataFrame, *, stride: int = 1, window: int = 10):
+    """Qualifying-window member lists (reference order: df rows are already
+    sorted column-major, matching ``window.index``)."""
     xtf = df["xcoord_tf"].to_numpy()
     ytf = df["ycoord_tf"].to_numpy()
-    labels = df.index.to_numpy()
     max_x, max_y = int(xtf.max()), int(ytf.max())
     min_tiles = (window * window) / 2
-
-    # collect member lists per qualifying window (reference order: df rows
-    # are already sorted column-major, matching `window.index`)
     windows: list[np.ndarray] = []
     for x in range(0, max_x, stride):
         for y in range(0, max_y, stride):
@@ -114,8 +103,28 @@ def sliding_window_predict(tile_feats: np.ndarray, df: pd.DataFrame,
                              & (ytf >= y) & (ytf < y + window))[0]
             if sel.shape[0] > min_tiles:
                 windows.append(sel)
+    return windows
 
-    sums = {g: np.zeros(n) for g in gene_indices}
+
+def sliding_window_predict_multi(tile_feats: np.ndarray, df: pd.DataFrame,
+                                 predict_fns: dict, gene_indices, *,
+                                 stride: int = 1, window: int = 10,
+                                 num_tokens: int = 100,
+                                 batch_windows: int = 64):
+    """Reference ``sliding_window_method`` over cached features, all folds
+    in one pass: windows are gathered/padded ONCE and every fold's model
+    runs on the same device batch.
+
+    ``predict_fns``: {fold: (W, num_tokens, D) -> (W, G)}.
+    Returns {fold: {gene_index: {df_row_label: prediction}}}.
+    """
+    import jax.numpy as jnp
+
+    n, dim = tile_feats.shape
+    labels = df.index.to_numpy()
+    windows = collect_windows(df, stride=stride, window=window)
+
+    sums = {f: {g: np.zeros(n) for g in gene_indices} for f in predict_fns}
     counts = np.zeros(n, np.int64)
 
     for start in range(0, len(windows), batch_windows):
@@ -123,19 +132,34 @@ def sliding_window_predict(tile_feats: np.ndarray, df: pd.DataFrame,
         feats = np.zeros((batch_windows, num_tokens, dim), np.float32)
         for i, sel in enumerate(chunk):
             feats[i, : len(sel)] = tile_feats[sel[:num_tokens]]
-        preds = np.asarray(predict_fn(feats))  # (W, G)
+        feats_dev = jnp.asarray(feats)  # one transfer for all folds
         for i, sel in enumerate(chunk):
             counts[sel] += 1
-            for g in gene_indices:
-                sums[g][sel] += preds[i, g]
+        for f, fn in predict_fns.items():
+            preds = np.asarray(fn(feats_dev))  # (W, G)
+            for i, sel in enumerate(chunk):
+                for g in gene_indices:
+                    sums[f][g][sel] += preds[i, g]
 
-    out: dict[int, dict[int, float]] = {g: {} for g in gene_indices}
     seen = counts > 0
-    for g in gene_indices:
-        vals = sums[g][seen] / counts[seen]
-        for lbl, v in zip(labels[seen], vals):
-            out[g][lbl] = float(v)
+    out = {}
+    for f in predict_fns:
+        out[f] = {}
+        for g in gene_indices:
+            vals = sums[f][g][seen] / counts[seen]
+            out[f][g] = {int(lbl): float(v)
+                         for lbl, v in zip(labels[seen], vals)}
     return out
+
+
+def sliding_window_predict(tile_feats: np.ndarray, df: pd.DataFrame,
+                           predict_fn, gene_indices, *, stride: int = 1,
+                           window: int = 10, num_tokens: int = 100,
+                           batch_windows: int = 64) -> dict[int, dict[int, float]]:
+    """Single-model variant of :func:`sliding_window_predict_multi`."""
+    return sliding_window_predict_multi(
+        tile_feats, df, {0: predict_fn}, gene_indices, stride=stride,
+        window=window, num_tokens=num_tokens, batch_windows=batch_windows)[0]
 
 
 def run_visualize(slide, mask_xy: np.ndarray, gene_ids: list[str],
@@ -168,11 +192,11 @@ def run_visualize(slide, mask_xy: np.ndarray, gene_ids: list[str],
                                  resize_to=resize_patch_to)
 
     folds = sorted(fold_models)
+    all_preds = sliding_window_predict_multi(tile_feats, df, fold_models,
+                                             inds, stride=stride)
     for fold in folds:
-        preds = sliding_window_predict(tile_feats, df, fold_models[fold],
-                                       inds, stride=stride)
         for g in inds:
-            res_df[f"{gene_ids[g]}_{fold}"] = res_df.index.map(preds[g])
+            res_df[f"{gene_ids[g]}_{fold}"] = res_df.index.map(all_preds[fold][g])
 
     for g in inds:
         cols = [f"{gene_ids[g]}_{i}" for i in folds]
