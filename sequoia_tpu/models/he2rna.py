@@ -96,20 +96,28 @@ def _topk_core(mt: jax.Array, mask: jax.Array, k: int) -> jax.Array:
     top = jax.lax.top_k(mt, k)[0]
     denom = jnp.sum(mask[:, :k], axis=1)
     num = jnp.sum(top * mask[:, None, :k], axis=2)
-    return num / denom[:, None]
+    # all-masked samples (zero-padded batch rows) predict 0 instead of 0/0
+    # NaN (which would otherwise poison the masked loss and every gradient)
+    return jnp.where(denom[:, None] > 0, num / jnp.maximum(denom[:, None], 1.0),
+                     0.0)
 
 
 def _topk_core_fwd(mt, mask, k):
     vals, idx = jax.lax.top_k(mt, k)
     denom = jnp.sum(mask[:, :k], axis=1)
     num = jnp.sum(vals * mask[:, None, :k], axis=2)
-    return num / denom[:, None], (idx, mask, denom, mt.shape)
+    out = jnp.where(denom[:, None] > 0, num / jnp.maximum(denom[:, None], 1.0),
+                    0.0)
+    return out, (idx, mask, denom, mt.shape)
 
 
 def _topk_core_bwd(k, res, g):
     idx, mask, denom, shape = res
     b, gdim, t = shape
-    upd = g[:, :, None] * (mask[:, None, :k] / denom[:, None, None])  # (B,G,k)
+    safe = jnp.maximum(denom, 1.0)
+    w = jnp.where(denom[:, None, None] > 0,
+                  mask[:, None, :k] / safe[:, None, None], 0.0)
+    upd = g[:, :, None] * w  # (B, G, k)
     b_ix = jnp.arange(b)[:, None, None]
     g_ix = jnp.arange(gdim)[None, :, None]
     dmt = jnp.zeros(shape, g.dtype).at[b_ix, g_ix, idx].add(upd)

@@ -233,3 +233,29 @@ def test_he2rna_topk_custom_vjp_matches_autodiff():
     g2 = jax.grad(with_autodiff)(scores)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_he2rna_padded_rows_do_not_nan():
+    """Zero-padded batch rows must yield 0 predictions and finite gradients
+    (the reference never pads; our fixed-shape batches do)."""
+    from sequoia_tpu.ops import stats
+
+    cfg = he2rna.HE2RNAConfig(input_dim=8, output_dim=3, layers=(6,), ks=(1, 3))
+    params = he2rna.init(cfg, jax.random.PRNGKey(0))
+    x = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (4, 5, 8)))
+    x = x.at[3].set(0.0)  # padded row
+    valid = jnp.asarray([True, True, True, False])
+    y = jax.random.normal(jax.random.PRNGKey(2), (4, 3))
+
+    pred = he2rna.apply(cfg, params, x)
+    assert np.isfinite(np.asarray(pred)).all()
+    np.testing.assert_array_equal(np.asarray(pred[3]), 0.0)
+
+    def lf(p):
+        pr = he2rna.apply(cfg, p, x, train=True, rng=jax.random.PRNGKey(3))
+        return stats.masked_mse(pr, y, valid)
+
+    loss = float(lf(params))
+    assert np.isfinite(loss)
+    g = jax.grad(lf)(params)
+    assert all(np.isfinite(np.asarray(t)).all() for t in jax.tree.leaves(g))
