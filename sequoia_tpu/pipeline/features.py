@@ -105,9 +105,13 @@ def load_patches(patch_h5_path: str, max_patch_number: int | None,
 def compute_features(df, patch_data_path: str, feature_path: str,
                      extractor: FeatureExtractor, *,
                      max_patch_number: int = 4000, seed: int = 99,
-                     verbose: bool = True) -> int:
+                     verbose: bool = True, timer=None) -> int:
     """Reference __main__ flow over a (deduplicated) ref-file DataFrame.
-    Returns the number of slides processed."""
+    Returns the number of slides processed.  ``timer``: an optional
+    ``utils.profiling.StageTimer`` accumulating read/extract throughput."""
+    from sequoia_tpu.utils.profiling import StageTimer
+
+    timer = timer or StageTimer()
     rng = pyrandom.Random(seed)
     df = df.drop_duplicates(["wsi_file_name"])
     done = 0
@@ -133,14 +137,22 @@ def compute_features(df, patch_data_path: str, feature_path: str,
             continue
 
         try:
-            patches = load_patches(path, max_patch_number, rng)
-            feats = extractor(patches)
-            with h5py.File(os.path.join(path_h5, wsi + ".h5"), "w") as fw:
-                fw.create_dataset(f"{extractor.feat_type}_features", data=feats)
+            with timer.stage("read_patches", items=1):
+                patches = load_patches(path, max_patch_number, rng)
+            with timer.stage("extract", items=len(patches)):
+                feats = extractor(patches)
+            with timer.stage("write_features", items=1):
+                with h5py.File(os.path.join(path_h5, wsi + ".h5"), "w") as fw:
+                    fw.create_dataset(f"{extractor.feat_type}_features",
+                                      data=feats)
             with open(os.path.join(path_h5, "complete_tile.txt"), "w") as fs:
                 fs.write(f"Total n patch = {len(feats)}")
             done += 1
         except Exception as e:  # per-slide quarantine (reference behavior)
             print(f"{wsi}: {e}")
             continue
+    if verbose and done:
+        print(timer.report())
+        print(f"slides/hour (feature stage): "
+              f"{timer.slides_per_hour('read_patches'):.1f}")
     return done
