@@ -118,9 +118,12 @@ def _topk_core_bwd(k, res, g):
     w = jnp.where(denom[:, None, None] > 0,
                   mask[:, None, :k] / safe[:, None, None], 0.0)
     upd = g[:, :, None] * w  # (B, G, k)
-    b_ix = jnp.arange(b)[:, None, None]
-    g_ix = jnp.arange(gdim)[None, :, None]
-    dmt = jnp.zeros(shape, g.dtype).at[b_ix, g_ix, idx].add(upd)
+    # scatter expressed as a one-hot contraction: TPU scatter-add runs at
+    # ~0.1 G-updates/s here (377 ms at this shape) while XLA fuses the
+    # one-hot into a batched GEMM (10 ms, never materialized)
+    onehot = jax.nn.one_hot(idx, t, dtype=g.dtype)  # (B, G, k, T)
+    dmt = jnp.einsum("bgjt,bgj->bgt", onehot, upd,
+                     preferred_element_type=jnp.float32).astype(g.dtype)
     return dmt, jnp.zeros_like(mask)
 
 
