@@ -100,6 +100,7 @@ def main(argv=None) -> None:
 
     folds = [int(i) for i in args.folds.split(",")]
     fold_models = {}
+    vis_cfg, vis_fold_params = None, {}
     for fold in folds:
         ckpt = os.path.join(ckpt_dir, f"model_best_{fold}.pt")
         if fold == 0 and args.model_type in ("vit", "vis") \
@@ -110,6 +111,8 @@ def main(argv=None) -> None:
         sd = checkpoint.load_torch_checkpoint(ckpt)
         if args.model_type == "vis":
             cfg, params = convert.vis_from_torch(sd)
+            if vis_cfg in (None, cfg):
+                vis_cfg, vis_fold_params[fold] = cfg, params
             fold_models[fold] = spatial.make_vis_predict_fn(cfg, params)
         elif args.model_type == "vit":
             cfg, params = convert.vit_from_torch(sd)
@@ -121,6 +124,11 @@ def main(argv=None) -> None:
         else:
             cfg, params = convert.he2rna_from_torch(sd)
             fold_models[fold] = spatial.make_he2rna_predict_fn(cfg, params)
+
+    if args.model_type == "vis" and len(vis_fold_params) == len(folds):
+        # all folds share one architecture: one vmapped forward per batch
+        fold_models = spatial.make_vis_stacked_predict_fn(vis_cfg,
+                                                          vis_fold_params)
 
     save_path = os.path.join("visualizations", args.project, args.save_folder,
                              args.wsi_file_name)

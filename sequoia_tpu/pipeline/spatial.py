@@ -115,7 +115,9 @@ def sliding_window_predict_multi(tile_feats: np.ndarray, df: pd.DataFrame,
     in one pass: windows are gathered/padded ONCE and every fold's model
     runs on the same device batch.
 
-    ``predict_fns``: {fold: (W, num_tokens, D) -> (W, G)}.
+    ``predict_fns``: {fold: (W, num_tokens, D) -> (W, G)} callables, or a
+    single STACKED predictor (from :func:`make_vis_stacked_predict_fn`)
+    mapping (W, num_tokens, D) -> {fold: (W, G)} in one vmapped forward.
     Returns {fold: {gene_index: {df_row_label: prediction}}}.
     """
     import jax.numpy as jnp
@@ -124,7 +126,17 @@ def sliding_window_predict_multi(tile_feats: np.ndarray, df: pd.DataFrame,
     labels = df.index.to_numpy()
     windows = collect_windows(df, stride=stride, window=window)
 
-    sums = {f: {g: np.zeros(n) for g in gene_indices} for f in predict_fns}
+    if callable(predict_fns):
+        multi_fn = predict_fns
+        fold_keys = None  # discovered from the first chunk
+    else:
+        def multi_fn(feats_dev):
+            return {f: np.asarray(fn(feats_dev))
+                    for f, fn in predict_fns.items()}
+
+        fold_keys = list(predict_fns)
+
+    sums: dict = {}
     counts = np.zeros(n, np.int64)
 
     for start in range(0, len(windows), batch_windows):
@@ -135,15 +147,20 @@ def sliding_window_predict_multi(tile_feats: np.ndarray, df: pd.DataFrame,
         feats_dev = jnp.asarray(feats)  # one transfer for all folds
         for i, sel in enumerate(chunk):
             counts[sel] += 1
-        for f, fn in predict_fns.items():
-            preds = np.asarray(fn(feats_dev))  # (W, G)
+        fold_preds = multi_fn(feats_dev)
+        if not sums:
+            fold_keys = list(fold_preds)
+            sums = {f: {g: np.zeros(n) for g in gene_indices}
+                    for f in fold_keys}
+        for f in fold_keys:
+            preds = np.asarray(fold_preds[f])  # (W, G)
             for i, sel in enumerate(chunk):
                 for g in gene_indices:
                     sums[f][g][sel] += preds[i, g]
 
     seen = counts > 0
     out = {}
-    for f in predict_fns:
+    for f in (fold_keys or []):
         out[f] = {}
         for g in gene_indices:
             vals = sums[f][g][seen] / counts[seen]
@@ -191,12 +208,15 @@ def run_visualize(slide, mask_xy: np.ndarray, gene_ids: list[str],
     tile_feats = featurize_tiles(slide, df, patch_size_resized, extractor,
                                  resize_to=resize_patch_to)
 
-    folds = sorted(fold_models)
     all_preds = sliding_window_predict_multi(tile_feats, df, fold_models,
                                              inds, stride=stride)
+    folds = sorted(fold_models) if not callable(fold_models) \
+        else sorted(all_preds)
     for fold in folds:
+        fold_preds = all_preds.get(fold, {})
         for g in inds:
-            res_df[f"{gene_ids[g]}_{fold}"] = res_df.index.map(all_preds[fold][g])
+            res_df[f"{gene_ids[g]}_{fold}"] = res_df.index.map(
+                fold_preds.get(g, {}))
 
     for g in inds:
         cols = [f"{gene_ids[g]}_{i}" for i in folds]
@@ -214,6 +234,24 @@ def make_vis_predict_fn(cfg, params):
 
     fwd = jax.jit(lambda p, x: vis_mod.apply(cfg, p, x))
     return lambda feats: fwd(params, jnp.asarray(feats))
+
+
+def make_vis_stacked_predict_fn(cfg, fold_params: dict):
+    """All folds as ONE vmapped forward over stacked parameters:
+    (W, 100, D) -> {fold: (W, G)} (for :func:`sliding_window_predict_multi`)."""
+    from sequoia_tpu.models import vis as vis_mod
+
+    folds = sorted(fold_params)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[fold_params[f] for f in folds])
+    fwd = jax.jit(jax.vmap(lambda p, x: vis_mod.apply(cfg, p, x),
+                           in_axes=(0, None)))
+
+    def multi(feats):
+        out = np.asarray(fwd(stacked, jnp.asarray(feats)))  # (F, W, G)
+        return {f: out[i] for i, f in enumerate(folds)}
+
+    return multi
 
 
 def make_he2rna_predict_fn(cfg, params):

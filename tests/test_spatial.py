@@ -99,3 +99,28 @@ def test_build_valid_tiles_and_run_visualize(tmp_path):
     assert (tmp_path / "stride-2.csv").exists()
     # tiles covered by qualifying windows carry predictions
     assert res["G1"].notna().sum() > 10
+
+
+def test_stacked_fold_predictor_matches_per_fold():
+    rng = np.random.default_rng(2)
+    df = make_grid_df(rng)
+    D, G = 16, 5
+    tile_feats = rng.normal(size=(len(df), D)).astype(np.float32)
+    cfg = vis.ViSConfig(num_outputs=G, input_dim=D, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    fold_params = {f: vis.init(cfg, jax.random.PRNGKey(f)) for f in range(3)}
+
+    per_fold = {f: spatial.make_vis_predict_fn(cfg, p)
+                for f, p in fold_params.items()}
+    stacked = spatial.make_vis_stacked_predict_fn(cfg, fold_params)
+
+    a = spatial.sliding_window_predict_multi(tile_feats, df, per_fold,
+                                             [0, 2], stride=3)
+    b = spatial.sliding_window_predict_multi(tile_feats, df, stacked,
+                                             [0, 2], stride=3)
+    assert set(a) == set(b) == {0, 1, 2}
+    for f in a:
+        for g in (0, 2):
+            assert set(a[f][g]) == set(b[f][g])
+            for k in a[f][g]:
+                assert abs(a[f][g][k] - b[f][g][k]) < 1e-4
