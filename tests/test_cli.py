@@ -126,3 +126,63 @@ def test_cli_pretrain_gtex_he2rna(tmp_path, monkeypatch):
              "--save_dir", str(tmp_path / "pre"), "--exp_name", "h"])
     exp_dirs = list((tmp_path / "pre").iterdir())
     assert (exp_dirs[0] / "model.pt").exists()
+
+
+def test_download_rnaseq_filter_logic(monkeypatch):
+    """GDC downloader's gene-type + median-FPKM-UQ filters (network mocked)."""
+    import pandas as pd
+    from sequoia_tpu.cli import download_rnaseq as dl
+
+    hits = [{"file_id": f"f{i}",
+             "cases": [{"samples": [{"submitter_id": f"S{i}"}]}]}
+            for i in range(3)]
+    monkeypatch.setattr(dl, "list_star_counts_files", lambda p, **k: hits)
+
+    genes = pd.DataFrame({
+        "gene_name": ["OK1", "OK2", "RIBO", "ZERO"],
+        "gene_type": ["protein_coding", "miRNA", "rRNA", "lncRNA"],
+    })
+
+    def fake_fetch(file_id):
+        i = int(file_id[1:])
+        df = genes.copy()
+        df["fpkm_uq_unstranded"] = [10.0 + i, 5.0, 99.0, 0.0]
+        return df
+
+    monkeypatch.setattr(dl, "fetch_star_counts", fake_fetch)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as out:
+        path = dl.build_expression_table("TCGA-TEST", out)
+        table = pd.read_csv(path, index_col=0)
+    # rRNA dropped (gene type), ZERO dropped (median FPKM-UQ == 0)
+    assert set(table.index) == {"OK1", "OK2"}
+    assert list(table.columns) == ["S0", "S1", "S2"]
+    assert table.loc["OK1", "S2"] == 12.0
+
+
+def test_cli_main_project_filter_and_sampling(tmp_path, monkeypatch):
+    from sequoia_tpu.cli import main as cli_main
+
+    store = tmp_path / "features"
+    df = make_store(str(store), n_slides=12, n_genes=3, dim=8)
+    df.loc[:3, "tcga_project"] = "TCGA-OTHER"  # rows 0-3 filtered out
+    # move their h5 files so filter_no_features also drops them if kept
+    ref = tmp_path / "ref.csv"
+    df.to_csv(ref, index=False)
+
+    monkeypatch.chdir(tmp_path)
+    cli_main.main([
+        "--ref_file", str(ref), "--feature_path", str(store),
+        "--tcga_projects", "TCGA-TEST",
+        "--model_type", "vis", "--depth", "1", "--num-heads", "2",
+        "--k", "2", "--batch_size", "4", "--num_epochs", "1", "--train",
+        "--exp_name", "filt"])
+    import pickle
+    with open(tmp_path / "saved_exp" / "TCGA" / "filt" / "test_results.pkl",
+              "rb") as f:
+        out = pickle.load(f)
+    n = sum(out[f"split_{i}"]["preds"].shape[0] for i in range(2))
+    assert n == 8  # 12 slides minus the 4 filtered by project
+    assert all(p == "TCGA-TEST"
+               for i in range(2) for p in out[f"split_{i}"]["tcga_project"])
