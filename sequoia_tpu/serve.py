@@ -41,9 +41,22 @@ class SlidePredictor:
         self.patch_size = patch_size
         self.kmeans_seed = kmeans_seed
         self.use_pallas = use_pallas_kmeans
-        self._models = [(cfg, params,
-                         jax.jit(lambda p, x, c=cfg: vis.apply(c, p, x)))
-                        for cfg, params in vis_models]
+        self.vis_models = list(vis_models)
+        cfgs = [cfg for cfg, _ in vis_models]
+        if len(vis_models) > 1 and all(c == cfgs[0] for c in cfgs):
+            # homogeneous folds: one vmapped forward over stacked params
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                   *[p for _, p in vis_models])
+            fwd = jax.jit(jax.vmap(
+                lambda p, x, c=cfgs[0]: vis.apply(c, p, x),
+                in_axes=(0, None)))
+            self._ensemble_fwd = lambda x: jnp.mean(fwd(stacked, x), axis=0)
+            self._models = []
+        else:
+            self._ensemble_fwd = None
+            self._models = [(cfg, params,
+                             jax.jit(lambda p, x, c=cfg: vis.apply(c, p, x)))
+                            for cfg, params in vis_models]
         self.genes = None  # caller may attach the gene-name list
 
     # -- stages -----------------------------------------------------------
@@ -101,6 +114,8 @@ class SlidePredictor:
         cf = jnp.asarray(cf)
         if cf.ndim == 2:
             cf = cf[None]
+        if self._ensemble_fwd is not None:
+            return np.asarray(self._ensemble_fwd(cf))
         preds = [fwd(params, cf) for _, params, fwd in self._models]
         return np.mean([np.asarray(p) for p in preds], axis=0)
 

@@ -39,12 +39,12 @@ def test_predict_from_patches_and_features():
     out2 = pred.predict_features(feats)
     assert out2.shape == (1, 5)
 
-    # fold averaging: single-model predictors bracket the ensemble
-    single0 = SlidePredictor(pred.extractor, [ (pred._models[0][0], pred._models[0][1]) ],
+    # fold averaging (vmapped stacked path == mean of single-model runs)
+    single0 = SlidePredictor(pred.extractor, [pred.vis_models[0]],
                              n_clusters=8).predict_features(feats)
-    single1 = SlidePredictor(pred.extractor, [ (pred._models[1][0], pred._models[1][1]) ],
+    single1 = SlidePredictor(pred.extractor, [pred.vis_models[1]],
                              n_clusters=8).predict_features(feats)
-    np.testing.assert_allclose(out2, (single0 + single1) / 2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out2, (single0 + single1) / 2, rtol=1e-5, atol=1e-5)
 
 
 def test_predict_from_wsi():
