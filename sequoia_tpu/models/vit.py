@@ -28,7 +28,11 @@ Params = dict[str, Any]
 
 @dataclasses.dataclass(frozen=True)
 class ViTConfig:
-    """Defaults = reference ``src/main.py:141-143`` (dim set per feature type)."""
+    """Defaults = reference ``src/main.py:141-143`` (dim set per feature type).
+
+    ``compute_dtype``: None = f32 parity path; "bfloat16" = fast path with
+    f32 accumulation and f32 LayerNorm/softmax/head (same policy as ViS).
+    """
 
     num_outputs: int
     dim: int
@@ -37,6 +41,7 @@ class ViTConfig:
     dim_head: int = 64
     mlp_dim: int = 2048
     num_clusters: int = 100
+    compute_dtype: str | None = None
 
     @property
     def inner_dim(self) -> int:
@@ -103,13 +108,15 @@ def _block(cfg: ViTConfig, x: jax.Array, bp: dict[str, jax.Array]) -> jax.Array:
 
 def apply(cfg: ViTConfig, params: Params, x: jax.Array) -> jax.Array:
     """Forward pass: ``(B, N, D)`` cluster features -> ``(B, G)`` predictions."""
+    if cfg.compute_dtype is not None:
+        x = x.astype(cfg.compute_dtype)
     x = x + params["pos_emb"].astype(x.dtype)
 
     def body(carry, bp):
         return _block(cfg, carry, bp), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
-    x = jnp.mean(x, axis=1)
+    x = jnp.mean(x.astype(jnp.float32), axis=1)
     x = layer_norm(x, params["head_ln_scale"], params["head_ln_bias"])
     return linear(x, params["head_w"], params["head_b"])
 

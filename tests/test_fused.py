@@ -25,3 +25,31 @@ def test_slide_program_runs_and_is_deterministic():
     # different kmeans seed may change clustering -> may change predictions
     p3 = np.asarray(run(patches, jax.random.PRNGKey(3)))
     assert p3.shape == (7,)
+
+
+def test_slide_program_matches_staged_stages():
+    """Fused device-resident pipeline == running the stages by hand."""
+    from sequoia_tpu.ops import kmeans as km
+
+    rng = np.random.default_rng(1)
+    patches = jnp.asarray(rng.integers(0, 256, size=(2, 8, 64, 64, 3),
+                                       dtype=np.uint8))
+    rparams = resnet.random_params(jax.random.PRNGKey(0))
+    vis_cfg = vis.ViSConfig(num_outputs=5, input_dim=2048, depth=1, nheads=2,
+                            dim_f=4, dim_s=4, dim_c=4, num_clusters=6)
+    vparams = vis.init(vis_cfg, jax.random.PRNGKey(1))
+    run = make_slide_program(rparams, vis_cfg, vparams, n_clusters=6,
+                             compute_dtype=jnp.float32)
+    fused = np.asarray(run(patches, jax.random.PRNGKey(7)))
+
+    # staged: extractor per batch -> kmeans -> cluster means -> ViS
+    rcfg = resnet.ResNetConfig()
+    feats = jnp.concatenate([
+        resnet.extract_from_uint8(rcfg, rparams, patches[i])
+        for i in range(2)])
+    mask = jnp.ones((feats.shape[0],), bool)
+    _, labels, _, _ = km.kmeans_fit(feats, mask, jax.random.PRNGKey(7),
+                                    n_clusters=6)
+    cf = km.cluster_means(feats, labels, mask, n_clusters=6)
+    staged = np.asarray(vis.apply(vis_cfg, vparams, cf[None])[0])
+    np.testing.assert_allclose(fused, staged, rtol=1e-4, atol=1e-4)

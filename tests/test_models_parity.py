@@ -259,3 +259,17 @@ def test_he2rna_padded_rows_do_not_nan():
     assert np.isfinite(loss)
     g = jax.grad(lf)(params)
     assert all(np.isfinite(np.asarray(t)).all() for t in jax.tree.leaves(g))
+
+
+def test_vit_bf16_fast_path_close_to_f32():
+    import dataclasses as dc
+
+    cfg = vit.ViTConfig(num_outputs=16, dim=64, depth=2, heads=4,
+                        dim_head=8, mlp_dim=96, num_clusters=10)
+    params = vit.init(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 10, 64), jnp.float32)
+    ref = np.asarray(vit.apply(cfg, params, x))
+    fast = np.asarray(vit.apply(dc.replace(cfg, compute_dtype="bfloat16"),
+                                params, x))
+    assert fast.dtype == np.float32
+    assert rel_err(fast, ref) < 3e-2
