@@ -57,8 +57,8 @@ def img_to_sig(arr: np.ndarray) -> np.ndarray:
 def calculate_emd(arr1: np.ndarray, arr2: np.ndarray, norm: bool = False) -> float:
     import cv2
 
-    assert arr1.shape == arr2.shape, "please provide consistent shapes"
-    assert arr1.ndim == 2, "please give nxm matrix format"
+    assert arr1.shape == arr2.shape, f"shape mismatch {arr1.shape} vs {arr2.shape}"
+    assert arr1.ndim == 2, f"expected a 2-D map, got ndim={arr1.ndim}"
     if (not np.any(arr1)) and (not np.any(arr2)):
         return 0.0
     if not np.any(arr1) or not np.any(arr2):

@@ -221,19 +221,89 @@ def kmeans_lloyd(x: jax.Array, mask: jax.Array, init_centers: jax.Array,
     return _lloyd(x, mask, init_centers, max_iter, tol_abs, use_pallas)
 
 
+def _sklearn_sq_dists(A: np.ndarray, B: np.ndarray,
+                      b_norms: np.ndarray | None = None) -> np.ndarray:
+    """Squared euclidean distances with sklearn's exact float semantics.
+
+    For float32 inputs sklearn's ``_euclidean_distances`` ignores passed
+    norms, upcasts chunks to float64, computes ``|a|^2 + |b|^2 - 2 a.b``,
+    downcasts to float32 and clips at 0.  Chunking is over samples (never
+    features), so per-element results are chunk-independent — one full
+    float64 pass reproduces it bit-for-bit.
+    """
+    if A.dtype == np.float32 or B.dtype == np.float32:
+        A64 = A.astype(np.float64)
+        B64 = B.astype(np.float64)
+        d = -2.0 * (A64 @ B64.T)
+        d += (A64 * A64).sum(axis=1)[:, None]
+        d += (B64 * B64).sum(axis=1)[None, :]
+        d = d.astype(np.float32)
+    else:
+        d = -2.0 * (A @ B.T)
+        d += (A * A).sum(axis=1)[:, None]
+        d += (b_norms if b_norms is not None
+              else (B * B).sum(axis=1))[None, :]
+    np.maximum(d, 0.0, out=d)
+    return d
+
+
+def plusplus_indices(X: np.ndarray, n_clusters: int,
+                     random_state: np.random.RandomState) -> np.ndarray:
+    """First-party kmeans++ (greedy D^2 sampling, Arthur & Vassilvitskii)
+    drawing the identical RandomState stream and float arithmetic as
+    sklearn's seeding, so ``X[plusplus_indices(...)]`` equals the centers
+    ``KMeans(n_clusters, random_state=seed)`` starts Lloyd from — without
+    importing sklearn's private ``_kmeans_plusplus``.
+
+    Contract matched (behavior, not code): n_local_trials = 2 + int(log(k));
+    first center ~ ``random_state.choice``; per round, n_local_trials
+    candidates via ``uniform * current_pot`` searchsorted into the cumulative
+    D^2 mass, greedy pick minimizing the resulting potential.
+    """
+    n_samples = X.shape[0]
+    n_local_trials = 2 + int(np.log(n_clusters))
+    weights = np.ones(n_samples, X.dtype) / n_samples
+
+    indices = np.full(n_clusters, -1, dtype=int)
+    indices[0] = random_state.choice(n_samples, p=weights)
+    closest = _sklearn_sq_dists(X[indices[0]][None], X)[0]
+    sample_weight = np.ones(n_samples, X.dtype)
+    current_pot = closest @ sample_weight
+
+    for c in range(1, n_clusters):
+        rand_vals = random_state.uniform(size=n_local_trials) * current_pot
+        candidate_ids = np.searchsorted(np.cumsum(sample_weight * closest),
+                                        rand_vals)
+        np.clip(candidate_ids, None, closest.size - 1, out=candidate_ids)
+
+        dist = _sklearn_sq_dists(X[candidate_ids], X)
+        np.minimum(closest, dist, out=dist)
+        pots = dist @ sample_weight.reshape(-1, 1)
+
+        best = int(np.argmin(pots))
+        current_pot = pots[best]
+        closest = dist[best]
+        indices[c] = candidate_ids[best]
+
+    return indices
+
+
 def sklearn_plusplus_centers(features: np.ndarray, n_clusters: int,
                              seed: int = 0) -> np.ndarray:
-    """sklearn's exact kmeans++ seeding (identical RNG stream to
-    ``KMeans(random_state=seed)`` with the default single init) — the
-    'hybrid' parity path from SURVEY.md section 7.4: seed on host with
-    sklearn bit-parity, run Lloyd on TPU."""
-    from sklearn.cluster._kmeans import _kmeans_plusplus
-    from sklearn.utils import check_random_state
+    """kmeans++ seeding with the identical RNG stream and float arithmetic
+    as ``sklearn.cluster.KMeans(random_state=seed)`` (default single init) —
+    the 'hybrid' parity path from SURVEY.md section 7.4: seed on host with
+    sklearn bit-parity, run Lloyd on TPU.
 
+    First-party reimplementation (no sklearn private API).  Mirrors
+    ``KMeans.fit``'s mean-centering before seeding (reference
+    ``pre_processing/kmean_features.py:96``): candidate selection happens in
+    the same centered float domain as sklearn's, so the chosen indices match
+    bit-for-bit; returned centers are the original (uncentered) rows.
+    """
     X = np.ascontiguousarray(features, np.float32)
-    centers, _ = _kmeans_plusplus(
-        X, n_clusters,
-        x_squared_norms=(X * X).sum(axis=1),
-        sample_weight=np.ones(X.shape[0], X.dtype),
-        random_state=check_random_state(seed))
-    return np.asarray(centers, np.float32)
+    Xc = X - X.mean(axis=0)  # KMeans.fit centers data before seeding
+    rs = np.random.RandomState(seed) if not isinstance(
+        seed, np.random.RandomState) else seed
+    idx = plusplus_indices(Xc, n_clusters, rs)
+    return X[idx].astype(np.float32)

@@ -57,6 +57,38 @@ def shard_params(mesh: Mesh, params):
         lambda x, s: jax.device_put(x, _named(mesh, s)), params, specs)
 
 
+def opt_state_pspecs(opt_state, params):
+    """PartitionSpecs for an optax state: any subtree that mirrors the param
+    pytree (AdamW's ``mu``/``nu`` moments) inherits :func:`param_pspecs`;
+    everything else (step counts, empty states) is replicated.
+
+    This keeps the (D, G) gene-head moments sharded over 'model' with the
+    head itself — replicating them would all-gather ~340 MB of AdamW state
+    per chip at the full 20,820-gene panel, defeating the head TP."""
+    pstruct = jax.tree.structure(params)
+    pspecs = param_pspecs(params)
+
+    def is_param_like(sub):
+        try:
+            return jax.tree.structure(sub) == pstruct
+        except Exception:
+            return False
+
+    def spec_for(sub):
+        if is_param_like(sub):
+            return pspecs
+        return jax.tree.map(lambda _: P(), sub)
+
+    return jax.tree.map(spec_for, opt_state, is_leaf=is_param_like)
+
+
+def shard_opt_state(mesh: Mesh, opt_state, params):
+    """Place optimizer state on the mesh with moments sharded like params."""
+    specs = opt_state_pspecs(opt_state, params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, _named(mesh, s)), opt_state, specs)
+
+
 def shard_batch_arrays(mesh: Mesh, features, rna, valid):
     """features (B,T,D) and valid (B,) over 'data'; rna (B,G) over
     ('data','model') to co-locate targets with the sharded head output."""

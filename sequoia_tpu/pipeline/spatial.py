@@ -106,11 +106,11 @@ def collect_windows(df: pd.DataFrame, *, stride: int = 1, window: int = 10):
     return windows
 
 
-def sliding_window_predict_multi(tile_feats: np.ndarray, df: pd.DataFrame,
-                                 predict_fns: dict, gene_indices, *,
-                                 stride: int = 1, window: int = 10,
-                                 num_tokens: int = 100,
-                                 batch_windows: int = 64):
+def sliding_window_predict_arrays(tile_feats: np.ndarray, df: pd.DataFrame,
+                                  predict_fns, gene_indices, *,
+                                  stride: int = 1, window: int = 10,
+                                  num_tokens: int = 100,
+                                  batch_windows: int = 64):
     """Reference ``sliding_window_method`` over cached features, all folds
     in one pass: windows are gathered/padded ONCE and every fold's model
     runs on the same device batch.
@@ -118,13 +118,18 @@ def sliding_window_predict_multi(tile_feats: np.ndarray, df: pd.DataFrame,
     ``predict_fns``: {fold: (W, num_tokens, D) -> (W, G)} callables, or a
     single STACKED predictor (from :func:`make_vis_stacked_predict_fn`)
     mapping (W, num_tokens, D) -> {fold: (W, G)} in one vmapped forward.
-    Returns {fold: {gene_index: {df_row_label: prediction}}}.
+
+    Returns ``(fold_keys, means, seen)`` where ``means[f]`` is the
+    (n_tiles, G_sel) overlap-averaged prediction table (NaN on never-covered
+    tiles) — fully vectorized, so ``--gene_names all`` (20,820 genes) costs
+    one segment-sum per chunk instead of the reference's per-window-per-gene
+    Python scatter (``spatial_vis/visualize.py:87-100``).
     """
     import jax.numpy as jnp
 
     n, dim = tile_feats.shape
-    labels = df.index.to_numpy()
     windows = collect_windows(df, stride=stride, window=window)
+    gene_indices = np.asarray(list(gene_indices), np.int64)
 
     if callable(predict_fns):
         multi_fn = predict_fns
@@ -145,27 +150,52 @@ def sliding_window_predict_multi(tile_feats: np.ndarray, df: pd.DataFrame,
         for i, sel in enumerate(chunk):
             feats[i, : len(sel)] = tile_feats[sel[:num_tokens]]
         feats_dev = jnp.asarray(feats)  # one transfer for all folds
-        for i, sel in enumerate(chunk):
-            counts[sel] += 1
+        member_tiles = np.concatenate(chunk) if chunk else np.zeros(0, np.int64)
+        np.add.at(counts, member_tiles, 1)
         fold_preds = multi_fn(feats_dev)
         if not sums:
             fold_keys = list(fold_preds)
-            sums = {f: {g: np.zeros(n) for g in gene_indices}
-                    for f in fold_keys}
+            sums = {f: np.zeros((n, len(gene_indices))) for f in fold_keys}
         for f in fold_keys:
             preds = np.asarray(fold_preds[f])  # (W, G)
+            if not (len(gene_indices) == preds.shape[1]
+                    and np.array_equal(gene_indices,
+                                       np.arange(preds.shape[1]))):
+                preds = preds[:, gene_indices]  # (W, G_sel)
+            s = sums[f]
+            # member indices are unique within a window, so fancy-index +=
+            # is one vectorized row-add per window (np.add.at would scatter
+            # element-wise: ~100x slower at 20,820 genes)
             for i, sel in enumerate(chunk):
-                for g in gene_indices:
-                    sums[f][g][sel] += preds[i, g]
+                s[sel] += preds[i]
 
     seen = counts > 0
-    out = {}
+    means = {}
     for f in (fold_keys or []):
-        out[f] = {}
-        for g in gene_indices:
-            vals = sums[f][g][seen] / counts[seen]
-            out[f][g] = {int(lbl): float(v)
-                         for lbl, v in zip(labels[seen], vals)}
+        m = np.full((n, len(gene_indices)), np.nan)
+        m[seen] = sums[f][seen] / counts[seen, None]
+        means[f] = m
+    return list(fold_keys or []), means, seen
+
+
+def sliding_window_predict_multi(tile_feats: np.ndarray, df: pd.DataFrame,
+                                 predict_fns, gene_indices, *,
+                                 stride: int = 1, window: int = 10,
+                                 num_tokens: int = 100,
+                                 batch_windows: int = 64):
+    """Dict view of :func:`sliding_window_predict_arrays`:
+    {fold: {gene_index: {df_row_label: prediction}}} (reference layout)."""
+    labels = df.index.to_numpy()
+    gene_indices = list(gene_indices)
+    fold_keys, means, seen = sliding_window_predict_arrays(
+        tile_feats, df, predict_fns, gene_indices, stride=stride,
+        window=window, num_tokens=num_tokens, batch_windows=batch_windows)
+    out = {}
+    for f in fold_keys:
+        m = means[f][seen]
+        out[f] = {int(g): {int(lbl): float(v)
+                           for lbl, v in zip(labels[seen], m[:, j])}
+                  for j, g in enumerate(gene_indices)}
     return out
 
 
@@ -198,29 +228,32 @@ def run_visualize(slide, mask_xy: np.ndarray, gene_ids: list[str],
     res_df = df.copy(deep=True)
 
     gene_names = list(gene_names) if gene_names is not None else list(gene_ids)
+    gene_pos = {g: i for i, g in enumerate(gene_ids)}  # O(1) lookups
     inds = []
     for gname in gene_names:
-        try:
-            inds.append(gene_ids.index(gname))
-        except ValueError:
+        if gname in gene_pos:
+            inds.append(gene_pos[gname])
+        else:
             print(f"gene not in predicted values {gname}")
 
     tile_feats = featurize_tiles(slide, df, patch_size_resized, extractor,
                                  resize_to=resize_patch_to)
 
-    all_preds = sliding_window_predict_multi(tile_feats, df, fold_models,
-                                             inds, stride=stride)
-    folds = sorted(fold_models) if not callable(fold_models) \
-        else sorted(all_preds)
-    for fold in folds:
-        fold_preds = all_preds.get(fold, {})
-        for g in inds:
-            res_df[f"{gene_ids[g]}_{fold}"] = res_df.index.map(
-                fold_preds.get(g, {}))
-
-    for g in inds:
-        cols = [f"{gene_ids[g]}_{i}" for i in folds]
-        res_df[gene_ids[g]] = res_df[cols].mean(axis=1)
+    fold_keys, means, _ = sliding_window_predict_arrays(
+        tile_feats, df, fold_models, inds, stride=stride)
+    folds = sorted(fold_keys)
+    # Assemble all {gene}_{fold} + across-fold-mean columns in ONE concat —
+    # per-column inserts fragment the frame and are Python-quadratic at
+    # --gene_names all (20,820 genes x folds).
+    blocks = [pd.DataFrame(means[fold],
+                           columns=[f"{gene_ids[g]}_{fold}" for g in inds],
+                           index=res_df.index)
+              for fold in folds]
+    fold_mean = np.nanmean(np.stack([means[f] for f in folds]), axis=0) \
+        if folds else np.zeros((len(res_df), 0))
+    blocks.append(pd.DataFrame(fold_mean, columns=[gene_ids[g] for g in inds],
+                               index=res_df.index))
+    res_df = pd.concat([res_df] + blocks, axis=1)
 
     if save_path:
         os.makedirs(save_path, exist_ok=True)

@@ -114,7 +114,7 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
         from sequoia_tpu.parallel import sharding as _sh
 
         params = _sh.shard_params(mesh, params)
-        opt_state = _sh.replicate(mesh, optimizer.init(params))
+        opt_state = _sh.shard_opt_state(mesh, optimizer.init(params), params)
     else:
         opt_state = optimizer.init(params)
 

@@ -132,6 +132,29 @@ def test_run_kmeans_grouped_batching(tmp_path):
         assert (dmin < 0.5).all()
 
 
+def test_plusplus_indices_bit_equal_to_sklearn():
+    """First-party kmeans++ draws the identical RandomState stream and float
+    arithmetic as sklearn's seeding: chosen indices are bit-equal to the
+    private ``_kmeans_plusplus`` on the same (centered) data."""
+    try:
+        from sklearn.cluster._kmeans import _kmeans_plusplus
+    except ImportError:
+        import pytest
+        pytest.skip("sklearn private seeding API not importable")
+
+    rng = np.random.default_rng(1)
+    for n, d, k in [(500, 32, 8), (1200, 64, 100)]:
+        x = (rng.normal(size=(n, d)) * 3
+             + rng.normal(size=(1, d)) * 5).astype(np.float32)
+        xc = x - x.mean(axis=0)
+        _, ref_idx = _kmeans_plusplus(
+            xc, k, x_squared_norms=(xc * xc).sum(1),
+            sample_weight=np.ones(n, xc.dtype),
+            random_state=np.random.RandomState(0))
+        ours = km.plusplus_indices(xc, k, np.random.RandomState(0))
+        np.testing.assert_array_equal(ours, ref_idx)
+
+
 def test_hybrid_backend_matches_sklearn():
     """sklearn-seeded TPU Lloyd == full sklearn fit on well-posed data."""
     x = blobs(n=400, d=16, k=8, spread=0.03)
