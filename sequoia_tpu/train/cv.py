@@ -53,9 +53,16 @@ def run_cross_validation(
         save_on: str = "loss", stop_on: str = "loss", do_train: bool = True,
         checkpoint_path: str | None = None, change_num_genes: int = 0,
         log_fn=None, verbose: bool = True, resume: bool = False,
-        mesh=None) -> dict:
+        mesh=None, eval_on: str = "final") -> dict:
     """Reference ``src/main.py`` flow: per-fold train -> test-fold eval ->
-    random-model null -> ``test_results.pkl``."""
+    random-model null -> ``test_results.pkl``.
+
+    ``eval_on``: which trained weights produce ``test_results.pkl``.
+    ``"final"`` (default) matches the reference exactly — its ``train``
+    returns the live module at the last epoch and ``main.py:193`` evaluates
+    that, while the best-val weights only go to ``model_best_{i}.pt``.
+    ``"best"`` evaluates the saved-best weights instead.
+    """
     os.makedirs(save_dir, exist_ok=True)
     key = jax.random.PRNGKey(seed)
 
@@ -119,7 +126,8 @@ def run_cross_validation(
                 mesh=mesh,
                 save_fn=lambda p: checkpoint.save_torch_state_dict(
                     to_torch(cfg, p), save_path))
-            params = result.params
+            params = (result.final_params if eval_on == "final"
+                      else result.params)
 
         test_loader = ds.BatchLoader(test_ds, batch_size, shuffle=False)
         preds, real, wsis, projs = loop.evaluate(apply_fn, params, test_loader,

@@ -80,9 +80,12 @@ def make_step_fns(apply_fn: Callable, optimizer: optax.GradientTransformation):
 
 @dataclasses.dataclass
 class TrainResult:
-    params: dict
+    params: dict           # best-checkpoint params (what model_best_{i}.pt holds)
     history: list[dict]
     best_epoch: int
+    final_params: dict | None = None  # last-epoch params — the reference's
+    # ``train`` returns the live module and ``main.py:193`` evaluates it
+    # directly, so test_results.pkl reflects the FINAL model, not the best
 
 
 def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
@@ -253,9 +256,11 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
                           f"{delta} band around the best loss")
                 break
 
+    final_params = jax.tree.map(lambda x: np.asarray(x), params)
     if best_epoch < 0:  # never saved (e.g. 0 epochs): return current params
-        best_params = jax.tree.map(lambda x: np.asarray(x), params)
-    return TrainResult(params=best_params, history=history, best_epoch=best_epoch)
+        best_params = final_params
+    return TrainResult(params=best_params, history=history,
+                       best_epoch=best_epoch, final_params=final_params)
 
 
 def _gather(loader, fn):

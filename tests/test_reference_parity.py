@@ -1,0 +1,199 @@
+"""Offline parity gate against the reference's OWN PyTorch code.
+
+Unlike tests/test_models_parity.py (which compares against reimplemented
+torch goldens), these tests import the actual reference modules from
+``/root/reference/src`` — ``tformer_lin.ViS``, ``vit.ViT``, ``he2rna.HE2RNA``
+and the ``train``/``evaluate`` loops — and diff end-to-end outputs:
+
+* fixed-weight forward parity at the production configuration;
+* the full CV flow (reference ``main.py:96-219`` semantics) trained with the
+  reference's torch loop vs ours on the same synthetic signal store, same
+  splits, same batch stream, same initial weights — asserting the north-star
+  budget: per-gene Pearson r within 1e-3 (BASELINE.md).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+import reference_loader as rl  # noqa: E402
+
+pytestmark = pytest.mark.skipif(not rl.reference_available(),
+                                reason="reference tree not present")
+
+
+def _torch():
+    return pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return rl.load_reference()
+
+
+def test_vis_forward_parity_vs_reference_class(ref):
+    """Our ViS forward == the reference's ViS module at the production
+    configuration (D=2048, 6 blocks, 16 heads, 20,820 genes)."""
+    torch = _torch()
+    from sequoia_tpu.models import convert, vis
+
+    cfg = vis.ViSConfig(num_outputs=20820, input_dim=2048, depth=6,
+                        nheads=16, dim_f=64, dim_s=64, dim_c=64,
+                        num_clusters=100)
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+
+    model = rl.build_reference_model(ref, "vis", 20820, 2048, 6, 16, 100)
+    rl._load_our_params(model, convert.vis_to_torch(cfg, params))
+    model.eval()
+
+    x = np.random.default_rng(0).normal(size=(4, 100, 2048)).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(x)).numpy()
+    got = np.asarray(vis.apply(cfg, params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-4)
+
+
+def test_vit_forward_parity_vs_reference_class(ref):
+    torch = _torch()
+    from sequoia_tpu.models import convert, vit
+
+    cfg = vit.ViTConfig(num_outputs=20820, dim=2048, depth=6, heads=16,
+                        mlp_dim=2048, dim_head=64, num_clusters=100)
+    params = vit.init(cfg, jax.random.PRNGKey(0))
+
+    model = rl.build_reference_model(ref, "vit", 20820, 2048, 6, 16, 100)
+    rl._load_our_params(model, convert.vit_to_torch(cfg, params))
+    model.eval()
+
+    x = np.random.default_rng(1).normal(size=(4, 100, 2048)).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(x)).numpy()
+    got = np.asarray(vit.apply(cfg, params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-4)
+
+
+def test_he2rna_eval_forward_parity_vs_reference_class(ref):
+    """Eval-mode (k-averaged, incl. the ``mask[:, :, :k]`` quirk and
+    zero-padded tiles) against the reference HE2RNA module."""
+    torch = _torch()
+    from sequoia_tpu.models import convert, he2rna
+
+    cfg = he2rna.HE2RNAConfig(input_dim=512, output_dim=1000,
+                              layers=(256, 256), ks=(1, 2, 5, 10, 20, 50, 100))
+    params = he2rna.init(cfg, jax.random.PRNGKey(0))
+
+    model = ref.he2rna.HE2RNA(input_dim=512, output_dim=1000,
+                              layers=[256, 256], nonlin=torch.nn.ReLU(),
+                              ks=[1, 2, 5, 10, 20, 50, 100], dropout=0.5,
+                              device="cpu")
+    rl._load_our_params(model, convert.he2rna_to_torch(cfg, params))
+    model.eval()
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(3, 120, 512)).astype(np.float32)
+    x[0, 80:] = 0.0  # padded tiles exercise the max>0 mask
+    with torch.no_grad():
+        want = model(torch.from_numpy(np.transpose(x, (0, 2, 1)))).numpy()
+    got = np.asarray(he2rna.apply(cfg, params, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+
+
+def test_he2rna_predict_parity_fixed_weights(ref, tmp_path):
+    """Fixed-weight prediction-level agreement through both PREDICT stacks
+    (reference ``he2rna_predict`` incl. its eval-time ReLU vs ours) on a real
+    feature store."""
+    _torch()
+    from tests.test_learning_e2e import make_signal_store
+
+    from sequoia_tpu.data import dataset as ds
+    from sequoia_tpu.models import convert, he2rna
+    from sequoia_tpu.train import he2rna_fit
+
+    df = make_signal_store(str(tmp_path), n_slides=12, dim=16)
+    dset = ds.FeatureDataset(df, str(tmp_path))
+    cfg = he2rna.HE2RNAConfig(input_dim=16, output_dim=dset.num_genes,
+                              layers=(32, 32), ks=(1, 2, 5, 10, 20, 50, 100))
+    params = he2rna.init(cfg, jax.random.PRNGKey(3))
+
+    ours, labels, wsis, _ = he2rna_fit.he2rna_predict(
+        cfg, params, ds.BatchLoader(dset, 5))
+
+    model = ref.he2rna.HE2RNA(input_dim=16, output_dim=dset.num_genes,
+                              layers=[32, 32], ks=[1, 2, 5, 10, 20, 50, 100],
+                              device="cpu")
+    rl._load_our_params(model, convert.he2rna_to_torch(cfg, params))
+    want, ref_labels, ref_wsis, _ = ref.he2rna.he2rna_predict(
+        model, rl.TorchStream(ds.BatchLoader(dset, 5)))
+
+    assert list(wsis) == list(ref_wsis)
+    np.testing.assert_allclose(labels, ref_labels, atol=0)
+    np.testing.assert_allclose(ours, want, rtol=1e-5, atol=1e-6)
+
+
+def _per_gene_r(real, pred):
+    from sequoia_tpu.evaluation.evaluate_model import pearson_with_p
+
+    r, _ = pearson_with_p(real, pred)
+    return np.nan_to_num(r)
+
+
+def _cv_parity(tmp_path, model_type, num_epochs=12):
+    from tests.test_learning_e2e import make_signal_store
+    from parity_check import collect
+
+    from sequoia_tpu.train import cv
+
+    store = os.path.join(str(tmp_path), "features")
+    os.makedirs(store, exist_ok=True)
+    df = make_signal_store(store)
+
+    kw = dict(model_type=model_type, depth=1, num_heads=2, k=2, batch_size=8,
+              num_epochs=num_epochs, lr=1e-3, save_on="loss", stop_on="loss",
+              verbose=False)
+    ours = cv.run_cross_validation(df, store,
+                                   os.path.join(str(tmp_path), "ours"), **kw)
+    ref_res = rl.run_reference_cross_validation(
+        df, store, os.path.join(str(tmp_path), "ref"), **kw)
+
+    g1, real1, pred1, wsi1 = collect(ref_res)
+    g2, real2, pred2, wsi2 = collect(ours)
+    assert list(g1) == list(g2)
+    o1, o2 = np.argsort(wsi1), np.argsort(wsi2)
+    assert (wsi1[o1] == wsi2[o2]).all()
+    np.testing.assert_allclose(real1[o1], real2[o2], atol=0)
+
+    dr = np.abs(_per_gene_r(real1[o1], pred1[o1])
+                - _per_gene_r(real2[o2], pred2[o2]))
+    # the north-star budget (BASELINE.md): per-gene Pearson r within 1e-3
+    assert dr.max() <= 1e-3, f"per-gene |dr| max {dr.max():.2e}"
+
+    # random-model null parity too (same converted init on both sides)
+    rand1 = np.concatenate([np.asarray(ref_res[k]["random"])
+                            for k in sorted(ref_res) if k.startswith("split_")])
+    rand2 = np.concatenate([np.asarray(ours[k]["random"])
+                            for k in sorted(ours) if str(k).startswith("split_")])
+    np.testing.assert_allclose(rand1[o1], rand2[o2], rtol=1e-4, atol=1e-5)
+    return dr
+
+
+@pytest.mark.slow
+def test_vis_cv_parity_vs_reference_trained(ref, tmp_path):
+    """Reference torch CV (its own ViS + train/evaluate + AdamW) vs our CV:
+    per-gene Pearson within the 1e-3 end-to-end budget after real training."""
+    _torch()
+    dr = _cv_parity(tmp_path, "vis")
+    print(f"vis per-gene |dr| max {dr.max():.2e}")
+
+
+@pytest.mark.slow
+def test_vit_cv_parity_vs_reference_trained(ref, tmp_path):
+    _torch()
+    dr = _cv_parity(tmp_path, "vit", num_epochs=8)
+    print(f"vit per-gene |dr| max {dr.max():.2e}")

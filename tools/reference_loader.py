@@ -1,0 +1,190 @@
+"""Import harness + CV driver for the reference implementation.
+
+Used ONLY by the offline parity gate (``tests/test_reference_parity.py``):
+imports the reference's *actual* PyTorch model classes and train/eval loops
+from ``/root/reference/src`` so our pipeline's outputs can be diffed against
+code we did not write.  The shipped CLI layers there are broken
+(``main.py`` missing imports / syntax errors — SURVEY.md section 7.5), but the
+model classes and the ``train``/``evaluate`` functions are importable and
+correct; this module drives them directly, reproducing ``main.py``'s fold
+loop (reference ``src/main.py:96-219``) with the same deterministic batch
+stream as ``sequoia_tpu.train.cv.run_cross_validation``.
+
+Nothing from here ships in ``sequoia_tpu``; no reference code is copied —
+it is imported from its own tree and executed as the parity oracle.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+
+REFERENCE_ROOT = os.environ.get("SEQUOIA_REFERENCE_ROOT", "/root/reference")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def reference_available(root: str = REFERENCE_ROOT) -> bool:
+    return os.path.exists(os.path.join(root, "src", "tformer_lin.py"))
+
+
+def load_reference(root: str = REFERENCE_ROOT):
+    """Import the reference's model/loop modules (stubbing wandb, which the
+    reference imports at module scope but only uses when logging is on)."""
+    if "wandb" not in sys.modules:
+        stub = types.ModuleType("wandb")
+        stub.log = lambda *a, **k: None
+        stub.init = lambda *a, **k: types.SimpleNamespace(
+            log=stub.log, finish=lambda: None)
+        sys.modules["wandb"] = stub
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    return types.SimpleNamespace(
+        tformer_lin=importlib.import_module("src.tformer_lin"),
+        vit=importlib.import_module("src.vit"),
+        he2rna=importlib.import_module("src.he2rna"),
+        read_data=importlib.import_module("src.read_data"),
+        utils=importlib.import_module("src.utils"),
+    )
+
+
+class TorchStream:
+    """Adapter presenting a sequoia_tpu ``BatchLoader`` to the reference's
+    torch loops: yields ``(features, rna, wsi, project)`` with padded rows
+    stripped, so both frameworks consume the *identical* batch sequence
+    (``BatchLoader`` reshuffles deterministically per epoch on both sides)."""
+
+    def __init__(self, loader):
+        self.loader = loader
+
+    def __iter__(self):
+        import torch
+
+        for b in self.loader:
+            if b.n_valid == 0:
+                continue
+            n = b.n_valid
+            yield (torch.from_numpy(np.ascontiguousarray(b.features[:n])),
+                   torch.from_numpy(np.ascontiguousarray(b.rna[:n])),
+                   list(b.wsi), list(b.project))
+
+
+def _load_our_params(model, sd: dict) -> None:
+    """Load a converter-produced {torch_name: ndarray} dict into a reference
+    torch module (identical initialization on both sides of the gate)."""
+    import torch
+
+    model.load_state_dict({k: torch.as_tensor(np.array(v, copy=True))
+                           for k, v in sd.items()})
+
+
+def build_reference_model(ref, model_type: str, num_outputs: int,
+                          feature_dim: int, depth: int, num_heads: int,
+                          num_clusters: int = 100):
+    """The reference ``main.py:160-168`` model factory, on CPU."""
+    if model_type == "vit":
+        return ref.vit.ViT(num_outputs=num_outputs, dim=feature_dim,
+                           depth=depth, heads=num_heads, mlp_dim=2048,
+                           dim_head=64, num_clusters=num_clusters,
+                           device="cpu")
+    if model_type == "vis":
+        return ref.tformer_lin.ViS(num_outputs=num_outputs,
+                                   input_dim=feature_dim, depth=depth,
+                                   nheads=num_heads, dimensions_f=64,
+                                   dimensions_c=64, dimensions_s=64,
+                                   num_clusters=num_clusters, device="cpu")
+    raise ValueError(model_type)
+
+
+def run_reference_cross_validation(
+        df, feature_path: str, save_dir: str, *, model_type: str = "vis",
+        depth: int = 6, num_heads: int = 16, k: int = 5, batch_size: int = 16,
+        lr: float = 1e-3, num_epochs: int = 200, seed: int = 99,
+        save_on: str = "loss", stop_on: str = "loss",
+        verbose: bool = False) -> dict:
+    """The reference ``src/main.py`` fold loop executed with the REFERENCE's
+    own classes and loops (``train``/``evaluate`` from ``src/vit.py``,
+    ``ViS``/``ViT`` from their modules, torch ``AdamW(lr, wd=0)``), on the
+    same splits, batch stream, and initial weights as
+    ``sequoia_tpu.train.cv.run_cross_validation(seed=seed)``.
+
+    Like the reference, the FINAL model (not the saved best) produces
+    ``test_results.pkl`` (``main.py:193``), and the random-null model is a
+    fresh initialization (``main.py:196-204``) — here materialized from the
+    same PRNG keys as our CV so both pipelines' nulls agree too.
+    """
+    import jax
+    import torch
+
+    from sequoia_tpu.data import dataset as ds
+    from sequoia_tpu.data import splits as sp
+    from sequoia_tpu.train import cv as our_cv
+
+    ref = load_reference()
+    torch.manual_seed(0)
+    os.makedirs(save_dir, exist_ok=True)
+
+    key = jax.random.PRNGKey(seed)
+    train_idxs, val_idxs, test_idxs = sp.patient_kfold(
+        df["patient_id"].to_numpy(), n_splits=k)
+
+    results: dict = {}
+    for i, (train_idx, val_idx, test_idx) in enumerate(
+            zip(train_idxs, val_idxs, test_idxs)):
+        train_ds = ds.FeatureDataset(df.iloc[train_idx], feature_path)
+        val_ds = ds.FeatureDataset(df.iloc[val_idx], feature_path)
+        test_ds = ds.FeatureDataset(df.iloc[test_idx], feature_path)
+        num_outputs, feature_dim = train_ds.num_genes, train_ds.feature_dim
+        num_clusters = getattr(train_ds, "num_tokens", 100)
+
+        # identical key schedule to our run_cross_validation
+        key, kinit, krand, _khead = jax.random.split(key, 4)
+        cfg, params, _apply, to_torch, _ = our_cv.build_model(
+            model_type, num_outputs, feature_dim, kinit, depth, num_heads,
+            num_clusters)
+
+        model = build_reference_model(ref, model_type, num_outputs,
+                                      feature_dim, depth, num_heads,
+                                      num_clusters)
+        _load_our_params(model, to_torch(cfg, params))
+
+        optimizer = torch.optim.AdamW(list(model.parameters()), lr=lr,
+                                      amsgrad=False, weight_decay=0.0)
+        loaders = {
+            "train": TorchStream(ds.BatchLoader(train_ds, batch_size,
+                                                shuffle=True, seed=seed)),
+            "val": TorchStream(ds.BatchLoader(val_ds, batch_size)),
+        }
+        model = ref.vit.train(model, loaders, optimizer,
+                              num_epochs=num_epochs, save_dir=save_dir,
+                              split=i, save_on=save_on, stop_on=stop_on,
+                              delta=0.5, verbose=verbose)
+
+        test_loader = TorchStream(ds.BatchLoader(test_ds, batch_size))
+        preds, real, wsis, projs = ref.vit.evaluate(model, test_loader,
+                                                    verbose=verbose)
+
+        cfg_r, params_r, _a, to_torch_r, _ = our_cv.build_model(
+            model_type, num_outputs, feature_dim, krand, depth, num_heads,
+            num_clusters)
+        random_model = build_reference_model(ref, model_type, num_outputs,
+                                             feature_dim, depth, num_heads,
+                                             num_clusters)
+        _load_our_params(random_model, to_torch_r(cfg_r, params_r))
+        random_preds, _, _, _ = ref.vit.evaluate(random_model, test_loader,
+                                                 verbose=verbose)
+
+        results[f"split_{i}"] = {
+            "real": real, "preds": preds, "random": random_preds,
+            "wsi_file_name": wsis, "tcga_project": projs,
+        }
+
+    results["genes"] = [c[4:] for c in df.columns if "rna_" in c]
+    with open(os.path.join(save_dir, "test_results.pkl"), "wb") as f:
+        pickle.dump(results, f, protocol=pickle.HIGHEST_PROTOCOL)
+    return results
