@@ -47,11 +47,19 @@ Params = dict[str, Any]
 @dataclasses.dataclass(frozen=True)
 class ResNetConfig:
     """``block='bottleneck'`` covers resnet50/101/152; ``'basic'`` covers
-    resnet18/34 (reference ``src/resnet.py`` constructors)."""
+    resnet18/34 (reference ``src/resnet.py`` constructors).
+
+    ``fused_stages``: 1-based stages whose stride-1 bottleneck runs execute
+    through the fused Pallas chain kernel (ops/pallas_resnet.py) instead of
+    per-conv XLA — the early-stage (C=64/128) lane-padding + HBM-round-trip
+    fix from WORKLOG round 1.  Stage transitions (stride-2 block 0) stay on
+    the XLA path.
+    """
 
     compute_dtype: Any = jnp.float32
     blocks_per_stage: tuple[int, ...] = BLOCKS_PER_STAGE
     block: str = "bottleneck"
+    fused_stages: tuple[int, ...] = ()
 
     @property
     def expansion(self) -> int:
@@ -156,11 +164,39 @@ def forward_extract(cfg: ResNetConfig, params: Params, images: jax.Array) -> jax
         ((0, 0), (1, 1), (1, 1), (0, 0)))
     block_fn = _bottleneck if cfg.block == "bottleneck" else _basic_block
     for s, nblocks in enumerate(cfg.blocks_per_stage):
-        for b in range(nblocks):
-            stride = 2 if (b == 0 and s > 0) else 1
-            x = block_fn(x, params[f"layer{s + 1}"][b], stride)
+        blocks = params[f"layer{s + 1}"]
+        start = 0
+        if s > 0:  # stride-2 transition block stays on the XLA conv path
+            x = block_fn(x, blocks[0], 2)
+            start = 1
+        if (cfg.block == "bottleneck" and (s + 1) in cfg.fused_stages
+                and len(blocks) > start):
+            x = _fused_chain(x, blocks, start)
+        else:
+            for b in range(start, len(blocks)):
+                x = block_fn(x, blocks[b], 1)
     feats = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
     return feats
+
+
+def _fused_chain(x: jax.Array, blocks, start: int) -> jax.Array:
+    """Run blocks[start:] (all stride 1) through the fused Pallas chain."""
+    from sequoia_tpu.ops import pallas_resnet
+
+    b, h, w, _ = x.shape
+    flat, meta = pallas_resnet.stage_chain_weights(blocks, start, x.dtype)
+    # chunk rows so per-chunk VMEM stays bounded (whole rows: R % W == 0)
+    target = 512 if x.dtype == jnp.bfloat16 else 256
+    rows = min(h, max(1, target // w))
+    chunk = w * rows
+    p = h * w
+    while p % chunk:
+        rows -= 1
+        chunk = w * rows
+    out = pallas_resnet.bottleneck_chain(
+        x.reshape(b, p, x.shape[3]), flat, meta=meta, H=h, W=w,
+        row_chunk=chunk, interpret=jax.default_backend() != "tpu")
+    return out.reshape(b, h, w, meta[-1][2])
 
 
 def preprocess_uint8(images_u8: jax.Array) -> jax.Array:
