@@ -45,10 +45,49 @@ NUM_CLUSTERS = 100
 NUM_GENES = 20820
 FEAT_DIM = 2048
 TIMED_SLIDES = 3
+IO_SLIDE = "/tmp/sequoia_bench_slide_8192.tiff"  # 32x32 tiles of 256px
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def measure_decode() -> tuple[float, int] | None:
+    """Host-side WSI decode rate through the native C++ tiled-TIFF reader.
+
+    Fabricates (once, cached) a tiled pyramidal TIFF whose level 0 is
+    8192x8192 (32x32 tiles of 256px) and measures batched ``read_regions``
+    throughput over PATCHES_PER_SLIDE tile decodes.  Returns
+    (patches_per_second, nthreads) or None if the native library is
+    unavailable.  This is the host leg of the production pipeline; on this
+    sandbox the host has a single CPU core (the decode thread pool is
+    core-starved — a real v5e host has >100 cores).
+    """
+    from sequoia_tpu import native
+
+    if not native.available():
+        return None
+    if not os.path.exists(IO_SLIDE):
+        rng = np.random.default_rng(7)
+        block = rng.integers(0, 256, (2048, 2048, 3), dtype=np.uint8)
+        lv0 = np.tile(block, (4, 4, 1))  # 8192^2, incompressible content
+        native.write_tiled_tiff(IO_SLIDE + ".tmp", [lv0, lv0[::16, ::16]],
+                                tile=(PATCH, PATCH))
+        os.replace(IO_SLIDE + ".tmp", IO_SLIDE)
+    reader = native.NativeTiffReader(IO_SLIDE)
+    coords = [(x * PATCH, y * PATCH) for x in range(32) for y in range(32)]
+    nthreads = 8
+    reader.read_regions(coords[:64], 0, (PATCH, PATCH), nthreads=nthreads)
+    t0 = time.perf_counter()
+    done = 0
+    while done < PATCHES_PER_SLIDE:
+        for s in range(0, len(coords), 512):
+            out = reader.read_regions(coords[s:s + 512], 0, (PATCH, PATCH),
+                                      nthreads=nthreads)
+            done += out.shape[0]
+    rate = done / (time.perf_counter() - t0)
+    reader.close()
+    return rate, nthreads
 
 
 def main() -> None:
@@ -136,6 +175,30 @@ def main() -> None:
         "unit": "slides/hour (4096x256px uint8 patches -> resnet50 bf16 -> kmeans100 -> ViS 20820 genes, device-resident)",
         "vs_baseline": round(slides_per_hour / REF_SLIDES_PER_HOUR, 2),
     }
+
+    # Second metric: end-to-end INCLUDING host I/O (WSI tile decode).  In
+    # the double-buffered production pipeline the host decode pool and the
+    # device overlap, so per-slide wall time is max(decode, compute).  Both
+    # legs are real measurements on this machine; note the sandbox host has
+    # ONE CPU core, so the decode leg is the pessimistic floor (a v5e host
+    # has >100 cores and OpenSlide/libtiff decode scales per-core).
+    dec = measure_decode()
+    if dec is not None:
+        dec_rate, nthreads = dec
+        t_decode = PATCHES_PER_SLIDE / dec_rate
+        t_overlap = max(t_decode, per_slide)
+        log(f"decode: {dec_rate:.0f} patches/s ({nthreads} threads, "
+            f"{os.cpu_count()} host cores) -> {t_decode:.2f}s/slide; "
+            f"overlapped e2e {t_overlap:.2f}s/slide")
+        result["with_io"] = {
+            "metric": "slides_per_hour_e2e_with_io",
+            "value": round(3600.0 / t_overlap, 1),
+            "unit": ("slides/hour incl. native tiled-TIFF decode "
+                     f"(decode {dec_rate:.0f} patches/s on "
+                     f"{os.cpu_count()}-core host, overlapped with device "
+                     "compute as max(decode, compute))"),
+            "vs_baseline": round(3600.0 / t_overlap / REF_SLIDES_PER_HOUR, 2),
+        }
     with open(CACHE, "w") as f:
         json.dump(result, f)
     print(json.dumps(result))

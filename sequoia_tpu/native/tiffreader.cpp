@@ -86,6 +86,37 @@ void blit_rgba_bottomup(const uint32_t* raster, uint32_t bw, uint32_t bh,
   }
 }
 
+// Row-memcpy blit for tiles already decoded as top-down 8-bit RGB.
+void blit_rgb_topdown(const uint8_t* tilebuf, uint32_t bw, int64_t bx,
+                      int64_t by, int64_t x0, int64_t x1, int64_t y0,
+                      int64_t y1, int64_t rx, int64_t ry, int64_t rw,
+                      uint8_t* out) {
+  for (int64_t y = y0; y < y1; ++y) {
+    std::memcpy(out + ((y - ry) * rw + (x0 - rx)) * 3,
+                tilebuf + ((y - by) * bw + (x0 - bx)) * 3, (x1 - x0) * 3);
+  }
+}
+
+// True when TIFFReadEncodedTile yields top-down 8-bit RGB directly, so the
+// RGBA round-trip (TIFFReadRGBATile: 4-byte pixels, bottom-up rows,
+// per-pixel channel shuffling) can be skipped.  Covers plain RGB tiles and
+// JPEG-compressed YCbCr (Aperio SVS) via libtiff's JPEGCOLORMODE_RGB.
+bool direct_rgb8_tiles(TIFF* tif) {
+  uint16_t photometric = 0, spp = 0, bps = 0, planar = 0, compression = 0;
+  TIFFGetFieldDefaulted(tif, TIFFTAG_PHOTOMETRIC, &photometric);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLESPERPIXEL, &spp);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bps);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_PLANARCONFIG, &planar);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_COMPRESSION, &compression);
+  if (spp != 3 || bps != 8 || planar != PLANARCONFIG_CONTIG) return false;
+  if (photometric == PHOTOMETRIC_RGB) return true;
+  if (photometric == PHOTOMETRIC_YCBCR && compression == COMPRESSION_JPEG) {
+    TIFFSetField(tif, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RGB);
+    return true;
+  }
+  return false;
+}
+
 int read_region_with(TIFF* tif, const LevelInfo& lv, int64_t rx, int64_t ry,
                      int64_t rw, int64_t rh, uint8_t* out) {
   if (!TIFFSetDirectory(tif, lv.dir)) return -1;
@@ -96,13 +127,35 @@ int read_region_with(TIFF* tif, const LevelInfo& lv, int64_t rx, int64_t ry,
     TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
     TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
     if (!tw || !th) return -2;
-    std::vector<uint32_t> raster(static_cast<size_t>(tw) * th);
+    const bool fast = direct_rgb8_tiles(tif);
+    std::vector<uint8_t> rgb;
+    if (fast) rgb.resize(static_cast<size_t>(tw) * th * 3);
+    std::vector<uint32_t> raster;
     int64_t tx0 = std::max<int64_t>(0, rx / tw) * tw;
     int64_t ty0 = std::max<int64_t>(0, ry / th) * th;
     for (int64_t ty = ty0; ty < ry + rh && ty < (int64_t)lv.h; ty += th) {
       if (ty + (int64_t)th <= ry) continue;
       for (int64_t tx = tx0; tx < rx + rw && tx < (int64_t)lv.w; tx += tw) {
         if (tx + (int64_t)tw <= rx) continue;
+        if (fast) {
+          tmsize_t n = TIFFReadEncodedTile(
+              tif, TIFFComputeTile(tif, (uint32_t)tx, (uint32_t)ty, 0, 0),
+              rgb.data(), rgb.size());
+          if (n >= 0) {
+            // edge tiles decode the full tw x th block with garbage beyond
+            // the image edge; clamp the blit to level AND request bounds.
+            int64_t x0 = std::max(tx, rx);
+            int64_t x1 = std::min({tx + (int64_t)tw, rx + rw, (int64_t)lv.w});
+            int64_t y0 = std::max(ty, ry);
+            int64_t y1 = std::min({ty + (int64_t)th, ry + rh, (int64_t)lv.h});
+            if (x0 < x1 && y0 < y1)
+              blit_rgb_topdown(rgb.data(), tw, tx, ty, x0, x1, y0, y1, rx, ry,
+                               rw, out);
+            continue;
+          }
+          // decode failure -> fall through to the tolerant RGBA path
+        }
+        if (raster.empty()) raster.resize(static_cast<size_t>(tw) * th);
         if (!TIFFReadRGBATile(tif, (uint32_t)tx, (uint32_t)ty, raster.data()))
           continue;  // unreadable tile -> leave zeros (per-tile quarantine)
         // edge tiles: raster is still tw x th with garbage beyond the edge;
