@@ -59,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    from sequoia_tpu.parallel import multihost
+    multihost.add_fleet_args(p)
     return p
 
 
@@ -68,6 +70,8 @@ def main(argv=None) -> None:
     if args.tcga_projects:
         df = df[df["tcga_project"].isin(args.tcga_projects)]
     df = df.iloc[args.start:args.end]
+    from sequoia_tpu.parallel import multihost
+    df = multihost.fleet_shard_rows(df, args)
     print(f"Number of slides = {df.shape[0]}")
 
     extractor = load_extractor(args.feat_type, args.weights, args.batch_size,

@@ -26,6 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=99)
     p.add_argument("--backend", type=str, default="tpu",
                    choices=["tpu", "hybrid", "sklearn"])
+    from sequoia_tpu.parallel import multihost
+    multihost.add_fleet_args(p)
     return p
 
 
@@ -35,6 +37,8 @@ def main(argv=None) -> None:
     if args.tcga_projects:
         df = df[df["tcga_project"].isin(args.tcga_projects)]
     df = df.iloc[args.start:args.end]
+    from sequoia_tpu.parallel import multihost
+    df = multihost.fleet_shard_rows(df, args)
     print(f"Number of slides = {df.shape[0]}")
 
     # The reference hardcodes KMeans(random_state=0) regardless of --seed

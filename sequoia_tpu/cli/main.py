@@ -55,7 +55,28 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["loss", "loss+corr"])
     p.add_argument("--resume", action="store_true",
                    help="checkpoint/resume full training state per fold")
+    p.add_argument("--mesh", type=str, default=None,
+                   help='device mesh for the training step, e.g. "data=8" or '
+                        '"data=4,model=2" (gene-head TP); default single-device')
+    from sequoia_tpu.parallel import multihost
+    multihost.add_fleet_args(p)
     return p
+
+
+def resolve_mesh(args):
+    """--multihost -> global hosts x chips mesh; --mesh "data=4,model=2" ->
+    local mesh; neither -> None (single device)."""
+    from sequoia_tpu.parallel import multihost, sharding
+
+    n_model = 1
+    if args.mesh:
+        spec = dict(kv.split("=") for kv in args.mesh.split(","))
+        n_model = int(spec.get("model", 1))
+        if not args.multihost:
+            return sharding.make_mesh(
+                n_data=int(spec["data"]) if "data" in spec else None,
+                n_model=n_model)
+    return multihost.mesh_from_args(args, n_model=n_model)
 
 
 def main(argv=None) -> None:
@@ -83,7 +104,7 @@ def main(argv=None) -> None:
         seed=args.seed, save_on=args.save_on, stop_on=args.stop_on,
         do_train=args.train, checkpoint_path=args.checkpoint,
         change_num_genes=args.change_num_genes, log_fn=log_fn,
-        resume=args.resume)
+        resume=args.resume, mesh=resolve_mesh(args))
     finish()
 
 

@@ -27,6 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--parallel", default=1, type=int,
                    help="(accepted for compatibility; decode parallelism is "
                         "handled by the native reader when built)")
+    from sequoia_tpu.parallel import multihost
+    multihost.add_fleet_args(p)
     return p
 
 
@@ -41,6 +43,8 @@ def main(argv=None) -> None:
         slide_list = sorted(set(slide_list) & wanted)
 
     slide_list = slide_list[args.start:args.end]
+    from sequoia_tpu.parallel import multihost
+    slide_list = multihost.fleet_shard_rows(slide_list, args)
     if args.debug:
         slide_list = slide_list[:5]
         args.max_patches_per_slide = 20

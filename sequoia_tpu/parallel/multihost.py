@@ -115,3 +115,42 @@ def fold_local_metrics(metrics: dict) -> dict[str, float]:
     reduced and replicated; this just pulls them to host floats on every
     process (identical values everywhere)."""
     return {k: float(np.asarray(v)) for k, v in metrics.items()}
+
+
+# ---- CLI integration ------------------------------------------------------
+
+def add_fleet_args(parser) -> None:
+    """Fleet/multi-host flags shared by the pre-processing and train CLIs.
+
+    ``--multihost`` replaces hand-computed ``--start/--end`` job-array
+    ranges (and, for training, turns the mesh global); the coordinator
+    triplet is only needed off-TPU (CPU/GPU clusters) — on Cloud TPU pods
+    ``jax.distributed.initialize`` auto-discovers everything."""
+    g = parser.add_argument_group("multi-host fleet")
+    g.add_argument("--multihost", action="store_true",
+                   help="shard work across jax.distributed processes")
+    g.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of process 0 (omit on Cloud TPU)")
+    g.add_argument("--num_processes", type=int, default=None)
+    g.add_argument("--process_id", type=int, default=None)
+
+
+def fleet_shard_rows(rows, args):
+    """Slice a DataFrame or sequence to this process's shard when
+    ``--multihost`` is set (after any manual ``--start/--end`` slicing)."""
+    if not getattr(args, "multihost", False):
+        return rows
+    initialize(args.coordinator, args.num_processes, args.process_id)
+    start, end = process_shard(len(rows))
+    print(f"[multihost] process {jax.process_index()}/{jax.process_count()} "
+          f"rows [{start}:{end}) of {len(rows)}")
+    return rows.iloc[start:end] if hasattr(rows, "iloc") else rows[start:end]
+
+
+def mesh_from_args(args, n_model: int = 1) -> Mesh | None:
+    """Training-side mesh: global (hosts x chips) when ``--multihost``,
+    else a local-device mesh; None if the caller wants single-device."""
+    if getattr(args, "multihost", False):
+        initialize(args.coordinator, args.num_processes, args.process_id)
+        return make_global_mesh(n_model=n_model)
+    return None

@@ -96,3 +96,33 @@ def test_two_process_dcn_step_matches_single_process():
                                rtol=1e-5)
     np.testing.assert_allclose(results[0][1], float(metrics["corr"]),
                                rtol=1e-4)
+
+
+def test_cli_main_mesh_flag(tmp_path, monkeypatch):
+    """--mesh data=4,model=2 trains the CV flow on a sharded local mesh."""
+    from sequoia_tpu.cli import main as cli_main
+    from tests.test_data_and_train import make_store
+
+    store = tmp_path / "features"
+    df = make_store(str(store), n_slides=10, n_genes=4, dim=8)
+    df.to_csv(tmp_path / "ref_file.csv", index=False)
+    monkeypatch.chdir(tmp_path)
+    cli_main.main([
+        "--ref_file", str(tmp_path / "ref_file.csv"),
+        "--feature_path", str(store), "--model_type", "vis", "--depth", "1",
+        "--num-heads", "2", "--k", "2", "--batch_size", "4",
+        "--num_epochs", "1", "--train", "--exp_name", "meshed",
+        "--mesh", "data=4,model=2"])
+    assert (tmp_path / "saved_exp" / "TCGA" / "meshed"
+            / "test_results.pkl").exists()
+
+
+def test_fleet_shard_rows_noop_without_flag():
+    import argparse
+
+    import pandas as pd
+
+    args = argparse.Namespace(multihost=False)
+    df = pd.DataFrame({"a": range(5)})
+    out = multihost.fleet_shard_rows(df, args)
+    assert out is df
