@@ -1,5 +1,6 @@
 """Backbone parity: ResNet-50 and UNI ViT-L/16 vs torch-functional goldens."""
 
+import pytest
 import numpy as np
 import torch
 
@@ -29,6 +30,7 @@ def test_resnet50_forward_extract_parity():
     assert rel_err(out, golden) < 2e-4
 
 
+@pytest.mark.slow
 def test_resnet50_odd_input_size():
     """256-px patches (the pipeline size) flow through without resizing."""
     params = resnet.random_params(jax.random.PRNGKey(0))

@@ -1,5 +1,6 @@
 """CLI smoke tests: the reference-compatible flag surfaces drive the stages."""
 
+import pytest
 import os
 
 import h5py
@@ -29,6 +30,7 @@ def test_cli_main_trains(tmp_path, monkeypatch):
     assert (out / "model_best_0.pt").exists()
 
 
+@pytest.mark.slow
 def test_cli_feature_and_kmeans_pipeline(tmp_path, monkeypatch):
     from sequoia_tpu.cli import compute_features as cf
     from sequoia_tpu.cli import kmean_features as kf
@@ -84,6 +86,7 @@ def test_cli_evaluate_model(tmp_path):
     assert len(sig) == G  # perfectly-correlated predictions are significant
 
 
+@pytest.mark.slow
 def test_cli_pretrain_gtex_quick(tmp_path, monkeypatch):
     from sequoia_tpu.cli import pretrain_gtex as pg
 

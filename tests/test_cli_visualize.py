@@ -15,6 +15,7 @@ from sequoia_tpu.train import checkpoint
 from tests.test_pipeline_e2e import synthetic_wsi
 
 
+@pytest.mark.slow
 def test_cli_visualize_tcga_layout(tmp_path, monkeypatch):
     from sequoia_tpu.cli import visualize as cv
 

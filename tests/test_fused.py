@@ -1,5 +1,6 @@
 """Device-resident whole-slide program smoke test (tiny shapes, CPU)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -9,6 +10,7 @@ from sequoia_tpu.models import resnet, vis
 from sequoia_tpu.pipeline.fused import make_slide_program
 
 
+@pytest.mark.slow
 def test_slide_program_runs_and_is_deterministic():
     rng = np.random.default_rng(0)
     patches = jnp.asarray(rng.integers(0, 256, size=(2, 16, 64, 64, 3),
@@ -27,6 +29,7 @@ def test_slide_program_runs_and_is_deterministic():
     assert p3.shape == (7,)
 
 
+@pytest.mark.slow
 def test_slide_program_matches_staged_stages():
     """Fused device-resident pipeline == running the stages by hand."""
     from sequoia_tpu.ops import kmeans as km

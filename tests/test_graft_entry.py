@@ -1,5 +1,6 @@
 """Driver-contract checks on the virtual 8-device CPU mesh."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -80,6 +81,7 @@ def test_opt_state_sharded_with_params_at_production_shape():
     assert len(wf_shards) == 1 and next(iter(wf_shards)) == mu["blocks"]["wf"].shape
 
 
+@pytest.mark.slow
 def test_dp_feature_extraction_matches_single_device():
     """Backbone forward over a 'data'-sharded patch batch == unsharded."""
     import jax.numpy as jnp
@@ -101,6 +103,7 @@ def test_dp_feature_extraction_matches_single_device():
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_full_training_loop_on_mesh(tmp_path):
     """loop.train with a ('data','model') mesh reproduces the unsharded run."""
     from tests.test_data_and_train import make_store

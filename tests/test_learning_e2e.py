@@ -7,6 +7,7 @@ null on predictable genes and not on noise genes, as judged by the full
 Pearson + Steiger + FDR gate.
 """
 
+import pytest
 import os
 
 import h5py
@@ -44,6 +45,7 @@ def make_signal_store(root, n_slides=40, dim=12, tokens=100, n_signal=4,
     return pd.DataFrame(rows)
 
 
+@pytest.mark.slow
 def test_signal_genes_become_significant(tmp_path):
     store = tmp_path / "features"
     df = make_signal_store(str(store))

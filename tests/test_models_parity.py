@@ -37,6 +37,7 @@ def test_vis_forward_parity(D, depth, H, G, N, B):
     assert rel_err(out, golden) < 1e-4
 
 
+@pytest.mark.slow
 def test_vis_full_size_forward_parity():
     """Reference production shape: D=2048, depth 6, 16 heads, 100 clusters."""
     D, depth, H, G, N, B = 2048, 6, 16, 137, 100, 2
@@ -235,6 +236,7 @@ def test_he2rna_topk_custom_vjp_matches_autodiff():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_he2rna_padded_rows_do_not_nan():
     """Zero-padded batch rows must yield 0 predictions and finite gradients
     (the reference never pads; our fixed-shape batches do)."""

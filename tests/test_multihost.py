@@ -98,6 +98,7 @@ def test_two_process_dcn_step_matches_single_process():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_cli_main_mesh_flag(tmp_path, monkeypatch):
     """--mesh data=4,model=2 trains the CV flow on a sharded local mesh."""
     from sequoia_tpu.cli import main as cli_main

@@ -69,6 +69,7 @@ def test_open_slide_prefers_native(tiled_pyramid):
     np.testing.assert_array_equal(batch[1], lv0[64:96, 64:96])
 
 
+@pytest.mark.slow
 def test_patch_gen_with_native_reader(tmp_path):
     """Full tiling stage through the native decoder."""
     from sequoia_tpu.pipeline import patch_gen

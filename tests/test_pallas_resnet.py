@@ -81,6 +81,7 @@ def test_chain_row_chunking_matches_unchunked():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_forward_extract_fused_stages_matches_xla():
     """Full resnet50 forward with fused_stages=(1, 2) == plain XLA path
     (includes the stride-2 transitions and partial-stage fusion)."""

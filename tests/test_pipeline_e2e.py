@@ -1,6 +1,7 @@
 """End-to-end pipeline: synthetic WSI -> tiles -> features -> k-means ->
 dataset -> ViS prediction, exercising every on-disk contract."""
 
+import pytest
 import os
 
 import h5py
@@ -32,6 +33,7 @@ def synthetic_wsi(w=2048, h=1536, seed=0):
     return ArrayReader([lv0, lv1], properties={"aperio.AppMag": "20"})
 
 
+@pytest.mark.slow
 def test_full_pipeline(tmp_path):
     slide_id = "SYNTH-001"
     patch_dir = str(tmp_path / "patches")

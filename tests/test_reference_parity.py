@@ -38,6 +38,7 @@ def ref():
     return rl.load_reference()
 
 
+@pytest.mark.slow
 def test_vis_forward_parity_vs_reference_class(ref):
     """Our ViS forward == the reference's ViS module at the production
     configuration (D=2048, 6 blocks, 16 heads, 20,820 genes)."""
@@ -60,6 +61,7 @@ def test_vis_forward_parity_vs_reference_class(ref):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_vit_forward_parity_vs_reference_class(ref):
     torch = _torch()
     from sequoia_tpu.models import convert, vit

@@ -28,6 +28,7 @@ def make_predictor(n_folds=2, n_clusters=8):
                           max_patches=48, patch_size=64)
 
 
+@pytest.mark.slow
 def test_predict_from_patches_and_features():
     rng = np.random.default_rng(0)
     pred = make_predictor()
@@ -47,6 +48,7 @@ def test_predict_from_patches_and_features():
     np.testing.assert_allclose(out2, (single0 + single1) / 2, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_predict_from_wsi():
     from tests.test_pipeline_e2e import synthetic_wsi
 
