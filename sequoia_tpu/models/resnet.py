@@ -60,6 +60,17 @@ class ResNetConfig:
     blocks_per_stage: tuple[int, ...] = BLOCKS_PER_STAGE
     block: str = "bottleneck"
     fused_stages: tuple[int, ...] = ()
+    # Run stem+maxpool+layer1 through the (C, P)-layout Pallas kernels
+    # (ops/pallas_resnet.py stem16 / bottleneck_chain_cp): fixes the two
+    # measured MXU-starvation points of the XLA lowering — the K=12 stem
+    # GEMM and layer1's 64-channel lane padding.  Falls back to the XLA
+    # path for basic blocks / odd input sizes.
+    early_pallas: bool = False
+    # Stage tails (1-indexed) run through the (C, P)-layout Pallas chain
+    # kernel (channels on sublanes, pixels on lanes): for widths >= 128
+    # (layer2+) every GEMM axis fills the MXU and the whole stride-1 run
+    # stays VMEM-resident.  Entry/exit are NHWC<->(C, P) transposes.
+    cp_stages: tuple[int, ...] = ()
 
     @property
     def expansion(self) -> int:
@@ -148,22 +159,66 @@ def fold_stem_to_s2d(conv1: jax.Array) -> jax.Array:
     return w.reshape(kh // 2, kw // 2, 4 * c, o)
 
 
+def _early_pallas(cfg: ResNetConfig, params: Params, x: jax.Array) -> jax.Array:
+    """stem + maxpool + layer1 in the (C, P) Pallas layout; returns NHWC."""
+    from sequoia_tpu.ops import pallas_resnet
+
+    interp = jax.default_backend() != "tpu"
+    b, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    # space-to-depth channels in (di, dj, c) order — matching
+    # fold_stem_to_s2d's input-channel layout — padded to a 16-sublane tile
+    # plus 2 top / 1 bottom zero pad rows (the kernel's dy shifts become
+    # plain lane offsets; it does the dx shifts with lane rolls in VMEM).
+    xs = x.reshape(b, h2, 2, w2, 2, c).transpose(0, 2, 4, 5, 1, 3)
+    x16 = jnp.pad(xs.reshape(b, 4 * c, h2, w2),
+                  ((0, 0), (0, 4), (2, 1), (0, 0)))
+    a, bias = pallas_resnet.fold_stem16_weights(params["conv1_s2d"],
+                                                params["bn1"], x.dtype)
+    y = pallas_resnet.stem16(x16.reshape(b, 16, (h2 + 3) * w2), a, bias,
+                             H2=h2, W2=w2, interpret=interp)
+    y = y.reshape(b, 64, h2, w2)
+    # torch maxpool 3x3 stride 2 pad 1, NCHW
+    y = jax.lax.reduce_window(
+        y, -jnp.inf if y.dtype == jnp.float32 else jnp.finfo(y.dtype).min,
+        jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
+        ((0, 0), (0, 0), (1, 1), (1, 1)))
+    hp, wp = h2 // 2, w2 // 2
+    flat, meta = pallas_resnet.stage_chain_weights_cp(params["layer1"], 0,
+                                                      y.dtype)
+    out = pallas_resnet.bottleneck_chain_cp(y.reshape(b, 64, hp * wp), flat,
+                                            meta=meta, H=hp, W=wp,
+                                            interpret=interp)
+    return out.reshape(b, meta[-1][2], hp, wp).transpose(0, 2, 3, 1)
+
+
 def forward_extract(cfg: ResNetConfig, params: Params, images: jax.Array) -> jax.Array:
     """(B, H, W, 3) normalized float -> (B, 2048) pooled features
     (reference ``resnet.py`` forward_extract)."""
     x = images.astype(cfg.compute_dtype)
-    if "conv1_s2d" in params and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+    start_stage = 0
+    if (cfg.early_pallas and cfg.block == "bottleneck"
+            and "conv1_s2d" in params and x.shape[1] % 4 == 0
+            and x.shape[2] % 4 == 0
+            and (x.shape[2] % 256 == 0  # DMA lane alignment (stem16)
+                 or jax.default_backend() != "tpu")):
+        x = _early_pallas(cfg, params, x)
+        start_stage = 1
+    elif "conv1_s2d" in params and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
         x = jax.nn.relu(_bn(stem_space_to_depth(x, params["conv1_s2d"]),
                             params["bn1"]))
     else:
         x = jax.nn.relu(_bn(_conv(x, params["conv1"], stride=2), params["bn1"]))
-    # torch maxpool 3x3 stride 2 pad 1
-    x = jax.lax.reduce_window(
-        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
-        jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-        ((0, 0), (1, 1), (1, 1), (0, 0)))
+    if start_stage == 0:
+        # torch maxpool 3x3 stride 2 pad 1
+        x = jax.lax.reduce_window(
+            x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+            jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)))
     block_fn = _bottleneck if cfg.block == "bottleneck" else _basic_block
     for s, nblocks in enumerate(cfg.blocks_per_stage):
+        if s < start_stage:
+            continue
         blocks = params[f"layer{s + 1}"]
         start = 0
         if s > 0:  # stride-2 transition block stays on the XLA conv path
@@ -172,6 +227,9 @@ def forward_extract(cfg: ResNetConfig, params: Params, images: jax.Array) -> jax
         if (cfg.block == "bottleneck" and (s + 1) in cfg.fused_stages
                 and len(blocks) > start):
             x = _fused_chain(x, blocks, start)
+        elif (cfg.block == "bottleneck" and (s + 1) in cfg.cp_stages
+                and len(blocks) > start):
+            x = _fused_chain_cp(x, blocks, start)
         else:
             for b in range(start, len(blocks)):
                 x = block_fn(x, blocks[b], 1)
@@ -197,6 +255,18 @@ def _fused_chain(x: jax.Array, blocks, start: int) -> jax.Array:
         x.reshape(b, p, x.shape[3]), flat, meta=meta, H=h, W=w,
         row_chunk=chunk, interpret=jax.default_backend() != "tpu")
     return out.reshape(b, h, w, meta[-1][2])
+
+
+def _fused_chain_cp(x: jax.Array, blocks, start: int) -> jax.Array:
+    """Run blocks[start:] (all stride 1) through the (C, P)-layout chain."""
+    from sequoia_tpu.ops import pallas_resnet
+
+    b, h, w, cin = x.shape
+    flat, meta = pallas_resnet.stage_chain_weights_cp(blocks, start, x.dtype)
+    out = pallas_resnet.bottleneck_chain_cp(
+        x.transpose(0, 3, 1, 2).reshape(b, cin, h * w), flat, meta=meta,
+        H=h, W=w, interpret=jax.default_backend() != "tpu")
+    return out.reshape(b, meta[-1][2], h, w).transpose(0, 2, 3, 1)
 
 
 def preprocess_uint8(images_u8: jax.Array) -> jax.Array:

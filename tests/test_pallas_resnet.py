@@ -81,6 +81,57 @@ def test_chain_row_chunking_matches_unchunked():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("H,W", [(8, 8), (8, 16)])
+def test_chain_cp_matches_xla(H, W):
+    """(C, P)-layout chain (channels on sublanes) vs the XLA conv path."""
+    params = small_params(jax.random.PRNGKey(0))
+    blocks = params["layer1"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, H, W, 8), jnp.float32)
+
+    want = np.asarray(xla_chain(blocks, 0, x))
+
+    flat, meta = pallas_resnet.stage_chain_weights_cp(blocks, 0, x.dtype)
+    got = pallas_resnet.bottleneck_chain_cp(
+        x.transpose(0, 3, 1, 2).reshape(2, 8, H * W), flat, meta=meta,
+        H=H, W=W, interpret=True)
+    got = np.asarray(got).reshape(2, want.shape[-1], H, W).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_stem16_matches_s2d_conv():
+    """16-tap-stack stem GEMM == stem_space_to_depth conv + BN + ReLU."""
+    params = resnet.random_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 24, 3), jnp.float32)
+
+    want = jax.nn.relu(resnet._bn(
+        resnet.stem_space_to_depth(x, params["conv1_s2d"]), params["bn1"]))
+
+    b, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    xs = x.reshape(b, h2, 2, w2, 2, c).transpose(0, 2, 4, 5, 1, 3)
+    x16 = jnp.pad(xs.reshape(b, 12, h2, w2), ((0, 0), (0, 4), (2, 1), (0, 0)))
+    a, bias = pallas_resnet.fold_stem16_weights(params["conv1_s2d"],
+                                                params["bn1"], x.dtype)
+    got = pallas_resnet.stem16(x16.reshape(b, 16, (h2 + 3) * w2),
+                               a, bias, H2=h2, W2=w2, interpret=True)
+    got = np.asarray(got).reshape(b, 64, h2, w2).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_forward_extract_early_pallas_matches_xla():
+    """Full resnet50 forward with early_pallas (Pallas stem + NCHW pool +
+    (C,P) layer1) == plain XLA path."""
+    params = resnet.random_params(jax.random.PRNGKey(0))
+    imgs = np.random.default_rng(0).integers(
+        0, 256, size=(2, 32, 32, 3), dtype=np.uint8)
+
+    want = np.asarray(resnet.extract_from_uint8(
+        resnet.ResNetConfig(), params, imgs))
+    got = np.asarray(resnet.extract_from_uint8(
+        resnet.ResNetConfig(early_pallas=True), params, imgs))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-2)
+
+
 @pytest.mark.slow
 def test_forward_extract_fused_stages_matches_xla():
     """Full resnet50 forward with fused_stages=(1, 2) == plain XLA path
