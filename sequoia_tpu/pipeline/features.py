@@ -29,14 +29,15 @@ import jax.numpy as jnp
 
 from sequoia_tpu.models import resnet as resnet_mod
 from sequoia_tpu.models import uni_vit
+from sequoia_tpu.ops import pil_resize
 
 
 class FeatureExtractor:
     """Jitted batched backbone with fused preprocessing.
 
     feat_type='resnet': normalize 256px uint8 -> ResNet-50 -> 2048-d.
-    feat_type='uni': resize to 224 (bicubic+antialias, the on-device
-    equivalent of the reference's PIL ``Resize(224)``) -> ViT-L/16 -> 1024-d.
+    feat_type='uni': resize to 224 (bit-exact Pillow BILINEAR on the MXU,
+    the reference's PIL ``Resize(224)``) -> ViT-L/16 -> 1024-d.
     """
 
     def __init__(self, feat_type: str, params, batch_size: int = 256,
@@ -57,11 +58,12 @@ class FeatureExtractor:
             self.feature_dim = cfg.dim
 
             def fwd(params, u8):
+                # reference order (compute_features_hdf5.py:53-56): PIL
+                # Resize(224) on the uint8 image, THEN ToTensor+Normalize.
+                # pil_resize is bit-exact Pillow BILINEAR on the MXU.
+                if u8.shape[1] != cfg.img_size or u8.shape[2] != cfg.img_size:
+                    u8 = pil_resize.resize_u8(u8, cfg.img_size, cfg.img_size)
                 x = u8.astype(jnp.float32) / 255.0
-                if u8.shape[1] != cfg.img_size:
-                    x = jax.image.resize(
-                        x, (x.shape[0], cfg.img_size, cfg.img_size, 3),
-                        method="cubic", antialias=True)
                 mean = jnp.asarray(resnet_mod.IMAGENET_MEAN, jnp.float32)
                 std = jnp.asarray(resnet_mod.IMAGENET_STD, jnp.float32)
                 return uni_vit.forward(cfg, params, (x - mean) / std)

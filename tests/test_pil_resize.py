@@ -1,0 +1,53 @@
+"""PIL-exact resize (ops/pil_resize.py) vs Pillow itself.
+
+The contract under test: reference ``compute_features_hdf5.py:53-56``
+resizes UNI patches with ``transforms.Resize(224)`` on a PIL image =
+Pillow BILINEAR with implicit antialiasing and fixed-point rounding.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from sequoia_tpu.ops import pil_resize
+
+
+def _pil_resize(u8: np.ndarray, out_hw, filt) -> np.ndarray:
+    resample = {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC}[filt]
+    out = [np.asarray(Image.fromarray(img).resize(
+        (out_hw[1], out_hw[0]), resample=resample)) for img in u8]
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("in_hw,out_hw,filt", [
+    ((256, 256), (224, 224), "bilinear"),  # the UNI patch contract
+    ((300, 280), (224, 224), "bilinear"),  # non-square downscale
+    ((100, 100), (224, 224), "bilinear"),  # upscale
+    ((256, 256), (224, 224), "bicubic"),
+])
+def test_matches_pillow(in_hw, out_hw, filt):
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, size=(4, *in_hw, 3), dtype=np.uint8)
+
+    want = _pil_resize(u8, out_hw, filt)
+    got = np.asarray(pil_resize.resize_u8(jax.numpy.asarray(u8),
+                                          out_hw[0], out_hw[1], filt))
+
+    np.testing.assert_array_equal(got, want)
+
+
+def test_identity_when_same_size():
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, size=(2, 64, 64, 3), dtype=np.uint8)
+    got = np.asarray(pil_resize.resize_u8(jax.numpy.asarray(u8), 64, 64))
+    np.testing.assert_array_equal(got, u8)
+
+
+def test_coeff_rows_normalized():
+    m = pil_resize.pil_coeff_matrix(256, 224)
+    # quantized rows sum to ~2**22 (within per-tap rounding)
+    np.testing.assert_allclose(m.sum(axis=1), 1 << 22, atol=4)
+    # bilinear-antialias support at scale 8/7: at most 4 taps per row
+    assert (m != 0).sum(axis=1).max() <= 4
