@@ -80,10 +80,32 @@ def match_patient_kfold(patient_ids, splits):
     return train_idx, valid_idx, test_idx
 
 
+def ensure_legacy_pandas_unpickle() -> None:
+    """Make pandas>=2 unpickle pandas-1.x artifacts.
+
+    The reference's shipped ``patient_splits.zip`` fold arrays pickle
+    pandas-1.x ``Int64Index`` objects whose module
+    (``pandas.core.indexes.numeric``) no longer exists; alias the removed
+    classes to ``pd.Index`` so ``np.load(allow_pickle=True)`` works."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    name = "pandas.core.indexes.numeric"
+    if name in sys.modules or hasattr(
+            getattr(pd.core.indexes, "numeric", None), "Int64Index"):
+        return
+    mod = types.ModuleType(name)
+    mod.Int64Index = mod.Float64Index = mod.UInt64Index = pd.Index
+    sys.modules[name] = mod
+
+
 def load_shipped_patient_splits(path):
     """Load a reference ``TCGA-{CANCER}.npy`` split artifact (dict
     ``fold_i -> {train, val, test}`` patient-id arrays, from the reference's
     ``patient_splits.zip``) into match_patient_kfold's input format."""
+    ensure_legacy_pandas_unpickle()
     obj = np.load(path, allow_pickle=True).item()
     splits = []
     for i in range(len(obj)):
