@@ -71,9 +71,8 @@ def featurize_tiles(slide, df: pd.DataFrame, patch_size_resized: int,
     Decodes in parallel chunks (native thread pool when available) and
     streams them through the batched extractor.
     """
-    from PIL import Image
-
     from sequoia_tpu.data.wsi import read_regions
+    from sequoia_tpu.ops import pil_resize
 
     coords = [(int(r["xcoord"]), int(r["ycoord"])) for _, r in df.iterrows()]
     feats = []
@@ -82,9 +81,16 @@ def featurize_tiles(slide, df: pd.DataFrame, patch_size_resized: int,
         tiles = read_regions(slide, chunk, 0,
                              (patch_size_resized, patch_size_resized))
         if resize_to and tiles.shape[1] != resize_to:
-            tiles = np.stack([
-                np.asarray(Image.fromarray(t).resize((resize_to, resize_to)))
-                for t in tiles])
+            # the reference applies transforms.Resize on a PIL image =
+            # Pillow BILINEAR + antialias (visualize.py:212,227);
+            # pil_resize reproduces it bit-exactly on device.  Pad the
+            # tail chunk so only one shape is ever compiled.
+            n = tiles.shape[0]
+            if n < decode_chunk:
+                pad = np.zeros((decode_chunk - n,) + tiles.shape[1:], np.uint8)
+                tiles = np.concatenate([tiles, pad])
+            tiles = np.asarray(pil_resize.resize_u8(tiles, resize_to,
+                                                    resize_to))[:n]
         feats.append(extractor(tiles))
     return np.concatenate(feats, axis=0)
 
