@@ -90,7 +90,9 @@ def _byte_split(in_size: int, out_size: int, filt: str) -> tuple:
     a = k >> 16                       # arithmetic: carries the sign
     r = k - (a << 16)                 # in [0, 2**16)
     b, c = r >> 8, r & 0xFF
-    to = lambda x: jnp.asarray(x.astype(np.float32), jnp.bfloat16)
+    # numpy (ml_dtypes bf16), NOT device arrays: the cache outlives any one
+    # jit trace, and a device constant created inside a trace would leak
+    to = lambda x: x.astype(np.float32).astype(jnp.bfloat16)
     return to(a), to(b), to(c)
 
 

@@ -41,20 +41,21 @@ class FeatureExtractor:
     """
 
     def __init__(self, feat_type: str, params, batch_size: int = 256,
-                 compute_dtype=jnp.float32, patch_size: int = 256):
+                 compute_dtype=jnp.float32, patch_size: int = 256,
+                 cfg=None):
         self.feat_type = feat_type
         self.batch_size = batch_size
         self.patch_size = patch_size
         self.params = params
 
         if feat_type == "resnet":
-            cfg = resnet_mod.ResNetConfig(compute_dtype=compute_dtype)
+            cfg = cfg or resnet_mod.ResNetConfig(compute_dtype=compute_dtype)
             self.feature_dim = cfg.feature_dim
 
             def fwd(params, u8):
                 return resnet_mod.extract_from_uint8(cfg, params, u8)
         elif feat_type == "uni":
-            cfg = uni_vit.UniViTConfig(compute_dtype=compute_dtype)
+            cfg = cfg or uni_vit.UniViTConfig(compute_dtype=compute_dtype)
             self.feature_dim = cfg.dim
 
             def fwd(params, u8):

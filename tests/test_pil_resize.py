@@ -51,3 +51,31 @@ def test_coeff_rows_normalized():
     np.testing.assert_allclose(m.sum(axis=1), 1 << 22, atol=4)
     # bilinear-antialias support at scale 8/7: at most 4 taps per row
     assert (m != 0).sum(axis=1).max() <= 4
+
+
+def test_uni_feature_extractor_resizes_like_pillow():
+    """The UNI FeatureExtractor's fused path resizes 256->224 bit-exactly
+    like the reference's transforms.Resize(224) (PIL bilinear) before
+    normalization — verified by comparing features against a manual
+    PIL-resized forward (tiny ViT config)."""
+    import jax.numpy as jnp
+
+    from sequoia_tpu.models import resnet as resnet_mod
+    from sequoia_tpu.models import uni_vit
+    from sequoia_tpu.pipeline.features import FeatureExtractor
+
+    cfg = uni_vit.UniViTConfig(img_size=224, patch_size=56, dim=32, depth=2,
+                               heads=4, mlp_dim=64)
+    params = uni_vit.random_params(cfg, jax.random.PRNGKey(0))
+    ex = FeatureExtractor("uni", params, batch_size=3, cfg=cfg)
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, size=(3, 256, 256, 3), dtype=np.uint8)
+    got = ex(u8)
+
+    pil = _pil_resize(u8, (224, 224), "bilinear")
+    x = pil.astype(np.float32) / 255.0
+    x = (x - np.asarray(resnet_mod.IMAGENET_MEAN)) / np.asarray(
+        resnet_mod.IMAGENET_STD)
+    want = np.asarray(uni_vit.forward(cfg, params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
