@@ -61,8 +61,9 @@ class SlidePredictor:
 
     # -- stages -----------------------------------------------------------
 
-    def extract_patches(self, wsi_path) -> np.ndarray:
-        """Tissue-screened patches from a WSI (in-memory, no HDF5)."""
+    def iter_patch_chunks(self, wsi_path, decode_chunk: int = 64):
+        """Generator of tissue-screened uint8 patch chunks from a WSI
+        (in-memory, no HDF5); stops at ``max_patches`` total."""
         slide = open_slide(wsi_path)
         mask, mask_level = patch_gen.compute_slide_mask(slide)
         ratio_x = slide.level_dimensions[0][0] / slide.level_dimensions[mask_level][0]
@@ -74,16 +75,17 @@ class SlidePredictor:
         from sequoia_tpu.data.wsi import read_regions
         from sequoia_tpu.ops import masking
 
-        kept = []
         coords = []
         for x, y in patch_gen.candidate_grid(xmax, ymax, psr):
             xm, ym = int(x / ratio_x), int(y / ratio_y)
             if xm < mask.shape[0] and ym < mask.shape[1] and mask[xm, ym]:
                 coords.append((x, y))
-        for s in range(0, len(coords), 64):
-            chunk = coords[s:s + 64]
+        emitted = 0
+        for s in range(0, len(coords), decode_chunk):
+            chunk = coords[s:s + decode_chunk]
             imgs = read_regions(slide, chunk, 0, (psr, psr))
             flags = np.asarray(masking.patch_keep_flags(jnp.asarray(imgs)))
+            kept = []
             for img, ok in zip(imgs, flags):
                 if ok:
                     if rf != 1.0:
@@ -92,11 +94,19 @@ class SlidePredictor:
                         img = np.asarray(Image.fromarray(img).resize(
                             (self.patch_size, self.patch_size)))
                     kept.append(img)
-                if len(kept) >= self.max_patches:
+                if emitted + len(kept) >= self.max_patches:
                     break
-            if len(kept) >= self.max_patches:
-                break
-        return np.stack(kept) if kept else np.zeros(
+            if kept:
+                out = np.stack(kept)
+                emitted += len(kept)
+                yield out
+            if emitted >= self.max_patches:
+                return
+
+    def extract_patches(self, wsi_path) -> np.ndarray:
+        """Tissue-screened patches from a WSI (in-memory, no HDF5)."""
+        chunks = list(self.iter_patch_chunks(wsi_path))
+        return np.concatenate(chunks) if chunks else np.zeros(
             (0, self.patch_size, self.patch_size, 3), np.uint8)
 
     def cluster(self, feats: np.ndarray) -> jax.Array:
@@ -126,4 +136,56 @@ class SlidePredictor:
         return self.predict_features(self.extractor(patches_u8))
 
     def predict_wsi(self, wsi_path) -> np.ndarray:
-        return self.predict_patches(self.extract_patches(wsi_path))
+        """Streaming slide inference: a producer thread decodes + screens
+        patch chunks into a bounded queue while the batched extractor keeps
+        the device busy — decode and backbone compute overlap, so slide
+        latency is ~max(decode, compute) instead of their sum."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=4)
+        err: list[BaseException] = []
+
+        def produce():
+            try:
+                for chunk in self.iter_patch_chunks(wsi_path):
+                    q.put(chunk)
+            except BaseException as e:  # propagate into the consumer
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        feats = []
+        buf: list[np.ndarray] = []
+        buffered = 0
+        bs = self.extractor.batch_size
+
+        def drain(final: bool):
+            nonlocal buf, buffered
+            take = buffered if final else (buffered // bs) * bs
+            if not take:
+                return
+            block = np.concatenate(buf) if len(buf) > 1 else buf[0]
+            feats.append(self.extractor(block[:take]))
+            rest = block[take:]
+            buf = [rest] if len(rest) else []
+            buffered = len(rest)
+
+        while True:
+            chunk = q.get()
+            if chunk is None:
+                break
+            buf.append(chunk)
+            buffered += len(chunk)
+            # featurize only whole extractor batches; the tail pads once
+            drain(final=False)
+        drain(final=True)
+        t.join()
+        if err:
+            raise err[0]
+        if not feats:
+            return self.predict_features(
+                np.zeros((0, self.extractor.feature_dim), np.float32))
+        return self.predict_features(np.concatenate(feats))

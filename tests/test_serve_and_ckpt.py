@@ -164,3 +164,16 @@ def test_tools_parity_check(tmp_path):
          np.arange(20))
     assert pc.main(["--ref", str(tmp_path / "ref.pkl"),
                     "--ours", str(tmp_path / "bad.pkl")]) == 1
+
+
+@pytest.mark.slow
+def test_predict_wsi_streaming_matches_sequential():
+    """The streaming predict_wsi (decode thread + batched featurize with
+    whole-batch draining) must equal featurizing extract_patches output."""
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    pred = make_predictor()
+    path = synthetic_wsi()
+    streamed = pred.predict_wsi(path)
+    sequential = pred.predict_patches(pred.extract_patches(path))
+    np.testing.assert_allclose(streamed, sequential, rtol=1e-5, atol=1e-5)
