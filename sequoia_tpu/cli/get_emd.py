@@ -19,7 +19,7 @@ from sequoia_tpu.evaluation import spatial_metrics as sm
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="EMD vs spatial ground truth")
-    p.add_argument("--pred_csv", type=str, required=True,
+    p.add_argument("--pred_csv", type=str, default=None,
                    help="stride-1.csv prediction map")
     p.add_argument("--gene_names", type=str, required=True,
                    help="comma-separated genes or .npy of names")
@@ -30,11 +30,42 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-gene CSV template with {gene}, columns x,y,gene_expr")
     p.add_argument("--num_tiles", type=int, default=4,
                    help="GT spots averaged per prediction tile")
+    # reference-compat flags (get_emd.py:100-110): reconstruct the GBM
+    # dataset layout from a slide number + prediction folder name
+    p.add_argument("--slide_nr", type=str, default=None,
+                   help="reference-compat: spatial-GBM slide number")
+    p.add_argument("--pred_folder", type=str, default=None,
+                   help="reference-compat: folder under "
+                        "visualizations/spatial_GBM_pred/")
+    p.add_argument("--data_root", type=str, default=".",
+                   help="reference-compat: base of the ./visualizations and "
+                        "./data trees")
     return p
+
+
+def resolve_reference_layout(args) -> None:
+    """Fill pred_csv / h5ad / save_folder from the reference's hard-coded
+    GBM path scheme (``get_emd.py:107-122``) when --slide_nr is given."""
+    slide_name = f"HRI_{args.slide_nr}_T.tif"
+    if args.pred_csv is None:
+        args.pred_csv = os.path.join(
+            args.data_root, "visualizations", "spatial_GBM_pred",
+            args.pred_folder or "", slide_name, "stride-1.csv")
+    if args.h5ad is None and args.gt_csv_template is None:
+        args.h5ad = os.path.join(
+            args.data_root, "data", "Spatial_Heiland", "data",
+            "AnnDataObject", "raw", f"{args.slide_nr}_T.h5ad")
+    args.save_folder = os.path.join(
+        args.data_root, "visualizations", "comparisons", args.save_folder,
+        slide_name)
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if args.slide_nr is not None:
+        resolve_reference_layout(args)
+    if args.pred_csv is None:
+        raise SystemExit("provide --pred_csv, or --slide_nr/--pred_folder")
     if args.gene_names.endswith(".npy"):
         genes = [str(g) for g in np.load(args.gene_names, allow_pickle=True)]
     else:

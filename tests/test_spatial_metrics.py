@@ -107,6 +107,33 @@ def test_cli_get_emd_with_csv_ground_truth(tmp_path):
     assert np.isfinite(out["emd"]).all()
 
 
+def test_cli_get_emd_reference_layout(tmp_path):
+    """--slide_nr/--pred_folder reconstruct the reference's GBM path scheme
+    (reference get_emd.py:100-122)."""
+    from sequoia_tpu.cli import get_emd as cli_emd
+
+    rng = np.random.default_rng(5)
+    tiles = [(x, y) for x in range(5) for y in range(5)]
+    pred = pd.DataFrame(tiles, columns=["xcoord_tf", "ycoord_tf"])
+    pred["xcoord"] = pred["xcoord_tf"] * 64
+    pred["ycoord"] = pred["ycoord_tf"] * 64
+    pred["GENEA"] = rng.random(len(pred))
+    pdir = tmp_path / "visualizations" / "spatial_GBM_pred" / "run1" / "HRI_7_T.tif"
+    pdir.mkdir(parents=True)
+    pred.to_csv(pdir / "stride-1.csv", index=False)
+    gt = pd.DataFrame({"x": pred["xcoord"], "y": pred["ycoord"],
+                       "gene_expr": pred["GENEA"]})
+    gt.to_csv(tmp_path / "gt_GENEA.csv", index=False)
+
+    cli_emd.main(["--slide_nr", "7", "--pred_folder", "run1",
+                  "--data_root", str(tmp_path),
+                  "--gene_names", "GENEA", "--save_folder", "cmp",
+                  "--gt_csv_template", str(tmp_path / "gt_{gene}.csv")])
+    out = pd.read_csv(tmp_path / "visualizations" / "comparisons" / "cmp"
+                      / "HRI_7_T.tif" / "metrics.csv")
+    assert set(out["gene"]) == {"GENEA"} and np.isfinite(out["emd"]).all()
+
+
 def test_cli_gbm_analysis(tmp_path):
     from sequoia_tpu.cli import gbm_analysis as cli_gbm
 
