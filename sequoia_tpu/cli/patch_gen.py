@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--end", type=int, default=None)
     p.add_argument("--max_patches_per_slide", default=None, type=int)
     p.add_argument("--debug", default=0, type=int)
+    p.add_argument("--layout", default="tiles", choices=["tiles", "packed"],
+                   help="HDF5 layout: 'tiles' = reference tile-per-dataset "
+                        "contract; 'packed' = one chunked (N,ps,ps,3) "
+                        "dataset + coords (faster I/O, readers handle both)")
     p.add_argument("--parallel", default=1, type=int,
                    help="(accepted for compatibility; decode parallelism is "
                         "handled by the native reader when built)")
@@ -53,7 +57,8 @@ def main(argv=None) -> None:
     slides = {s.split(".")[0]: os.path.join(args.wsi_path, s) for s in slide_list}
     patch_gen.run_patch_gen(slides, args.patch_path, args.mask_path,
                             patch_size=args.patch_size,
-                            max_patches_per_slide=args.max_patches_per_slide)
+                            max_patches_per_slide=args.max_patches_per_slide,
+                            layout=args.layout)
 
 
 if __name__ == "__main__":

@@ -97,8 +97,16 @@ class FeatureExtractor:
 def load_patches(patch_h5_path: str, max_patch_number: int | None,
                  rng: pyrandom.Random) -> np.ndarray:
     """Read tile datasets; subsample keys like the reference
-    (``random.sample``)."""
+    (``random.sample``).  Handles both the reference tile-per-dataset
+    layout and the packed layout (``patch_gen.extract_patches(layout=
+    'packed')``: one ``patches`` (N, ps, ps, 3) dataset)."""
     with h5py.File(patch_h5_path, "r") as f:
+        if "patches" in f:  # packed layout: one bulk read
+            n = f["patches"].shape[0]
+            if max_patch_number is not None and n > max_patch_number:
+                idx = sorted(rng.sample(range(n), max_patch_number))
+                return f["patches"][idx]
+            return f["patches"][:]
         keys = list(f.keys())
         if max_patch_number is not None and len(keys) > max_patch_number:
             keys = rng.sample(keys, max_patch_number)

@@ -62,8 +62,17 @@ def candidate_grid(xmax: int, ymax: int, step: int, seed: int = 5):
 def extract_patches(slide_path, patches_output_dir: str, mask_path: str,
                     slide_id: str, patch_size: tuple[int, int] = (256, 256),
                     max_patches_per_slide: int | None = None,
-                    screen_batch: int = 64, verbose: bool = True) -> int:
-    """Tile one slide.  Returns the number of patches written."""
+                    screen_batch: int = 64, verbose: bool = True,
+                    layout: str = "tiles") -> int:
+    """Tile one slide.  Returns the number of patches written.
+
+    ``layout='tiles'`` (default) writes the reference contract: one HDF5
+    dataset per tile named ``"{x}_{y}"``.  ``layout='packed'`` writes one
+    chunked uint8 ``patches`` (N, ps, ps, 3) dataset + an int64 ``coords``
+    (N, 2) dataset — ~2 h5py objects instead of ~4000, which removes the
+    per-dataset metadata cost on both write and read; every reader in this
+    package (``pipeline/features.load_patches``) handles both layouts.
+    """
     patch_folder = os.path.join(patches_output_dir, slide_id)
     os.makedirs(patch_folder, exist_ok=True)
     patch_folder_mask = os.path.join(mask_path, slide_id)
@@ -91,14 +100,35 @@ def extract_patches(slide_path, patches_output_dir: str, mask_path: str,
     if max_patches_per_slide is None:
         max_patches_per_slide = len(indices)
 
+    if layout not in ("tiles", "packed"):
+        raise ValueError(f"layout must be 'tiles' or 'packed', got {layout!r}")
     n_written = 0
     path_hdf5 = os.path.join(patch_folder, f"{slide_id}.hdf5")
     with h5py.File(path_hdf5, "w") as hdf:
+        if layout == "packed":
+            packed = hdf.create_dataset(
+                "patches", shape=(0, *patch_size, 3),
+                maxshape=(None, *patch_size, 3), dtype=np.uint8,
+                chunks=(min(64, max_patches_per_slide or 64), *patch_size, 3))
+            packed_xy = hdf.create_dataset(
+                "coords", shape=(0, 2), maxshape=(None, 2), dtype=np.int64)
         pend_imgs: list[np.ndarray] = []
         pend_xy: list[tuple[int, int]] = []
 
-        def flush():
+        def write(imgs: list[np.ndarray], xys: list[tuple[int, int]]):
             nonlocal n_written
+            if layout == "tiles":
+                for img, (x, y) in zip(imgs, xys):
+                    hdf.create_dataset(f"{x}_{y}", data=img)
+            else:
+                n0 = n_written
+                packed.resize(n0 + len(imgs), axis=0)
+                packed_xy.resize(n0 + len(imgs), axis=0)
+                packed[n0:] = np.stack(imgs)
+                packed_xy[n0:] = np.asarray(xys, np.int64)
+            n_written += len(imgs)
+
+        def flush():
             if not pend_imgs or n_written >= max_patches_per_slide:
                 pend_imgs.clear()
                 pend_xy.clear()
@@ -106,8 +136,9 @@ def extract_patches(slide_path, patches_output_dir: str, mask_path: str,
             batch = jnp.asarray(np.stack(pend_imgs))
             keep = np.asarray(masking.patch_keep_flags(
                 batch, background_threshold=BACKGROUND_THRESHOLD))
+            out_imgs, out_xy = [], []
             for img, (x, y), k in zip(pend_imgs, pend_xy, keep):
-                if n_written >= max_patches_per_slide:
+                if n_written + len(out_imgs) >= max_patches_per_slide:
                     break
                 if not k:
                     continue
@@ -115,8 +146,10 @@ def extract_patches(slide_path, patches_output_dir: str, mask_path: str,
                     from PIL import Image
 
                     img = np.asarray(Image.fromarray(img).resize(patch_size))
-                hdf.create_dataset(f"{x}_{y}", data=img)
-                n_written += 1
+                out_imgs.append(img)
+                out_xy.append((x, y))
+            if out_imgs:
+                write(out_imgs, out_xy)
             pend_imgs.clear()
             pend_xy.clear()
 
@@ -161,12 +194,12 @@ def extract_patches(slide_path, patches_output_dir: str, mask_path: str,
 
 def run_patch_gen(slide_paths: dict[str, str], patch_path: str, mask_path: str,
                   patch_size: int = 256, max_patches_per_slide: int | None = None,
-                  verbose: bool = True) -> None:
+                  verbose: bool = True, layout: str = "tiles") -> None:
     """Tile a set of slides: {slide_id: path}."""
     for slide_id, path in slide_paths.items():
         try:
             extract_patches(path, patch_path, mask_path, slide_id,
                             (patch_size, patch_size), max_patches_per_slide,
-                            verbose=verbose)
+                            verbose=verbose, layout=layout)
         except Exception as e:  # per-slide quarantine (reference behavior)
             print(f"error with slide id {slide_id}: {e}")

@@ -134,3 +134,40 @@ def test_pil_reader_multipage(tmp_path):
     np.testing.assert_array_equal(region, lv0[32:48, 64:80])
     region1 = r.read_region((64, 32), 1, (8, 8))
     np.testing.assert_array_equal(region1, lv1[8:16, 16:24])
+
+
+@pytest.mark.slow
+def test_packed_layout_matches_tiles(tmp_path):
+    """layout='packed' writes the same screened patches as the reference
+    tile-per-dataset layout, and load_patches reads both identically
+    (including the subsample path)."""
+    import random as pyrandom
+
+    kw = dict(patch_size=(64, 64), max_patches_per_slide=40, verbose=False)
+    n_t = patch_gen.extract_patches(
+        synthetic_wsi(), str(tmp_path / "t"), str(tmp_path / "tm"), "S",
+        **kw)
+    n_p = patch_gen.extract_patches(
+        synthetic_wsi(), str(tmp_path / "p"), str(tmp_path / "pm"), "S",
+        layout="packed", **kw)
+    assert n_t == n_p > 10
+
+    with h5py.File(tmp_path / "t" / "S" / "S.hdf5", "r") as f:
+        tiles = {k: f[k][:] for k in f.keys()}
+    with h5py.File(tmp_path / "p" / "S" / "S.hdf5", "r") as f:
+        assert set(f.keys()) == {"patches", "coords"}
+        packed = f["patches"][:]
+        coords = f["coords"][:]
+
+    # same (x, y) -> pixel mapping in both layouts
+    assert len(packed) == len(tiles)
+    for img, (x, y) in zip(packed, coords):
+        np.testing.assert_array_equal(img, tiles[f"{x}_{y}"])
+
+    # reader round trip, full + subsampled
+    full = feat_stage.load_patches(str(tmp_path / "p" / "S" / "S.hdf5"),
+                                   None, pyrandom.Random(0))
+    np.testing.assert_array_equal(full, packed)
+    sub = feat_stage.load_patches(str(tmp_path / "p" / "S" / "S.hdf5"),
+                                  10, pyrandom.Random(0))
+    assert sub.shape == (10, 64, 64, 3)
