@@ -18,8 +18,22 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: repeated suite runs skip recompiles.
-_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                            os.path.expanduser("~/.cache/sequoia_tpu_jax"))
+# Keyed by a host-CPU fingerprint — sandbox sessions can migrate between
+# machine generations, and XLA:CPU AOT entries compiled for another host's
+# feature set load with SIGILL warnings.
+def _host_fingerprint() -> str:
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+
+
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser(f"~/.cache/sequoia_tpu_jax_{_host_fingerprint()}"))
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
