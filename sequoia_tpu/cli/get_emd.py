@@ -48,9 +48,12 @@ def resolve_reference_layout(args) -> None:
     GBM path scheme (``get_emd.py:107-122``) when --slide_nr is given."""
     slide_name = f"HRI_{args.slide_nr}_T.tif"
     if args.pred_csv is None:
+        if args.pred_folder is None:
+            raise SystemExit("--slide_nr needs --pred_folder (or an explicit "
+                             "--pred_csv)")
         args.pred_csv = os.path.join(
             args.data_root, "visualizations", "spatial_GBM_pred",
-            args.pred_folder or "", slide_name, "stride-1.csv")
+            args.pred_folder, slide_name, "stride-1.csv")
     if args.h5ad is None and args.gt_csv_template is None:
         args.h5ad = os.path.join(
             args.data_root, "data", "Spatial_Heiland", "data",

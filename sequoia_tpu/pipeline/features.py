@@ -47,6 +47,11 @@ class FeatureExtractor:
         self.batch_size = batch_size
         self.patch_size = patch_size
         self.params = params
+        if (cfg is not None and compute_dtype is not jnp.float32
+                and cfg.compute_dtype != compute_dtype):
+            raise ValueError(
+                f"cfg.compute_dtype={cfg.compute_dtype} conflicts with "
+                f"compute_dtype={compute_dtype}; set it on the cfg")
 
         if feat_type == "resnet":
             cfg = cfg or resnet_mod.ResNetConfig(compute_dtype=compute_dtype)
@@ -102,11 +107,19 @@ def load_patches(patch_h5_path: str, max_patch_number: int | None,
     'packed')``: one ``patches`` (N, ps, ps, 3) dataset)."""
     with h5py.File(patch_h5_path, "r") as f:
         if "patches" in f:  # packed layout: one bulk read
-            n = f["patches"].shape[0]
-            if max_patch_number is not None and n > max_patch_number:
-                idx = sorted(rng.sample(range(n), max_patch_number))
-                return f["patches"][idx]
-            return f["patches"][:]
+            # reproduce the tiles layout bit-for-bit: same "{x}_{y}" key
+            # universe in h5py's name order, same rng.sample stream, same
+            # output row order — so a given seed selects the same patches
+            # regardless of storage layout
+            coords = f["coords"][:]
+            names = [f"{x}_{y}" for x, y in coords]
+            row_of = {nm: i for i, nm in enumerate(names)}
+            keys = sorted(names)
+            if max_patch_number is not None and len(keys) > max_patch_number:
+                keys = rng.sample(keys, max_patch_number)
+            rows = np.asarray([row_of[nm] for nm in keys])
+            order = np.argsort(rows)  # h5py fancy indexing wants increasing
+            return f["patches"][rows[order]][np.argsort(order)]
         keys = list(f.keys())
         if max_patch_number is not None and len(keys) > max_patch_number:
             keys = rng.sample(keys, max_patch_number)

@@ -145,15 +145,26 @@ class SlidePredictor:
 
         q: queue.Queue = queue.Queue(maxsize=4)
         err: list[BaseException] = []
+        stop = threading.Event()  # consumer failed: unblock + end the producer
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for chunk in self.iter_patch_chunks(wsi_path):
-                    q.put(chunk)
+                    if not put(chunk):
+                        return
             except BaseException as e:  # propagate into the consumer
                 err.append(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -173,16 +184,19 @@ class SlidePredictor:
             buf = [rest] if len(rest) else []
             buffered = len(rest)
 
-        while True:
-            chunk = q.get()
-            if chunk is None:
-                break
-            buf.append(chunk)
-            buffered += len(chunk)
-            # featurize only whole extractor batches; the tail pads once
-            drain(final=False)
-        drain(final=True)
-        t.join()
+        try:
+            while True:
+                chunk = q.get()
+                if chunk is None:
+                    break
+                buf.append(chunk)
+                buffered += len(chunk)
+                # featurize only whole extractor batches; the tail pads once
+                drain(final=False)
+            drain(final=True)
+        finally:
+            stop.set()  # a failure here must not strand the producer
+            t.join()
         if err:
             raise err[0]
         if not feats:

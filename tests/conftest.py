@@ -23,12 +23,24 @@ jax.config.update("jax_platforms", "cpu")
 # feature set load with SIGILL warnings.
 def _host_fingerprint() -> str:
     import hashlib
+    import platform
+
+    # x86 exposes "flags", aarch64 "Features"; fold in the machine arch so
+    # neither family ever hashes to an empty constant
+    keys = ("flags", "Features", "model name", "CPU part")
+    lines = []
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
+            seen = set()
+            for ln in f:
+                k = ln.split(":")[0].strip()
+                if k in keys and k not in seen:
+                    seen.add(k)
+                    lines.append(ln.strip())
     except OSError:
-        flags = ""
-    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+        pass
+    blob = platform.machine() + "\n" + "\n".join(lines)
+    return hashlib.sha1(blob.encode()).hexdigest()[:10]
 
 
 _cache_dir = os.environ.get(

@@ -164,10 +164,11 @@ def test_packed_layout_matches_tiles(tmp_path):
     for img, (x, y) in zip(packed, coords):
         np.testing.assert_array_equal(img, tiles[f"{x}_{y}"])
 
-    # reader round trip, full + subsampled
-    full = feat_stage.load_patches(str(tmp_path / "p" / "S" / "S.hdf5"),
-                                   None, pyrandom.Random(0))
-    np.testing.assert_array_equal(full, packed)
-    sub = feat_stage.load_patches(str(tmp_path / "p" / "S" / "S.hdf5"),
-                                  10, pyrandom.Random(0))
-    assert sub.shape == (10, 64, 64, 3)
+    # reader parity: same seed -> bit-identical output from both layouts,
+    # full and subsampled (same key universe, same rng.sample stream)
+    for cap in (None, 10):
+        a = feat_stage.load_patches(str(tmp_path / "t" / "S" / "S.hdf5"),
+                                    cap, pyrandom.Random(0))
+        b = feat_stage.load_patches(str(tmp_path / "p" / "S" / "S.hdf5"),
+                                    cap, pyrandom.Random(0))
+        np.testing.assert_array_equal(a, b)

@@ -85,25 +85,35 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--fused", default="", help="comma list, e.g. 1,2")
+    ap.add_argument("--cp", default="", help="comma list for cp_stages")
+    ap.add_argument("--early_pallas", action="store_true")
     args = ap.parse_args()
     B = args.batch
     cdtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     fused = tuple(int(s) for s in args.fused.split(",") if s)
-    cfg = resnet.ResNetConfig(compute_dtype=cdtype, fused_stages=fused)
+    cp = tuple(int(s) for s in args.cp.split(",") if s)
+    cfg = resnet.ResNetConfig(compute_dtype=cdtype, fused_stages=fused,
+                              cp_stages=cp, early_pallas=args.early_pallas)
     params = resnet.random_params(jax.random.PRNGKey(0))
     u8 = jax.random.randint(jax.random.PRNGKey(2), (B, 256, 256, 3), 0, 256,
                             jnp.uint8)
 
     print(f"batch={B} dtype={cdtype.__name__} iters={args.iters} "
-          f"fused_stages={fused} (cumulative-prefix marginals)")
-    prev = 0.0
-    for upto in ("stem", "pool", "layer1", "layer2", "layer3", "layer4",
-                 "mean"):
-        ms = scanned_ms(build_prefix(cfg, params, upto), u8, args.iters)
-        print(f"..{upto:8s} cum {ms:7.3f} ms   marginal {ms - prev:7.3f} ms")
-        prev = ms
+          f"fused={fused} cp={cp} early_pallas={args.early_pallas}")
+    if not cp and not args.early_pallas:
+        # cumulative-prefix marginals (XLA/fused paths only; the Pallas
+        # configs are timed whole-model below — their stage boundaries do
+        # not line up with prefix truncation points)
+        prev = 0.0
+        for upto in ("stem", "pool", "layer1", "layer2", "layer3", "layer4",
+                     "mean"):
+            ms = scanned_ms(build_prefix(cfg, params, upto), u8, args.iters)
+            print(f"..{upto:8s} cum {ms:7.3f} ms   marginal {ms - prev:7.3f} ms")
+            prev = ms
 
-    print(f"{'FULL':10s} {prev:7.3f} ms  ({B / (prev / 1e3):.0f} patches/s)")
+    full = scanned_ms(
+        lambda v: resnet.extract_from_uint8(cfg, params, v), u8, args.iters)
+    print(f"{'FULL':10s} {full:7.3f} ms  ({B / (full / 1e3):.0f} patches/s)")
 
 
 if __name__ == "__main__":
