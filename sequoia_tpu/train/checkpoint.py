@@ -111,6 +111,42 @@ def load_hf_vis_state_dict(repo_or_path: str) -> dict[str, np.ndarray]:
     return load_torch_checkpoint(os.path.join(path, "pytorch_model.bin"))
 
 
+def save_hf_vis_layout(out_dir: str, cfg, params) -> None:
+    """Write a PyTorchModelHubMixin-layout directory
+    (``config.json`` + ``model.safetensors``, falling back to
+    ``pytorch_model.bin``) that the reference's own
+    ``ViS.from_pretrained(path)`` loads unchanged — upload the directory to
+    the Hub to publish fold weights exactly like the released
+    ``gevaertlab/sequoia-{cancer}-{fold}`` checkpoints (reference
+    ``tformer_lin.py:80-82``)."""
+    import json
+
+    from sequoia_tpu.models import convert
+
+    os.makedirs(out_dir, exist_ok=True)
+    # config keys = the reference ViS __init__ kwargs the mixin serializes
+    config = {
+        "num_outputs": cfg.num_outputs,
+        "input_dim": cfg.input_dim,
+        "depth": cfg.depth,
+        "nheads": cfg.nheads,
+        "dimensions_f": cfg.dim_f,
+        "dimensions_s": cfg.dim_s,
+        "dimensions_c": cfg.dim_c,
+        "num_clusters": cfg.num_clusters,
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+    sd = convert.vis_to_torch(cfg, params)
+    try:
+        from safetensors.numpy import save_file
+
+        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+                  os.path.join(out_dir, "model.safetensors"))
+    except ImportError:
+        save_torch_state_dict(sd, os.path.join(out_dir, "pytorch_model.bin"))
+
+
 # ---------------------------------------------------------------------------
 # Full training-state checkpoint/resume (params + optimizer + loop counters)
 # — an addition over the reference, which only saved best-model weights

@@ -177,3 +177,61 @@ def test_predict_wsi_streaming_matches_sequential():
     streamed = pred.predict_wsi(path)
     sequential = pred.predict_patches(pred.extract_patches(path))
     np.testing.assert_allclose(streamed, sequential, rtol=1e-5, atol=1e-5)
+
+
+def test_save_hf_vis_layout_roundtrip(tmp_path):
+    """save_hf_vis_layout -> load_hf_vis_state_dict -> vis_from_torch
+    reproduces the forward; the directory is the PyTorchModelHubMixin
+    layout the reference's ViS.from_pretrained consumes."""
+    import json
+
+    from sequoia_tpu.models import convert
+    from sequoia_tpu.train import checkpoint
+
+    cfg = vis.ViSConfig(num_outputs=7, input_dim=32, depth=2, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=10)
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+    out = tmp_path / "hf"
+    checkpoint.save_hf_vis_layout(str(out), cfg, params)
+
+    conf = json.loads((out / "config.json").read_text())
+    assert conf["dimensions_f"] == 4 and conf["num_outputs"] == 7
+
+    sd = checkpoint.load_hf_vis_state_dict(str(out))
+    cfg2, params2 = convert.vis_from_torch(sd)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 32))
+    np.testing.assert_allclose(np.asarray(vis.apply(cfg, params, x)),
+                               np.asarray(vis.apply(cfg2, params2, x)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_reference_vis_from_pretrained_loads_our_export(tmp_path):
+    """The reference's own ViS.from_pretrained opens our exported dir."""
+    import sys
+
+    ref_src = "/root/reference/src"
+    if not os.path.isdir(ref_src):
+        pytest.skip("no reference checkout")
+    from sequoia_tpu.train import checkpoint
+
+    cfg = vis.ViSConfig(num_outputs=7, input_dim=32, depth=2, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=10)
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+    out = tmp_path / "hf"
+    checkpoint.save_hf_vis_layout(str(out), cfg, params)
+
+    sys.path.insert(0, ref_src)
+    try:
+        import torch
+        from tformer_lin import ViS as RefViS
+
+        model = RefViS.from_pretrained(str(out), device="cpu")
+        model.eval()
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (2, 10, 32)),
+                       np.float32)
+        with torch.no_grad():
+            ref_out = model(torch.from_numpy(x)).numpy()
+        ours = np.asarray(vis.apply(cfg, params, jax.numpy.asarray(x)))
+        np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-5)
+    finally:
+        sys.path.remove(ref_src)
