@@ -147,6 +147,35 @@ def save_hf_vis_layout(out_dir: str, cfg, params) -> None:
         save_torch_state_dict(sd, os.path.join(out_dir, "pytorch_model.bin"))
 
 
+def save_hf_he2rna_layout(out_dir: str, cfg, params) -> None:
+    """PyTorchModelHubMixin layout for HE2RNA (reference ``he2rna.py:42``
+    mixes the hub mixin in too): JSON-encodable ctor kwargs + weights.
+    ``nonlin``/``bias_init`` are omitted — the defaults reconstruct them
+    and the trained bias already carries any init."""
+    import json
+
+    from sequoia_tpu.models import convert
+
+    os.makedirs(out_dir, exist_ok=True)
+    config = {
+        "input_dim": cfg.input_dim,
+        "output_dim": cfg.output_dim,
+        "layers": list(cfg.layers),
+        "ks": list(cfg.ks),
+        "dropout": cfg.dropout,
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+    sd = convert.he2rna_to_torch(cfg, params)
+    try:
+        from safetensors.numpy import save_file
+
+        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+                  os.path.join(out_dir, "model.safetensors"))
+    except ImportError:
+        save_torch_state_dict(sd, os.path.join(out_dir, "pytorch_model.bin"))
+
+
 # ---------------------------------------------------------------------------
 # Full training-state checkpoint/resume (params + optimizer + loop counters)
 # — an addition over the reference, which only saved best-model weights

@@ -235,3 +235,37 @@ def test_reference_vis_from_pretrained_loads_our_export(tmp_path):
         np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-5)
     finally:
         sys.path.remove(ref_src)
+
+
+def test_reference_he2rna_from_pretrained_loads_our_export(tmp_path):
+    """The reference's HE2RNA.from_pretrained opens our exported dir with
+    eval-forward parity (all-ks averaging path)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import reference_loader as rl
+
+    if not rl.reference_available():
+        pytest.skip("no reference checkout")
+    ref = rl.load_reference()
+    from sequoia_tpu.models import he2rna as ours_mod
+    from sequoia_tpu.train import checkpoint
+
+    cfg = ours_mod.HE2RNAConfig(input_dim=16, output_dim=5, layers=(8,),
+                                ks=(1, 2, 3))
+    params = ours_mod.init(cfg, jax.random.PRNGKey(0))
+    out = tmp_path / "hf"
+    checkpoint.save_hf_he2rna_layout(str(out), cfg, params)
+
+    import torch
+
+    model = ref.he2rna.HE2RNA.from_pretrained(str(out))
+    model.eval()
+    x = np.abs(np.asarray(jax.random.normal(jax.random.PRNGKey(1),
+                                            (2, 6, 16)), np.float32))
+    # reference forward wants (B, F, T)
+    with torch.no_grad():
+        ref_out = model(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+    got = np.asarray(ours_mod.apply(cfg, params, jax.numpy.asarray(x),
+                                    train=False))
+    np.testing.assert_allclose(got, ref_out, rtol=1e-4, atol=1e-5)
