@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated tcga projects to keep")
     p.add_argument("--feature_path", type=str, default="features/")
     p.add_argument("--save_dir", type=str, default="saved_exp")
+    p.add_argument("--hf_export", action="store_true",
+                   help="also write per-fold PyTorchModelHubMixin layout "
+                        "dirs (hf_fold_{i}/) for hub publishing")
     p.add_argument("--cohort", type=str, default="TCGA")
     p.add_argument("--exp_name", type=str, default="exp")
     p.add_argument("--filter_no_features", type=int, default=1)
@@ -104,7 +107,8 @@ def main(argv=None) -> None:
         seed=args.seed, save_on=args.save_on, stop_on=args.stop_on,
         do_train=args.train, checkpoint_path=args.checkpoint,
         change_num_genes=args.change_num_genes, log_fn=log_fn,
-        resume=args.resume, mesh=resolve_mesh(args))
+        resume=args.resume, mesh=resolve_mesh(args),
+        hf_export=args.hf_export)
     finish()
 
 

@@ -51,6 +51,7 @@ def run_cross_validation(
         depth: int = 6, num_heads: int = 16, k: int = 5, batch_size: int = 16,
         lr: float = 1e-3, num_epochs: int = 200, seed: int = 99,
         save_on: str = "loss", stop_on: str = "loss", do_train: bool = True,
+        hf_export: bool = False,
         checkpoint_path: str | None = None, change_num_genes: int = 0,
         log_fn=None, verbose: bool = True, resume: bool = False,
         mesh=None, eval_on: str = "final") -> dict:
@@ -128,6 +129,12 @@ def run_cross_validation(
                     to_torch(cfg, p), save_path))
             params = (result.final_params if eval_on == "final"
                       else result.params)
+
+        if hf_export and model_type == "vis":
+            # publishing layout: the reference's ViS.from_pretrained (and
+            # huggingface-cli upload) consume this directory as-is
+            checkpoint.save_hf_vis_layout(
+                os.path.join(save_dir, f"hf_fold_{i}"), cfg, params)
 
         test_loader = ds.BatchLoader(test_ds, batch_size, shuffle=False)
         preds, real, wsis, projs = loop.evaluate(apply_fn, params, test_loader,

@@ -189,3 +189,23 @@ def test_cli_main_project_filter_and_sampling(tmp_path, monkeypatch):
     assert n == 8  # 12 slides minus the 4 filtered by project
     assert all(p == "TCGA-TEST"
                for i in range(2) for p in out[f"split_{i}"]["tcga_project"])
+
+
+def test_cv_hf_export_fold_dirs(tmp_path):
+    """hf_export=True writes per-fold PyTorchModelHubMixin dirs our loader
+    (and the reference's from_pretrained) can open."""
+    from sequoia_tpu.models import convert
+    from sequoia_tpu.train import checkpoint, cv
+
+    store = tmp_path / "features"
+    df = make_store(str(store), n_slides=8, n_genes=3, dim=8)
+    out = cv.run_cross_validation(
+        df, str(store), str(tmp_path / "exp"), model_type="vis",
+        k=2, batch_size=4, num_epochs=1, verbose=False, hf_export=True)
+    assert "split_1" in out
+    for i in range(2):
+        d = tmp_path / "exp" / f"hf_fold_{i}"
+        assert (d / "config.json").exists()
+        sd = checkpoint.load_hf_vis_state_dict(str(d))
+        cfg, params = convert.vis_from_torch(sd)
+        assert cfg.num_outputs == 3
