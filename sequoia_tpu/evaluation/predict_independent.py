@@ -20,7 +20,7 @@ import pandas as pd
 
 from sequoia_tpu.data import dataset as ds
 from sequoia_tpu.models import convert, vis
-from sequoia_tpu.train import checkpoint, loop
+from sequoia_tpu.train import checkpoint
 
 
 def fold_checkpoint_source(template: str, fold: int) -> str:
