@@ -269,3 +269,31 @@ def test_reference_he2rna_from_pretrained_loads_our_export(tmp_path):
     got = np.asarray(ours_mod.apply(cfg, params, jax.numpy.asarray(x),
                                     train=False))
     np.testing.assert_allclose(got, ref_out, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_predict_wsi_consumer_failure_does_not_strand_producer():
+    """If featurization raises mid-stream, predict_wsi must propagate the
+    error promptly and terminate the decode thread (no stuck q.put)."""
+    import threading
+
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    pred = make_predictor()
+
+    class Boom(RuntimeError):
+        pass
+
+    class FailingExtractor:
+        batch_size = 8
+        feature_dim = pred.extractor.feature_dim
+
+        def __call__(self, patches):
+            raise Boom("backbone OOM")
+
+    pred.extractor = FailingExtractor()
+    n0 = threading.active_count()
+    with pytest.raises(Boom):
+        pred.predict_wsi(synthetic_wsi())
+    # producer thread joined: thread count back to baseline
+    assert threading.active_count() == n0
