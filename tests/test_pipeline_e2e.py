@@ -172,3 +172,31 @@ def test_packed_layout_matches_tiles(tmp_path):
         b = feat_stage.load_patches(str(tmp_path / "p" / "S" / "S.hdf5"),
                                     cap, pyrandom.Random(0))
         np.testing.assert_array_equal(a, b)
+
+
+def test_extract_patches_appmag_40(tmp_path):
+    """Magnification-aware tiling (reference patch_gen_hdf5.py:86-89,
+    116-117): at AppMag=40 the grid steps by 2x patch_size at level 0 and
+    each region is resized back to patch_size before writing."""
+    rng = np.random.default_rng(3)
+    h, w = 1024, 1536
+    lv0 = np.full((h, w, 3), 242, np.uint8)
+    ys, xs = np.mgrid[0:h, 0:w]
+    blob = ((ys - h/2)**2 / (h/2.2)**2 + (xs - w/3)**2 / (w/3)**2) < 1
+    tex = rng.integers(-40, 40, size=(h, w, 3))
+    lv0[blob] = np.clip(np.array([188, 105, 160]) + tex, 0, 255).astype(np.uint8)[blob]
+    slide = ArrayReader([lv0, lv0[::4, ::4].copy()],
+                        properties={"aperio.AppMag": "40"})
+
+    n = patch_gen.extract_patches(
+        slide, str(tmp_path / "p"), str(tmp_path / "m"), "S40",
+        patch_size=(64, 64), max_patches_per_slide=30, verbose=False)
+    assert n > 5
+    with h5py.File(tmp_path / "p" / "S40" / "S40.hdf5", "r") as f:
+        keys = list(f.keys())
+        # written tiles are patch_size even though 128px regions were read
+        for k in keys[:5]:
+            assert f[k].shape == (64, 64, 3)
+        # level-0 coords step by the resized size (2x 64)
+        coords = np.array([list(map(int, k.split("_"))) for k in keys])
+        assert (coords % 128 == 0).all()
