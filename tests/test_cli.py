@@ -209,3 +209,29 @@ def test_cv_hf_export_fold_dirs(tmp_path):
         sd = checkpoint.load_hf_vis_state_dict(str(d))
         cfg, params = convert.vis_from_torch(sd)
         assert cfg.num_outputs == 3
+
+
+def test_cli_kmeans_gtex_mode(tmp_path):
+    """GTEx mode (reference kmean_features.py:27-30,67-71): features live
+    under {feature_path}/{gtex_tissue}/{wsi}/ with the full wsi name (no
+    .svs strip), selected by --gtex/--gtex_tissue."""
+    import numpy as np
+
+    from sequoia_tpu.cli import kmean_features as kf
+
+    rng = np.random.default_rng(0)
+    wsi = "GTEX-1117F-0126"  # GTEx ids carry no .svs suffix
+    d = tmp_path / "features" / "Lung" / wsi
+    d.mkdir(parents=True)
+    with h5py.File(d / f"{wsi}.h5", "w") as f:
+        f.create_dataset("resnet_features",
+                         data=rng.normal(size=(40, 16)).astype(np.float32))
+    ref = tmp_path / "ref.csv"
+    pd.DataFrame([{"wsi_file_name": wsi, "patient_id": "GTEX-1117F",
+                   "rna_A": 0.1}]).to_csv(ref, index=False)
+
+    kf.main(["--ref_file", str(ref), "--feature_path", str(tmp_path / "features"),
+             "--num_clusters", "8", "--backend", "tpu",
+             "--gtex", "--gtex_tissue", "Lung"])
+    with h5py.File(d / f"{wsi}.h5", "r") as f:
+        assert f["cluster_features"].shape == (8, 16)
