@@ -66,3 +66,58 @@ def test_cli_visualize_tcga_layout(tmp_path, monkeypatch):
     pd.testing.assert_series_equal(out["G1"],
                                    out[["G1_0", "G1_1"]].mean(axis=1),
                                    check_names=False)
+
+
+@pytest.mark.slow
+def test_cli_visualize_he2rna_model(tmp_path, monkeypatch):
+    """HE2RNA spatial maps: fold ckpts named model_{i}.pt (the reference's
+    whole-module convention, cli strips 'best_'), he2rna predict path."""
+    from sequoia_tpu.cli import visualize as cv
+    from sequoia_tpu.models import convert as cvt
+    from sequoia_tpu.models import he2rna
+
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+
+    monkeypatch.chdir(tmp_path)
+    project = "TCGA-SYN"
+    wsi = "TCGA-AA-0002.svs"
+    stem = wsi.replace(".svs", "")
+
+    slide = synthetic_wsi()
+    os.makedirs(f"TCGA/{project}", exist_ok=True)
+    native.write_tiled_tiff(f"TCGA/{project}/{wsi}",
+                            [slide.levels[0], slide.levels[1]], tile=(128, 128))
+    mask, _ = patch_gen.compute_slide_mask(slide)
+    os.makedirs(f"TCGA/{project}_Masks/{stem}", exist_ok=True)
+    np.save(f"TCGA/{project}_Masks/{stem}/mask.npy", mask)
+
+    genes = [f"G{i}" for i in range(4)]
+    ckpt_dir = "he2rna_resnet/syn/"
+    os.makedirs(ckpt_dir, exist_ok=True)
+    cfg = he2rna.HE2RNAConfig(input_dim=2048, output_dim=4, layers=(8,),
+                              ks=(1, 2))
+    for fold in range(2):
+        params = he2rna.init(cfg, jax.random.PRNGKey(fold))
+        checkpoint.save_torch_state_dict(
+            cvt.he2rna_to_torch(cfg, params),
+            os.path.join(ckpt_dir, f"model_{fold}.pt"))
+    with open(os.path.join(ckpt_dir, "test_results.pkl"), "wb") as f:
+        pickle.dump({"genes": genes}, f)
+
+    cv.main(["--study", "syn", "--project", project, "--gene_names", "G0,G2",
+             "--wsi_file_name", wsi, "--save_folder", "maps",
+             "--model_type", "he2rna", "--feat_type", "resnet",
+             "--folds", "0,1", "--stride", "4", "--patch_size", "64",
+             "--weights", "random", "--batch_size", "32"])
+
+    out = pd.read_csv(f"visualizations/{project}/maps/{wsi}/stride-4.csv",
+                      index_col=0)
+    for col in ("G0_0", "G0_1", "G0", "G2_0", "G2_1", "G2"):
+        assert col in out.columns, col
+    assert out["G0"].notna().sum() > 5
+    # NOTE: no ReLU here — the reference's spatial path calls the bare
+    # model forward (visualize.py:78-83); the eval-only ReLU lives in
+    # he2rna_predict, not in spatial maps
+    assert np.isfinite(out["G0"].dropna()).all()
