@@ -121,3 +121,51 @@ def test_cli_visualize_he2rna_model(tmp_path, monkeypatch):
     # model forward (visualize.py:78-83); the eval-only ReLU lives in
     # he2rna_predict, not in spatial maps
     assert np.isfinite(out["G0"].dropna()).all()
+
+
+@pytest.mark.slow
+def test_cli_visualize_vit_model(tmp_path, monkeypatch):
+    """ViT spatial maps through the same TCGA-layout workspace."""
+    from sequoia_tpu.cli import visualize as cv
+    from sequoia_tpu.models import convert as cvt
+    from sequoia_tpu.models import vit as vit_mod
+
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+
+    monkeypatch.chdir(tmp_path)
+    project = "TCGA-SYN"
+    wsi = "TCGA-AA-0003.svs"
+    stem = wsi.replace(".svs", "")
+
+    slide = synthetic_wsi()
+    os.makedirs(f"TCGA/{project}", exist_ok=True)
+    native.write_tiled_tiff(f"TCGA/{project}/{wsi}",
+                            [slide.levels[0], slide.levels[1]], tile=(128, 128))
+    mask, _ = patch_gen.compute_slide_mask(slide)
+    os.makedirs(f"TCGA/{project}_Masks/{stem}", exist_ok=True)
+    np.save(f"TCGA/{project}_Masks/{stem}/mask.npy", mask)
+
+    genes = [f"G{i}" for i in range(3)]
+    ckpt_dir = "vit_resnet/syn/"
+    os.makedirs(ckpt_dir, exist_ok=True)
+    cfg = vit_mod.ViTConfig(num_outputs=3, dim=2048, depth=1, heads=2,
+                            dim_head=4, mlp_dim=8)
+    params = vit_mod.init(cfg, jax.random.PRNGKey(0))
+    checkpoint.save_torch_state_dict(cvt.vit_to_torch(cfg, params),
+                                     os.path.join(ckpt_dir, "model_best_0.pt"))
+    with open(os.path.join(ckpt_dir, "test_results.pkl"), "wb") as f:
+        pickle.dump({"genes": genes}, f)
+
+    cv.main(["--study", "syn", "--project", project, "--gene_names", "G1",
+             "--wsi_file_name", wsi, "--save_folder", "maps",
+             "--model_type", "vit", "--feat_type", "resnet",
+             "--folds", "0", "--stride", "4", "--patch_size", "64",
+             "--weights", "random", "--batch_size", "32"])
+
+    out = pd.read_csv(f"visualizations/{project}/maps/{wsi}/stride-4.csv",
+                      index_col=0)
+    assert "G1_0" in out.columns and "G1" in out.columns
+    assert np.isfinite(out["G1"].dropna()).all()
+    assert out["G1"].notna().sum() > 5
