@@ -169,3 +169,101 @@ def test_cli_visualize_vit_model(tmp_path, monkeypatch):
     assert "G1_0" in out.columns and "G1" in out.columns
     assert np.isfinite(out["G1"].dropna()).all()
     assert out["G1"].notna().sum() > 5
+
+
+@pytest.mark.slow
+def test_cli_visualize_spatial_gbm_layout(tmp_path, monkeypatch):
+    """spatial_GBM_pred layout (reference visualize.py:148-183): pyramid/
+    dir, masks/*.npy, spot_diameter.csv-derived manual resize."""
+    import json as _json
+
+    from sequoia_tpu.cli import visualize as cv
+
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+
+    monkeypatch.chdir(tmp_path)
+    wsi = "HRI_7_T.tif"
+
+    slide = synthetic_wsi()
+    os.makedirs("Spatial_GBM/pyramid", exist_ok=True)
+    native.write_tiled_tiff(f"Spatial_GBM/pyramid/{wsi}",
+                            [slide.levels[0], slide.levels[1]], tile=(128, 128))
+    mask, _ = patch_gen.compute_slide_mask(slide)
+    os.makedirs("Spatial_GBM/masks", exist_ok=True)
+    np.save(f"Spatial_GBM/masks/{wsi.replace('.tif', '.npy')}", mask)
+    os.makedirs("Spatial_Heiland/data/classify", exist_ok=True)
+    # pixel diameter chosen so 0.5/um_px == 1.0 (no manual resize):
+    # um_px = 55/diam -> diam = 110
+    pd.DataFrame({"slide_id": ["7_T"], "pixel_diameter": [110.0]}).to_csv(
+        "Spatial_Heiland/data/classify/spot_diameter.csv", index=False)
+
+    genes = ["G0", "G1"]
+    ckpt_dir = "vis_resnet/gbm/"
+    os.makedirs(ckpt_dir, exist_ok=True)
+    cfg = vis.ViSConfig(num_outputs=2, input_dim=2048, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    checkpoint.save_torch_state_dict(
+        convert.vis_to_torch(cfg, vis.init(cfg, jax.random.PRNGKey(0))),
+        os.path.join(ckpt_dir, "model_best_0.pt"))
+    with open(os.path.join(ckpt_dir, "test_results.pkl"), "wb") as f:
+        pickle.dump({"genes": genes}, f)
+
+    cv.main(["--study", "gbm", "--project", "spatial_GBM_pred",
+             "--gene_names", "G1", "--wsi_file_name", wsi,
+             "--save_folder", "maps", "--model_type", "vis",
+             "--feat_type", "resnet", "--folds", "0", "--stride", "4",
+             "--patch_size", "64", "--weights", "random",
+             "--batch_size", "32"])
+
+    out = pd.read_csv(f"visualizations/spatial_GBM_pred/maps/{wsi}/stride-4.csv",
+                      index_col=0)
+    assert "G1" in out.columns and out["G1"].notna().sum() > 5
+
+
+@pytest.mark.slow
+def test_cli_visualize_breast_st_layout(tmp_path, monkeypatch):
+    """Breast-ST layout: wsis/, masks/, metadata/*.json magnification."""
+    import json as _json
+
+    from sequoia_tpu.cli import visualize as cv
+
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+
+    monkeypatch.chdir(tmp_path)
+    wsi = "BC23450.tif"
+
+    slide = synthetic_wsi()
+    for d in ("wsis", "masks", "metadata"):
+        os.makedirs(f"Breast-ST/{d}", exist_ok=True)
+    native.write_tiled_tiff(f"Breast-ST/wsis/{wsi}",
+                            [slide.levels[0], slide.levels[1]], tile=(128, 128))
+    mask, _ = patch_gen.compute_slide_mask(slide)
+    np.save(f"Breast-ST/masks/{wsi.replace('.tif', '.npy')}", mask)
+    with open(f"Breast-ST/metadata/{wsi.replace('.tif', '.json')}", "w") as f:
+        _json.dump({"magnification": "20x"}, f)
+
+    genes = ["G0", "G1"]
+    ckpt_dir = "vis_resnet/bst/"
+    os.makedirs(ckpt_dir, exist_ok=True)
+    cfg = vis.ViSConfig(num_outputs=2, input_dim=2048, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    checkpoint.save_torch_state_dict(
+        convert.vis_to_torch(cfg, vis.init(cfg, jax.random.PRNGKey(0))),
+        os.path.join(ckpt_dir, "model_best_0.pt"))
+    with open(os.path.join(ckpt_dir, "test_results.pkl"), "wb") as f:
+        pickle.dump({"genes": genes}, f)
+
+    cv.main(["--study", "bst", "--project", "Breast-ST",
+             "--gene_names", "G0", "--wsi_file_name", wsi,
+             "--save_folder", "maps", "--model_type", "vis",
+             "--feat_type", "resnet", "--folds", "0", "--stride", "4",
+             "--patch_size", "64", "--weights", "random",
+             "--batch_size", "32"])
+
+    out = pd.read_csv(f"visualizations/Breast-ST/maps/{wsi}/stride-4.csv",
+                      index_col=0)
+    assert "G0" in out.columns and out["G0"].notna().sum() > 5
