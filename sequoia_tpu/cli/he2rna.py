@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exp_name", type=str, default="exp")
     p.add_argument("--subfolder", type=str, default="")
     p.add_argument("--destfolder", type=str, default="")
+    p.add_argument("--hf_export", action="store_true",
+                   help="also write per-fold PyTorchModelHubMixin layout "
+                        "dirs (hf_fold_{i}/) for hub publishing")
     return p
 
 
@@ -50,7 +53,7 @@ def main(argv=None) -> None:
         df, args.feature_path, save_dir, k=args.k, batch_size=args.batch_size,
         lr=args.lr, seed=args.seed, checkpoint_path=args.checkpoint,
         change_num_genes=args.change_num_genes, num_genes=args.num_genes,
-        log_fn=log_fn)
+        log_fn=log_fn, hf_export=args.hf_export)
     finish()
 
 

@@ -111,21 +111,34 @@ def load_hf_vis_state_dict(repo_or_path: str) -> dict[str, np.ndarray]:
     return load_torch_checkpoint(os.path.join(path, "pytorch_model.bin"))
 
 
-def save_hf_vis_layout(out_dir: str, cfg, params) -> None:
-    """Write a PyTorchModelHubMixin-layout directory
-    (``config.json`` + ``model.safetensors``, falling back to
-    ``pytorch_model.bin``) that the reference's own
-    ``ViS.from_pretrained(path)`` loads unchanged — upload the directory to
-    the Hub to publish fold weights exactly like the released
-    ``gevaertlab/sequoia-{cancer}-{fold}`` checkpoints (reference
-    ``tformer_lin.py:80-82``)."""
+def _write_hf_dir(out_dir: str, config: dict, sd) -> None:
+    """PyTorchModelHubMixin directory layout: ``config.json`` (the model's
+    ctor kwargs) + ``model.safetensors`` (``pytorch_model.bin`` when
+    safetensors is unavailable)."""
     import json
 
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+    try:
+        from safetensors.numpy import save_file
+
+        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+                  os.path.join(out_dir, "model.safetensors"))
+    except ImportError:
+        save_torch_state_dict(sd, os.path.join(out_dir, "pytorch_model.bin"))
+
+
+def save_hf_vis_layout(out_dir: str, cfg, params) -> None:
+    """Hub-publishable ViS directory that the reference's own
+    ``ViS.from_pretrained(path)`` loads unchanged — upload it to publish
+    fold weights exactly like the released
+    ``gevaertlab/sequoia-{cancer}-{fold}`` checkpoints (reference
+    ``tformer_lin.py:80-82``).  Config keys = the reference ViS __init__
+    kwargs the mixin serializes."""
     from sequoia_tpu.models import convert
 
-    os.makedirs(out_dir, exist_ok=True)
-    # config keys = the reference ViS __init__ kwargs the mixin serializes
-    config = {
+    _write_hf_dir(out_dir, {
         "num_outputs": cfg.num_outputs,
         "input_dim": cfg.input_dim,
         "depth": cfg.depth,
@@ -134,46 +147,23 @@ def save_hf_vis_layout(out_dir: str, cfg, params) -> None:
         "dimensions_s": cfg.dim_s,
         "dimensions_c": cfg.dim_c,
         "num_clusters": cfg.num_clusters,
-    }
-    with open(os.path.join(out_dir, "config.json"), "w") as f:
-        json.dump(config, f, indent=2)
-    sd = convert.vis_to_torch(cfg, params)
-    try:
-        from safetensors.numpy import save_file
-
-        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
-                  os.path.join(out_dir, "model.safetensors"))
-    except ImportError:
-        save_torch_state_dict(sd, os.path.join(out_dir, "pytorch_model.bin"))
+    }, convert.vis_to_torch(cfg, params))
 
 
 def save_hf_he2rna_layout(out_dir: str, cfg, params) -> None:
     """PyTorchModelHubMixin layout for HE2RNA (reference ``he2rna.py:42``
-    mixes the hub mixin in too): JSON-encodable ctor kwargs + weights.
-    ``nonlin``/``bias_init`` are omitted — the defaults reconstruct them
-    and the trained bias already carries any init."""
-    import json
-
+    mixes the hub mixin in too).  ``nonlin``/``bias_init`` are omitted —
+    the defaults reconstruct them and the trained bias already carries any
+    init."""
     from sequoia_tpu.models import convert
 
-    os.makedirs(out_dir, exist_ok=True)
-    config = {
+    _write_hf_dir(out_dir, {
         "input_dim": cfg.input_dim,
         "output_dim": cfg.output_dim,
         "layers": list(cfg.layers),
         "ks": list(cfg.ks),
         "dropout": cfg.dropout,
-    }
-    with open(os.path.join(out_dir, "config.json"), "w") as f:
-        json.dump(config, f, indent=2)
-    sd = convert.he2rna_to_torch(cfg, params)
-    try:
-        from safetensors.numpy import save_file
-
-        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
-                  os.path.join(out_dir, "model.safetensors"))
-    except ImportError:
-        save_torch_state_dict(sd, os.path.join(out_dir, "pytorch_model.bin"))
+    }, convert.he2rna_to_torch(cfg, params))
 
 
 # ---------------------------------------------------------------------------

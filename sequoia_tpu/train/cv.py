@@ -64,6 +64,11 @@ def run_cross_validation(
     that, while the best-val weights only go to ``model_best_{i}.pt``.
     ``"best"`` evaluates the saved-best weights instead.
     """
+    if hf_export and model_type != "vis":
+        raise ValueError(
+            "hf_export supports model_type='vis' here (the reference's ViT "
+            "has no hub mixin); HE2RNA exports via "
+            "run_he2rna_cross_validation(hf_export=True)")
     os.makedirs(save_dir, exist_ok=True)
     key = jax.random.PRNGKey(seed)
 
@@ -163,7 +168,7 @@ def run_he2rna_cross_validation(
         batch_size: int = 16, lr: float = 1e-3, max_epochs: int = 200,
         seed: int = 99, checkpoint_path: str | None = None,
         change_num_genes: bool = False, num_genes: int | None = None,
-        log_fn=None, verbose: bool = True) -> dict:
+        log_fn=None, verbose: bool = True, hf_export: bool = False) -> dict:
     """Reference ``src/he2rna.py`` __main__ CV flow."""
     os.makedirs(save_dir, exist_ok=True)
     key = jax.random.PRNGKey(seed)
@@ -204,6 +209,11 @@ def run_he2rna_cross_validation(
             log_fn=log_fn, verbose=verbose,
             save_fn=lambda p: checkpoint.save_torch_state_dict(
                 convert.he2rna_to_torch(cfg, p), save_path))
+        if hf_export:
+            best = convert.he2rna_from_torch(
+                checkpoint.load_torch_checkpoint(save_path))[1]                 if os.path.exists(save_path) else params
+            checkpoint.save_hf_he2rna_layout(
+                os.path.join(save_dir, f"hf_fold_{i}"), cfg, best)
 
         test_results_splits[f"split_{i}"] = {
             "real": labels, "preds": preds, "random": preds_random,

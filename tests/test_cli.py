@@ -191,6 +191,36 @@ def test_cli_main_project_filter_and_sampling(tmp_path, monkeypatch):
                for i in range(2) for p in out[f"split_{i}"]["tcga_project"])
 
 
+def test_cv_hf_export_rejects_vit(tmp_path):
+    """hf_export with model_type='vit' errors (no hub mixin in the
+    reference's ViT) instead of silently exporting nothing."""
+    from sequoia_tpu.train import cv
+
+    store = tmp_path / "features"
+    df = make_store(str(store), n_slides=8, n_genes=3, dim=8)
+    with pytest.raises(ValueError, match="hf_export"):
+        cv.run_cross_validation(
+            df, str(store), str(tmp_path / "exp"), model_type="vit",
+            k=2, batch_size=4, num_epochs=1, verbose=False, hf_export=True)
+
+
+def test_he2rna_cv_hf_export(tmp_path):
+    """HE2RNA CV hf_export writes loadable per-fold layout dirs."""
+    from sequoia_tpu.models import convert
+    from sequoia_tpu.train import checkpoint, cv
+
+    store = tmp_path / "features"
+    df = make_store(str(store), n_slides=8, n_genes=3, dim=8)
+    cv.run_he2rna_cross_validation(
+        df, str(store), str(tmp_path / "exp"), k=2, batch_size=4,
+        max_epochs=1, verbose=False, hf_export=True)
+    for i in range(2):
+        d = tmp_path / "exp" / f"hf_fold_{i}"
+        sd = checkpoint.load_hf_vis_state_dict(str(d))
+        cfg, params = convert.he2rna_from_torch(sd)
+        assert cfg.output_dim == 3
+
+
 def test_cv_hf_export_fold_dirs(tmp_path):
     """hf_export=True writes per-fold PyTorchModelHubMixin dirs our loader
     (and the reference's from_pretrained) can open."""
