@@ -82,13 +82,17 @@ def build_expression_table(project: str, out_dir: str,
     return path
 
 
-def main(argv=None) -> None:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="GDC STAR-Counts downloader")
     p.add_argument("--projects", type=str, nargs="+", required=True,
                    help="e.g. TCGA-BRCA TCGA-LUAD")
     p.add_argument("--out", type=str, default="rnaseq")
     p.add_argument("--max_samples", type=int, default=None)
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
     for project in args.projects:
         try:
             path = build_expression_table(project, args.out, args.max_samples)

@@ -265,3 +265,18 @@ def test_cli_kmeans_gtex_mode(tmp_path):
              "--gtex", "--gtex_tissue", "Lung"])
     with h5py.File(d / f"{wsi}.h5", "r") as f:
         assert f["cluster_features"].shape == (8, 16)
+
+
+def test_all_cli_parsers_build():
+    """Every CLI module imports and its parser builds + prints help text
+    (catches import rot and argparse conflicts across the whole surface)."""
+    import importlib
+
+    mods = ["patch_gen", "compute_features", "kmean_features", "main",
+            "pretrain_gtex", "he2rna", "evaluate_model",
+            "predict_independent", "visualize", "get_emd", "gbm_analysis",
+            "download_rnaseq"]
+    for name in mods:
+        m = importlib.import_module(f"sequoia_tpu.cli.{name}")
+        p = m.build_parser()
+        assert p.format_help()
