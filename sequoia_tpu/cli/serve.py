@@ -1,0 +1,116 @@
+"""One-shot slide serving CLI: WSI file(s) -> gene-panel CSV.
+
+The reference has no serving story (its stages are glued by files on
+disk); this is the command-line face of :mod:`sequoia_tpu.serve` — tiling,
+feature extraction, k-means, and the (fold-ensembled) ViS forward in one
+process with all stages jitted and the decode thread overlapping device
+compute (``SlidePredictor.predict_wsi``).
+
+    python -m sequoia_tpu.cli.serve \
+        --wsi slide1.svs slide2.svs \
+        --checkpoints saved_exp/brca/exp_vis \
+        --feat_type resnet --weights resnet50.pth \
+        --gene_names examples/gene_list.csv --out predictions.csv
+
+``--checkpoints`` accepts a CV output directory (``model_best_{i}.pt`` +
+``test_results.pkl``, folds auto-discovered), a single ``.pt``, or an
+HF-layout directory (``config.json`` + safetensors / bin).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+
+from sequoia_tpu.cli.compute_features import load_extractor
+from sequoia_tpu.models import convert, vis
+from sequoia_tpu.serve import SlidePredictor
+from sequoia_tpu.train import checkpoint
+
+
+def load_fold_models(path: str) -> list[tuple[vis.ViSConfig, dict]]:
+    """CV dir / single .pt / HF-layout dir -> [(cfg, params), ...]."""
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "config.json")):  # HF layout
+            sd = checkpoint.load_hf_vis_state_dict(path)
+            return [convert.vis_from_torch(sd)]
+        pts = sorted(glob.glob(os.path.join(path, "model_best*.pt")))
+        if not pts:
+            raise SystemExit(f"no model_best*.pt under {path}")
+        return [convert.vis_from_torch(checkpoint.load_torch_checkpoint(p))
+                for p in pts]
+    return [convert.vis_from_torch(checkpoint.load_torch_checkpoint(path))]
+
+
+def load_gene_names(arg: str | None, ckpt_path: str, n: int) -> list[str]:
+    if arg:
+        if arg.endswith(".npy"):
+            return [str(g) for g in np.load(arg, allow_pickle=True)]
+        df = pd.read_csv(arg)
+        return df[df.columns[-1]].astype(str).tolist()
+    tr = os.path.join(ckpt_path, "test_results.pkl")
+    if os.path.isdir(ckpt_path) and os.path.exists(tr):
+        import pickle
+
+        with open(tr, "rb") as f:
+            return [str(g) for g in pickle.load(f)["genes"]]
+    return [f"gene_{i}" for i in range(n)]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="WSI -> gene panel serving")
+    p.add_argument("--wsi", type=str, nargs="+", required=True)
+    p.add_argument("--checkpoints", type=str, required=True,
+                   help="CV dir, .pt file, or HF-layout dir")
+    p.add_argument("--feat_type", default="resnet",
+                   choices=["resnet", "uni"])
+    p.add_argument("--weights", type=str, required=True,
+                   help='backbone weights (.pt/.bin) or "random"')
+    p.add_argument("--gene_names", type=str, default=None,
+                   help="gene_list.csv / .npy; default: the checkpoint "
+                        "dir's test_results.pkl")
+    p.add_argument("--out", type=str, default="predictions.csv")
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--max_patches", type=int, default=4000)
+    p.add_argument("--patch_size", type=int, default=256)
+    p.add_argument("--num_clusters", type=int, default=100)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    extractor = load_extractor(args.feat_type, args.weights, args.batch_size,
+                               args.compute_dtype)
+    models = load_fold_models(args.checkpoints)
+    genes = load_gene_names(args.gene_names, args.checkpoints,
+                            models[0][0].num_outputs)
+    if len(genes) != models[0][0].num_outputs:
+        raise SystemExit(f"{len(genes)} gene names vs model head "
+                         f"{models[0][0].num_outputs}")
+
+    pred = SlidePredictor(extractor, models, n_clusters=args.num_clusters,
+                          max_patches=args.max_patches,
+                          patch_size=args.patch_size)
+    rows = {}
+    for path in args.wsi:
+        name = os.path.basename(path)
+        try:
+            rows[name] = pred.predict_wsi(path)[0]
+            print(f"{name}: ok ({len(models)}-fold ensemble)")
+        except Exception as e:  # per-slide quarantine (reference behavior)
+            print(f"{name}: {e}")
+    if rows:
+        df = pd.DataFrame(rows, index=genes).T
+        df.index.name = "wsi_file_name"
+        df.to_csv(args.out)
+        print(f"wrote {args.out} ({len(rows)} slides x {len(genes)} genes)")
+
+
+if __name__ == "__main__":
+    main()

@@ -275,7 +275,7 @@ def test_all_cli_parsers_build():
     mods = ["patch_gen", "compute_features", "kmean_features", "main",
             "pretrain_gtex", "he2rna", "evaluate_model",
             "predict_independent", "visualize", "get_emd", "gbm_analysis",
-            "download_rnaseq"]
+            "download_rnaseq", "serve"]
     for name in mods:
         m = importlib.import_module(f"sequoia_tpu.cli.{name}")
         p = m.build_parser()

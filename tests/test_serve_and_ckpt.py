@@ -5,6 +5,7 @@ import sys
 import types
 
 import numpy as np
+import pandas as pd
 import pytest
 
 import jax
@@ -297,3 +298,44 @@ def test_predict_wsi_consumer_failure_does_not_strand_producer():
         pred.predict_wsi(synthetic_wsi())
     # producer thread joined: thread count back to baseline
     assert threading.active_count() == n0
+
+
+@pytest.mark.slow
+def test_cli_serve_end_to_end(tmp_path, monkeypatch):
+    """serve CLI: synthetic WSI -> predictions.csv through a 2-fold CV dir,
+    gene names from test_results.pkl."""
+    import pickle
+
+    from sequoia_tpu.cli import serve as cli_serve
+    from sequoia_tpu.models import convert
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+
+    monkeypatch.chdir(tmp_path)
+    slide = synthetic_wsi()
+    native.write_tiled_tiff("slide1.tiff", [slide.levels[0], slide.levels[1]],
+                            tile=(128, 128))
+
+    genes = [f"G{i}" for i in range(5)]
+    ckpt_dir = tmp_path / "exp"
+    ckpt_dir.mkdir()
+    cfg = vis.ViSConfig(num_outputs=5, input_dim=2048, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=8)
+    for i in range(2):
+        checkpoint.save_torch_state_dict(
+            convert.vis_to_torch(cfg, vis.init(cfg, jax.random.PRNGKey(i))),
+            str(ckpt_dir / f"model_best_{i}.pt"))
+    with open(ckpt_dir / "test_results.pkl", "wb") as f:
+        pickle.dump({"genes": genes}, f)
+
+    cli_serve.main(["--wsi", "slide1.tiff", "--checkpoints", str(ckpt_dir),
+                    "--weights", "random", "--batch_size", "16",
+                    "--compute_dtype", "float32", "--max_patches", "48",
+                    "--patch_size", "64", "--num_clusters", "8",
+                    "--out", "preds.csv"])
+    out = pd.read_csv("preds.csv", index_col=0)
+    assert list(out.columns) == genes
+    assert out.shape == (1, 5) and np.isfinite(out.to_numpy()).all()
