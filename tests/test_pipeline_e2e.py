@@ -174,6 +174,7 @@ def test_packed_layout_matches_tiles(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_extract_patches_appmag_40(tmp_path):
     """Magnification-aware tiling (reference patch_gen_hdf5.py:86-89,
     116-117): at AppMag=40 the grid steps by 2x patch_size at level 0 and
