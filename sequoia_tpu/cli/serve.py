@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import sys
 
 import numpy as np
 import pandas as pd
@@ -50,8 +51,12 @@ def load_gene_names(arg: str | None, ckpt_path: str, n: int) -> list[str]:
     if arg:
         if arg.endswith(".npy"):
             return [str(g) for g in np.load(arg, allow_pickle=True)]
-        df = pd.read_csv(arg)
-        return df[df.columns[-1]].astype(str).tolist()
+        if os.path.exists(arg):
+            df = pd.read_csv(arg)
+            return df[df.columns[-1]].astype(str).tolist()
+        if "," in arg or not os.sep in arg:  # sibling-CLI convention
+            return arg.split(",")
+        raise SystemExit(f"--gene_names file not found: {arg}")
     tr = os.path.join(ckpt_path, "test_results.pkl")
     if os.path.isdir(ckpt_path) and os.path.exists(tr):
         import pickle
@@ -94,22 +99,40 @@ def main(argv=None) -> None:
         raise SystemExit(f"{len(genes)} gene names vs model head "
                          f"{models[0][0].num_outputs}")
 
+    cfg0 = models[0][0]
+    if cfg0.num_clusters != args.num_clusters:
+        raise SystemExit(
+            f"--num_clusters {args.num_clusters} != checkpoint "
+            f"num_clusters {cfg0.num_clusters} (inferred from pos_emb)")
+    if cfg0.input_dim != extractor.feature_dim:
+        raise SystemExit(
+            f"--feat_type {args.feat_type} produces "
+            f"{extractor.feature_dim}-d features but the checkpoint expects "
+            f"input_dim {cfg0.input_dim}")
+
     pred = SlidePredictor(extractor, models, n_clusters=args.num_clusters,
                           max_patches=args.max_patches,
                           patch_size=args.patch_size)
+    names = [os.path.basename(p) for p in args.wsi]
+    if len(set(names)) != len(names):  # disambiguate duplicate basenames
+        names = list(args.wsi)
     rows = {}
-    for path in args.wsi:
-        name = os.path.basename(path)
+    failed = 0
+    for path, name in zip(args.wsi, names):
         try:
             rows[name] = pred.predict_wsi(path)[0]
             print(f"{name}: ok ({len(models)}-fold ensemble)")
         except Exception as e:  # per-slide quarantine (reference behavior)
-            print(f"{name}: {e}")
+            failed += 1
+            print(f"{name}: {e}", file=sys.stderr)
     if rows:
         df = pd.DataFrame(rows, index=genes).T
         df.index.name = "wsi_file_name"
         df.to_csv(args.out)
-        print(f"wrote {args.out} ({len(rows)} slides x {len(genes)} genes)")
+        print(f"wrote {args.out} ({len(rows)} slides x {len(genes)} genes"
+              + (f"; {failed} failed)" if failed else ")"))
+    if not rows:
+        raise SystemExit(f"all {failed} slides failed; nothing written")
 
 
 if __name__ == "__main__":

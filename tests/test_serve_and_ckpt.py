@@ -339,3 +339,25 @@ def test_cli_serve_end_to_end(tmp_path, monkeypatch):
     out = pd.read_csv("preds.csv", index_col=0)
     assert list(out.columns) == genes
     assert out.shape == (1, 5) and np.isfinite(out.to_numpy()).all()
+
+    # comma-form gene names (sibling-CLI convention)
+    cli_serve.main(["--wsi", "slide1.tiff", "--checkpoints", str(ckpt_dir),
+                    "--weights", "random", "--batch_size", "16",
+                    "--compute_dtype", "float32", "--max_patches", "48",
+                    "--patch_size", "64", "--num_clusters", "8",
+                    "--gene_names", ",".join(genes), "--out", "preds2.csv"])
+    assert list(pd.read_csv("preds2.csv", index_col=0).columns) == genes
+
+    # config mismatch -> upfront error, not per-slide failures
+    with pytest.raises(SystemExit, match="num_clusters"):
+        cli_serve.main(["--wsi", "slide1.tiff", "--checkpoints",
+                        str(ckpt_dir), "--weights", "random",
+                        "--num_clusters", "100"])
+
+    # all slides failing -> nonzero exit
+    with pytest.raises(SystemExit, match="failed"):
+        cli_serve.main(["--wsi", "does-not-exist.tiff", "--checkpoints",
+                        str(ckpt_dir), "--weights", "random",
+                        "--batch_size", "16", "--compute_dtype", "float32",
+                        "--max_patches", "48", "--patch_size", "64",
+                        "--num_clusters", "8", "--out", "preds3.csv"])
