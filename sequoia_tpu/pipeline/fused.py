@@ -21,24 +21,43 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sequoia_tpu.models import resnet, vis
+from sequoia_tpu.models import resnet, uni_vit, vis
 from sequoia_tpu.ops import kmeans as km
+from sequoia_tpu.ops import pil_resize
 
 
-def make_slide_program(resnet_params, vis_cfg: vis.ViSConfig, vis_params,
+def make_slide_program(backbone_params, vis_cfg: vis.ViSConfig, vis_params,
                        *, n_clusters: int = 100,
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=jnp.bfloat16, backbone: str = "resnet"):
     """Returns ``run(patch_batches_u8, key) -> (num_genes,)`` jitted.
 
     ``patch_batches_u8``: (n_batches, B, H, W, 3) uint8, zero-padded rows
     allowed only as full batches (they'd otherwise contribute fake patches).
+    ``backbone``: 'resnet' (2048-d) or 'uni' (bit-exact PIL 224 resize +
+    ViT-L, 1024-d).
     """
-    rcfg = resnet.ResNetConfig(compute_dtype=compute_dtype)
+    if backbone == "resnet":
+        rcfg = resnet.ResNetConfig(compute_dtype=compute_dtype)
+
+        def one_batch(u8):
+            return resnet.extract_from_uint8(rcfg, backbone_params, u8)
+    elif backbone == "uni":
+        ucfg = uni_vit.UniViTConfig(compute_dtype=compute_dtype)
+
+        def one_batch(u8):
+            if u8.shape[1] != ucfg.img_size or u8.shape[2] != ucfg.img_size:
+                u8 = pil_resize.resize_u8(u8, ucfg.img_size, ucfg.img_size)
+            x = u8.astype(jnp.float32) / 255.0
+            mean = jnp.asarray(resnet.IMAGENET_MEAN, jnp.float32)
+            std = jnp.asarray(resnet.IMAGENET_STD, jnp.float32)
+            return uni_vit.forward(ucfg, backbone_params, (x - mean) / std)
+    else:
+        raise ValueError('backbone must be "resnet" or "uni"')
 
     @jax.jit
     def features(patch_batches_u8: jax.Array) -> jax.Array:
         def step(_, u8):
-            return None, resnet.extract_from_uint8(rcfg, resnet_params, u8)
+            return None, one_batch(u8)
 
         _, feats = jax.lax.scan(step, None, patch_batches_u8)
         return feats.reshape(-1, feats.shape[-1])  # (N, D) f32, stays in HBM

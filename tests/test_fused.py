@@ -56,3 +56,37 @@ def test_slide_program_matches_staged_stages():
     cf = km.cluster_means(feats, labels, mask, n_clusters=6)
     staged = np.asarray(vis.apply(vis_cfg, vparams, cf[None])[0])
     np.testing.assert_allclose(fused, staged, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_uni_backbone():
+    """Fused device pipeline with the UNI backbone (tiny ViT cfg via the
+    module default would be huge; use a small config through monkeypatched
+    UniViTConfig defaults is overkill — instead run the real path at tiny
+    image size by resizing 64px patches to 224 is too slow on CPU, so this
+    exercises wiring with depth-2 via direct config injection)."""
+    import jax.numpy as jnp
+
+    from sequoia_tpu.models import uni_vit
+    from sequoia_tpu.pipeline import fused
+
+    # inject a tiny config by monkeypatching the constructor default
+    tiny = uni_vit.UniViTConfig(img_size=32, patch_size=16, dim=16, depth=2,
+                                heads=2, mlp_dim=32,
+                                compute_dtype=jnp.float32)
+    orig = uni_vit.UniViTConfig
+    try:
+        uni_vit.UniViTConfig = lambda **kw: tiny
+        uparams = uni_vit.random_params(tiny, jax.random.PRNGKey(0))
+        vis_cfg = vis.ViSConfig(num_outputs=4, input_dim=16, depth=1,
+                                nheads=2, dim_f=4, dim_s=4, dim_c=4,
+                                num_clusters=3)
+        vparams = vis.init(vis_cfg, jax.random.PRNGKey(1))
+        run = fused.make_slide_program(uparams, vis_cfg, vparams,
+                                       n_clusters=3, backbone="uni",
+                                       compute_dtype=jnp.float32)
+        u8 = np.random.default_rng(0).integers(
+            0, 256, (2, 8, 32, 32, 3), dtype=np.uint8)
+        out = run(jnp.asarray(u8), jax.random.PRNGKey(2))
+        assert out.shape == (4,) and np.isfinite(np.asarray(out)).all()
+    finally:
+        uni_vit.UniViTConfig = orig
