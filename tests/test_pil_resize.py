@@ -79,3 +79,24 @@ def test_uni_feature_extractor_resizes_like_pillow():
         resnet_mod.IMAGENET_STD)
     want = np.asarray(uni_vit.forward(cfg, params, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_matches_pillow_scale_sweep():
+    """Bit-exactness across a sweep of scales/filters (downs, ups,
+    non-integer ratios, rectangles) — the coefficient generator and the
+    integer pass must hold everywhere, not just at 256->224."""
+    rng = np.random.default_rng(7)
+    cases = [
+        ((512, 512), (224, 224)), ((256, 256), (256, 256)),
+        ((224, 224), (256, 256)), ((333, 217), (224, 224)),
+        ((64, 128), (96, 40)), ((1024, 768), (224, 224)),
+    ]
+    for filt in ("bilinear", "bicubic"):
+        for in_hw, out_hw in cases:
+            u8 = rng.integers(0, 256, size=(2, *in_hw, 3), dtype=np.uint8)
+            want = _pil_resize(u8, out_hw, filt)
+            got = np.asarray(pil_resize.resize_u8(
+                jax.numpy.asarray(u8), out_hw[0], out_hw[1], filt))
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"{filt} {in_hw}->{out_hw}")
