@@ -27,5 +27,11 @@ python -m sequoia_tpu.cli.main --ref_file "$OUT/ref_file.csv" \
 python -m sequoia_tpu.cli.evaluate_model --model_dir "$OUT/exp/syn" \
     --cancers demo --folds 2 --save_path "$OUT/results"
 
+# one-shot serving through the streaming predictor (same checkpoints)
+python -m sequoia_tpu.cli.serve --wsi "$OUT"/HE/*.tiff \
+    --checkpoints "$OUT/exp/syn/demo" --weights random --batch_size 32 \
+    --compute_dtype float32 --max_patches 48 --patch_size 64 \
+    --num_clusters 8--out "$OUT/results/predictions.csv"|| true
+
 echo "--- results ---"
 ls "$OUT/results"
