@@ -31,7 +31,7 @@ python -m sequoia_tpu.cli.evaluate_model --model_dir "$OUT/exp/syn" \
 python -m sequoia_tpu.cli.serve --wsi "$OUT"/HE/*.tiff \
     --checkpoints "$OUT/exp/syn/demo" --weights random --batch_size 32 \
     --compute_dtype float32 --max_patches 48 --patch_size 64 \
-    --num_clusters 8--out "$OUT/results/predictions.csv"|| true
+    --num_clusters 8 --out "$OUT/results/predictions.csv"
 
 echo "--- results ---"
 ls "$OUT/results"
