@@ -54,9 +54,9 @@ def load_gene_names(arg: str | None, ckpt_path: str, n: int) -> list[str]:
         if os.path.exists(arg):
             df = pd.read_csv(arg)
             return df[df.columns[-1]].astype(str).tolist()
-        if "," in arg or not os.sep in arg:  # sibling-CLI convention
-            return arg.split(",")
-        raise SystemExit(f"--gene_names file not found: {arg}")
+        if arg.endswith(".csv") or os.sep in arg:  # meant a file: be loud
+            raise SystemExit(f"--gene_names file not found: {arg}")
+        return arg.split(",")  # sibling-CLI comma-list convention
     tr = os.path.join(ckpt_path, "test_results.pkl")
     if os.path.isdir(ckpt_path) and os.path.exists(tr):
         import pickle
