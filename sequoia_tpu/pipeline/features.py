@@ -41,17 +41,18 @@ class FeatureExtractor:
     """
 
     def __init__(self, feat_type: str, params, batch_size: int = 256,
-                 compute_dtype=jnp.float32, patch_size: int = 256,
+                 compute_dtype=None, patch_size: int = 256,
                  cfg=None):
         self.feat_type = feat_type
         self.batch_size = batch_size
         self.patch_size = patch_size
         self.params = params
-        if (cfg is not None and compute_dtype is not jnp.float32
+        if (cfg is not None and compute_dtype is not None
                 and cfg.compute_dtype != compute_dtype):
             raise ValueError(
                 f"cfg.compute_dtype={cfg.compute_dtype} conflicts with "
                 f"compute_dtype={compute_dtype}; set it on the cfg")
+        compute_dtype = compute_dtype if compute_dtype is not None else jnp.float32
 
         if feat_type == "resnet":
             cfg = cfg or resnet_mod.ResNetConfig(compute_dtype=compute_dtype)

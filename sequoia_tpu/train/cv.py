@@ -137,9 +137,21 @@ def run_cross_validation(
 
         if hf_export and model_type == "vis":
             # publishing layout: the reference's ViS.from_pretrained (and
-            # huggingface-cli upload) consume this directory as-is
+            # huggingface-cli upload) consume this directory as-is.  Publish
+            # the BEST-val weights (model_best_{i}.pt) — the reference's
+            # released checkpoints are the best-val selection, which under
+            # the default eval_on='final' differ from the in-memory params.
+            if os.path.exists(save_path):
+                _, best_params = from_torch(
+                    checkpoint.load_torch_checkpoint(save_path), cfg)
+            elif do_train:
+                raise FileNotFoundError(
+                    f"hf_export: {save_path} missing after training — "
+                    "nothing to publish")
+            else:
+                best_params = params  # inference-only run: loaded weights
             checkpoint.save_hf_vis_layout(
-                os.path.join(save_dir, f"hf_fold_{i}"), cfg, params)
+                os.path.join(save_dir, f"hf_fold_{i}"), cfg, best_params)
 
         test_loader = ds.BatchLoader(test_ds, batch_size, shuffle=False)
         preds, real, wsis, projs = loop.evaluate(apply_fn, params, test_loader,
@@ -210,8 +222,12 @@ def run_he2rna_cross_validation(
             save_fn=lambda p: checkpoint.save_torch_state_dict(
                 convert.he2rna_to_torch(cfg, p), save_path))
         if hf_export:
+            if not os.path.exists(save_path):
+                raise FileNotFoundError(
+                    f"hf_export: {save_path} missing — fit() saved no best "
+                    "state; refusing to publish untrained init weights")
             best = convert.he2rna_from_torch(
-                checkpoint.load_torch_checkpoint(save_path))[1]                 if os.path.exists(save_path) else params
+                checkpoint.load_torch_checkpoint(save_path))[1]
             checkpoint.save_hf_he2rna_layout(
                 os.path.join(save_dir, f"hf_fold_{i}"), cfg, best)
 

@@ -223,7 +223,11 @@ def test_he2rna_cv_hf_export(tmp_path):
 
 def test_cv_hf_export_fold_dirs(tmp_path):
     """hf_export=True writes per-fold PyTorchModelHubMixin dirs our loader
-    (and the reference's from_pretrained) can open."""
+    (and the reference's from_pretrained) can open — holding the BEST-val
+    weights (== model_best_{i}.pt), exactly like the released checkpoints,
+    even though eval_on='final' evaluates the final-epoch weights."""
+    import numpy as np
+
     from sequoia_tpu.models import convert
     from sequoia_tpu.train import checkpoint, cv
 
@@ -231,7 +235,7 @@ def test_cv_hf_export_fold_dirs(tmp_path):
     df = make_store(str(store), n_slides=8, n_genes=3, dim=8)
     out = cv.run_cross_validation(
         df, str(store), str(tmp_path / "exp"), model_type="vis",
-        k=2, batch_size=4, num_epochs=1, verbose=False, hf_export=True)
+        k=2, batch_size=4, num_epochs=3, verbose=False, hf_export=True)
     assert "split_1" in out
     for i in range(2):
         d = tmp_path / "exp" / f"hf_fold_{i}"
@@ -239,6 +243,11 @@ def test_cv_hf_export_fold_dirs(tmp_path):
         sd = checkpoint.load_hf_vis_state_dict(str(d))
         cfg, params = convert.vis_from_torch(sd)
         assert cfg.num_outputs == 3
+        best_sd = checkpoint.load_torch_checkpoint(
+            str(tmp_path / "exp" / f"model_best_{i}.pt"))
+        _, best_params = convert.vis_from_torch(best_sd, cfg)
+        np.testing.assert_array_equal(np.asarray(params["head_w"]),
+                                      np.asarray(best_params["head_w"]))
 
 
 def test_cli_kmeans_gtex_mode(tmp_path):
