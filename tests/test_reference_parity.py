@@ -199,3 +199,79 @@ def test_vit_cv_parity_vs_reference_trained(ref, tmp_path):
     _torch()
     dr = _cv_parity(tmp_path, "vit", num_epochs=8)
     print(f"vit per-gene |dr| max {dr.max():.2e}")
+
+
+def _sliding_window_fixture(seed=7, ps=16, dim=12, genes=7, grid=13):
+    """Synthetic tile grid + deterministic fake extractor/model shared by
+    both sides of the sliding-window gate."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    # column-major valid-tile enumeration like build_valid_tiles, with holes
+    keep = rng.random((grid, grid)) < 0.8
+    rows = [(x * ps, y * ps, x, y)
+            for x in range(grid) for y in range(grid) if keep[x, y]]
+    df = pd.DataFrame(rows, columns=["xcoord", "ycoord",
+                                     "xcoord_tf", "ycoord_tf"])
+    # reference quirk: slide array indexed [col:col+ps, row:row+ps]
+    slide_arr = rng.integers(0, 256, size=(grid * ps, grid * ps, 3),
+                             dtype=np.uint8)
+    proj = rng.normal(size=(ps * ps * 3, dim)).astype(np.float32)
+    head = rng.normal(size=(dim, genes)).astype(np.float32)
+
+    def tile_feat(col, row):
+        patch = slide_arr[col:col + ps, row:row + ps]
+        return (patch.astype(np.float32) / 255.0).reshape(-1) @ proj
+
+    tile_feats = np.stack([tile_feat(int(r["xcoord"]), int(r["ycoord"]))
+                           for _, r in df.iterrows()])
+    return df, slide_arr, proj, head, tile_feats, ps, dim
+
+
+@pytest.mark.parametrize("stride", [1, 10])
+def test_reference_sliding_window_parity(tmp_path, stride):
+    """Drive the reference's OWN ``sliding_window_method``
+    (``spatial_vis/visualize.py:35-102``) — module-global slide, per-tile
+    re-extraction, zero-pad to 100, >50-tile rule, stride-overlap averaging
+    — against ``pipeline/spatial.py``'s cached-feature batched redesign,
+    with a shared deterministic fake extractor + linear window model."""
+    torch = _torch()
+    from sequoia_tpu.pipeline import spatial
+
+    df, slide_arr, proj, head, tile_feats, ps, dim = _sliding_window_fixture()
+    genes = head.shape[1]
+    inds = [0, 3, genes - 1]
+
+    vismod = rl.load_reference_visualize()
+    # the reference reads these as module globals (visualize.py:58-62)
+    vismod.slide = slide_arr
+    vismod.transforms_ = lambda img: torch.from_numpy(
+        np.asarray(img, np.float32) / 255.0)
+    proj_t, head_t = torch.from_numpy(proj), torch.from_numpy(head)
+
+    def feat_model(patch_tf):  # (1, ps, ps, 3) -> (1, dim)
+        return patch_tf.reshape(1, -1) @ proj_t
+
+    def window_model(feats):  # (100, dim) -> (1, genes), mean-pool like ViS
+        return feats.mean(dim=0, keepdim=True) @ head_t
+
+    want = vismod.sliding_window_method(
+        df, ps, feat_model, window_model, inds, stride,
+        feat_model_type="fake", feat_dim=dim, model_type="vis", device="cpu")
+
+    def predict_fn(feats):  # (W, 100, dim) -> (W, genes)
+        return np.asarray(feats).mean(axis=1) @ head
+
+    got = spatial.sliding_window_predict(tile_feats, df, predict_fn, inds,
+                                         stride=stride)
+
+    assert set(got) == set(want) == set(inds)
+    for g in inds:
+        assert set(got[g]) == set(want[g])
+        for k in want[g]:
+            # stride<10 tolerance: the reference overlap-averages with a
+            # float32 np.mean over the per-window list; ours accumulates in
+            # float64 (strictly more precise).  fp32 mean of K<=100 O(1)
+            # values carries ~K*eps ~ 1e-5 absolute error under cancellation.
+            np.testing.assert_allclose(got[g][k], float(want[g][k]),
+                                       rtol=5e-5, atol=3e-5)

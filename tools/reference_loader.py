@@ -53,6 +53,39 @@ def load_reference(root: str = REFERENCE_ROOT):
     )
 
 
+def load_reference_visualize(root: str = REFERENCE_ROOT):
+    """Import the reference's ``spatial_vis/visualize.py`` module so the
+    parity gate can drive its ACTUAL ``sliding_window_method``
+    (``visualize.py:35-102``).
+
+    The module-top imports pull ``openslide``/``timm``/``torchvision`` —
+    none needed by the window function itself (it touches only the
+    module-global ``slide``/``transforms_``, which the caller sets) — so
+    they are stubbed in ``sys.modules`` exactly like ``wandb`` above.
+    """
+    load_reference(root)  # puts <root> on sys.path + stubs wandb
+    src = os.path.join(root, "src")
+    if src not in sys.path:  # visualize.py does `from tformer_lin import ViS`
+        sys.path.insert(0, src)
+    for name in ("openslide", "timm"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "reference_visualize", os.path.join(root, "spatial_vis",
+                                            "visualize.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 class TorchStream:
     """Adapter presenting a sequoia_tpu ``BatchLoader`` to the reference's
     torch loops: yields ``(features, rna, wsi, project)`` with padded rows
