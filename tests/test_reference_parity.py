@@ -201,6 +201,166 @@ def test_vit_cv_parity_vs_reference_trained(ref, tmp_path):
     print(f"vit per-gene |dr| max {dr.max():.2e}")
 
 
+@pytest.mark.slow
+def test_he2rna_fit_trained_quality_parity_vs_reference(ref, tmp_path):
+    """The reference's OWN ``he2rna.fit`` (``src/he2rna.py:217-318``: Adam,
+    random-k train sampling, corr-based selection, eval-time ReLU) vs our
+    ``train/he2rna_fit.fit`` from identical init on the planted-signal
+    store.  Exact RNG parity is impossible (torch vs JAX dropout + the
+    global-np random-k draw), so this asserts converged-QUALITY parity:
+    both recover the same signal-gene set with per-gene Pearson r in a
+    band, and agree r-wise on every gene."""
+    import types as _types
+
+    torch = _torch()
+    from tests.test_learning_e2e import make_signal_store
+
+    from sequoia_tpu.data import dataset as ds
+    from sequoia_tpu.data import splits as sp
+    from sequoia_tpu.models import convert, he2rna
+    from sequoia_tpu.train import he2rna_fit
+
+    store = os.path.join(str(tmp_path), "features")
+    os.makedirs(store, exist_ok=True)
+    df = make_signal_store(store, n_slides=60, dim=16)
+    for g in range(4):
+        # he2rna's eval-time ReLU clips negative predictions, so the planted
+        # signal must live in the positive range to be recoverable
+        df[f"rna_S{g}"] = df[f"rna_S{g}"] + 8.0
+
+    train_idxs, val_idxs, test_idxs = sp.patient_kfold(
+        df["patient_id"].to_numpy(), n_splits=2)
+    tr, va, te = (df.iloc[train_idxs[0]], df.iloc[val_idxs[0]],
+                  df.iloc[test_idxs[0]])
+    mk = lambda part, shuffle=False: ds.BatchLoader(
+        ds.FeatureDataset(part, store), 8, shuffle=shuffle, seed=0)
+
+    cfg = he2rna.HE2RNAConfig(input_dim=16, output_dim=8, layers=(32, 32),
+                              ks=(1, 2, 5, 10, 20, 50, 100))
+    params0 = he2rna.init(cfg, jax.random.PRNGKey(11))
+
+    ours_p, ours_y, ours_w, _ = he2rna_fit.fit(
+        cfg, params0, 3e-3, mk(tr, True), mk(va), mk(te),
+        max_epochs=100, patience=100, seed=0, verbose=False)
+
+    model = ref.he2rna.HE2RNA(input_dim=16, output_dim=8, layers=[32, 32],
+                              ks=[1, 2, 5, 10, 20, 50, 100], device="cpu")
+    rl._load_our_params(model, convert.he2rna_to_torch(cfg, params0))
+    ref.he2rna.args = _types.SimpleNamespace(log=False)  # fit reads a global
+    np.random.seed(0)
+    torch.manual_seed(0)
+    # path=None: torch>=2.6 weights_only default breaks the reference's
+    # whole-module torch.load; final-epoch == converged best here
+    ref_p, ref_y, ref_w, _ = ref.he2rna.fit(
+        model, 3e-3, rl.TorchStream(mk(tr, True)), rl.TorchStream(mk(va)),
+        rl.TorchStream(mk(te)), params={"max_epochs": 100, "patience": 100},
+        fold=None, path=None)
+
+    o, r = np.argsort(ours_w), np.argsort(np.asarray(ref_w))
+    assert (ours_w[o] == np.asarray(ref_w)[r]).all()
+    np.testing.assert_allclose(ours_y[o], np.asarray(ref_y)[r], atol=0)
+
+    r_ours = _per_gene_r(ours_y[o], ours_p[o])
+    r_ref = _per_gene_r(np.asarray(ref_y)[r], np.asarray(ref_p)[r])
+    # Both sides must recover every planted S gene (r > 0.35) and keep all
+    # noise genes strictly below the weakest signal gene, i.e. the learned-
+    # gene sets are identical at ANY bar inside the separation margin.
+    # (Noise genes can reach |r| ~ 2/sqrt(n_test) ~ 0.36 by chance on a
+    # 30-sample test fold, so a fixed absolute bar on them would be flaky.)
+    S, N = slice(0, 4), slice(4, 8)
+    for side, rv in (("ours", r_ours), ("ref", r_ref)):
+        assert rv[S].min() > 0.35, f"{side} signal r {np.round(rv[S], 3)}"
+        assert rv[N].max() < rv[S].min(), (
+            f"{side} no separation: S={np.round(rv[S], 3)} "
+            f"N={np.round(rv[N], 3)}")
+    band = np.abs(r_ours[S] - r_ref[S])
+    assert band.max() < 0.25, f"signal-gene |dr| {np.round(band, 3)}"
+    print(f"he2rna fit parity: signal max |dr| {band.max():.3f}")
+
+
+@pytest.mark.slow
+def test_gtex_pretrain_headswap_parity_vs_reference(ref, tmp_path):
+    """(b) The deterministic GTEx-pretrain -> head-swap fine-tune chain
+    (reference ``pretrain_gtex.py:93-122`` + ``main.py:138-157``):
+
+    leg 1 — train-only pretraining with the reference's OWN ``vit.train``
+    (phases=['train'], AdamW lr 3e-3) vs our ``loop.train`` from identical
+    init on the same stream; per-gene r budget on the pretrain store.
+    leg 2 — head-swap fine-tune CV from OUR saved pretrain checkpoint on
+    both sides (reference builds at the pretrain width, loads, replaces
+    ``linear_head``); per-gene Pearson within the 1e-3 e2e budget."""
+    torch = _torch()
+    from tests.test_learning_e2e import make_signal_store
+    from parity_check import collect
+
+    from sequoia_tpu.data import dataset as ds
+    from sequoia_tpu.train import checkpoint, cv, loop
+
+    gtex_store = os.path.join(str(tmp_path), "gtex")
+    os.makedirs(gtex_store, exist_ok=True)
+    gtex_df = make_signal_store(gtex_store, n_slides=24, dim=16,
+                                n_signal=5, n_noise=5, seed=1)
+
+    dataset = ds.FeatureDataset(gtex_df, gtex_store)
+    G1, D = dataset.num_genes, dataset.feature_dim
+    cfg, params0, apply_fn, to_torch, from_torch = cv.build_model(
+        "vis", G1, D, jax.random.PRNGKey(99), 1, 2, 100)
+
+    # leg 1 — ours (pretrain_gtex semantics: train-only, AdamW 3e-3)
+    ours_ckpt = os.path.join(str(tmp_path), "model_best.pt")
+    loop.train(apply_fn, params0, loop.make_adamw(3e-3),
+               {"train": ds.BatchLoader(dataset, 8, shuffle=True, seed=99)},
+               num_epochs=6, phases=("train",), verbose=False,
+               save_fn=lambda p: checkpoint.save_torch_state_dict(
+                   to_torch(cfg, p), ours_ckpt))
+
+    # leg 1 — the reference's own train loop from the same init
+    model = rl.build_reference_model(ref, "vis", G1, D, 1, 2, 100)
+    rl._load_our_params(model, to_torch(cfg, params0))
+    opt = torch.optim.AdamW(list(model.parameters()), lr=3e-3,
+                            weight_decay=0.0)
+    ref_dir = os.path.join(str(tmp_path), "ref_pre")
+    model = ref.vit.train(
+        model, {"train": rl.TorchStream(
+            ds.BatchLoader(dataset, 8, shuffle=True, seed=99))}, opt,
+        num_epochs=6, phases=["train"], save_dir=ref_dir, verbose=False)
+
+    # both save best-on-train-loss; compare the CHECKPOINTS' per-gene r
+    probe = next(iter(ds.BatchLoader(dataset, 24)))
+    _, p_ours = from_torch(checkpoint.load_torch_checkpoint(ours_ckpt), cfg)
+    _, p_ref = from_torch(checkpoint.load_torch_checkpoint(
+        os.path.join(ref_dir, "model_best.pt")), cfg)
+    pred_ours = np.asarray(apply_fn(p_ours, probe.features))[probe.valid]
+    pred_ref = np.asarray(apply_fn(p_ref, probe.features))[probe.valid]
+    y = probe.rna[probe.valid]
+    dr = np.abs(_per_gene_r(y, pred_ours) - _per_gene_r(y, pred_ref))
+    assert dr.max() <= 1e-3, f"pretrain per-gene |dr| max {dr.max():.2e}"
+
+    # leg 2 — head-swap fine-tune CV from OUR checkpoint on both sides
+    tcga_store = os.path.join(str(tmp_path), "tcga")
+    os.makedirs(tcga_store, exist_ok=True)
+    tcga_df = make_signal_store(tcga_store, n_slides=32, dim=16, seed=2)
+    kw = dict(model_type="vis", depth=1, num_heads=2, k=2, batch_size=8,
+              num_epochs=8, lr=1e-3, save_on="loss", stop_on="loss",
+              verbose=False, checkpoint_path=ours_ckpt,
+              change_num_genes=G1)
+    ours = cv.run_cross_validation(tcga_df, tcga_store,
+                                   os.path.join(str(tmp_path), "ours_ft"),
+                                   **kw)
+    ref_res = rl.run_reference_cross_validation(
+        tcga_df, tcga_store, os.path.join(str(tmp_path), "ref_ft"), **kw)
+
+    g1, real1, pred1, wsi1 = collect(ref_res)
+    g2, real2, pred2, wsi2 = collect(ours)
+    assert list(g1) == list(g2)
+    o1, o2 = np.argsort(wsi1), np.argsort(wsi2)
+    np.testing.assert_allclose(real1[o1], real2[o2], atol=0)
+    dr = np.abs(_per_gene_r(real1[o1], pred1[o1])
+                - _per_gene_r(real2[o2], pred2[o2]))
+    assert dr.max() <= 1e-3, f"fine-tune per-gene |dr| max {dr.max():.2e}"
+    print(f"gtex headswap parity: pretrain+finetune |dr| max {dr.max():.2e}")
+
+
 def _sliding_window_fixture(seed=7, ps=16, dim=12, genes=7, grid=13):
     """Synthetic tile grid + deterministic fake extractor/model shared by
     both sides of the sliding-window gate."""

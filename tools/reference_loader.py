@@ -139,6 +139,7 @@ def run_reference_cross_validation(
         depth: int = 6, num_heads: int = 16, k: int = 5, batch_size: int = 16,
         lr: float = 1e-3, num_epochs: int = 200, seed: int = 99,
         save_on: str = "loss", stop_on: str = "loss",
+        checkpoint_path: str | None = None, change_num_genes: int = 0,
         verbose: bool = False) -> dict:
     """The reference ``src/main.py`` fold loop executed with the REFERENCE's
     own classes and loops (``train``/``evaluate`` from ``src/vit.py``,
@@ -176,15 +177,44 @@ def run_reference_cross_validation(
         num_clusters = getattr(train_ds, "num_tokens", 100)
 
         # identical key schedule to our run_cross_validation
-        key, kinit, krand, _khead = jax.random.split(key, 4)
-        cfg, params, _apply, to_torch, _ = our_cv.build_model(
-            model_type, num_outputs, feature_dim, kinit, depth, num_heads,
-            num_clusters)
+        key, kinit, krand, khead = jax.random.split(key, 4)
+        if checkpoint_path and change_num_genes:
+            # GTEx->TCGA head swap, reference main.py:138-157: build at the
+            # pretraining width, load the checkpoint, replace linear_head.
+            import torch.nn as nn
 
-        model = build_reference_model(ref, model_type, num_outputs,
-                                      feature_dim, depth, num_heads,
-                                      num_clusters)
-        _load_our_params(model, to_torch(cfg, params))
+            from sequoia_tpu.models import vis as vis_mod
+            from sequoia_tpu.models import vit as vit_mod
+            from sequoia_tpu.train import checkpoint as ckpt
+
+            cfg, params, _apply, to_torch, from_torch = our_cv.build_model(
+                model_type, change_num_genes, feature_dim, kinit, depth,
+                num_heads, num_clusters)
+            sd = ckpt.load_torch_checkpoint(checkpoint_path)
+            cfg, params = from_torch(sd, cfg)
+            swap = (vis_mod.replace_head if model_type == "vis"
+                    else vit_mod.replace_head)
+            cfg, params = swap(cfg, params, num_outputs, khead)
+
+            model = build_reference_model(ref, model_type, change_num_genes,
+                                          feature_dim, depth, num_heads,
+                                          num_clusters)
+            _load_our_params(model, sd)
+            model.linear_head = nn.Sequential(nn.LayerNorm(feature_dim),
+                                              nn.Linear(feature_dim,
+                                                        num_outputs))
+            # overwrite the torch-random fresh head with OUR khead init so
+            # both trajectories start from identical weights
+            _load_our_params(model, to_torch(cfg, params))
+        else:
+            cfg, params, _apply, to_torch, _ = our_cv.build_model(
+                model_type, num_outputs, feature_dim, kinit, depth, num_heads,
+                num_clusters)
+
+            model = build_reference_model(ref, model_type, num_outputs,
+                                          feature_dim, depth, num_heads,
+                                          num_clusters)
+            _load_our_params(model, to_torch(cfg, params))
 
         optimizer = torch.optim.AdamW(list(model.parameters()), lr=lr,
                                       amsgrad=False, weight_decay=0.0)
