@@ -118,6 +118,75 @@ def test_cli_main_mesh_flag(tmp_path, monkeypatch):
             / "test_results.pkl").exists()
 
 
+@pytest.mark.slow
+def test_two_process_feature_fleet_cli(tmp_path):
+    """The pre-processing data plane's job-array replacement, end-to-end:
+    TWO OS processes run ``cli.compute_features --multihost`` against ONE
+    synthetic patch store and must produce a complete, disjoint,
+    sentinel-correct union of per-slide feature HDF5s (reference sharding:
+    ``compute_features_hdf5.py:29-30`` + ``patch_gen_hdf5.py:183-188``)."""
+    import h5py
+    import pandas as pd
+
+    n_slides, n_tiles, ps = 5, 6, 256
+    rng = np.random.default_rng(0)
+    patch_root = tmp_path / "patches"
+    rows = []
+    for i in range(n_slides):
+        slide = f"FLEET_{i:02d}"
+        d = patch_root / slide
+        d.mkdir(parents=True)
+        with h5py.File(d / f"{slide}.hdf5", "w") as f:
+            for t in range(n_tiles):
+                f.create_dataset(
+                    f"{t * ps}_0",
+                    data=rng.integers(0, 256, size=(ps, ps, 3), dtype=np.uint8))
+        rows.append({"wsi_file_name": f"{slide}.svs", "patient_id": f"P{i}",
+                     "tcga_project": "TCGA-FLEET", "rna_G0": 0.0})
+    ref_csv = tmp_path / "ref.csv"
+    pd.DataFrame(rows).to_csv(ref_csv, index=False)
+    feat_root = tmp_path / "features"
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    argv = ["--feat_type", "resnet", "--weights", "random",
+            "--ref_file", str(ref_csv), "--patch_data_path", str(patch_root),
+            "--feature_path", str(feat_root), "--batch_size", "8",
+            "--multihost", "--coordinator", f"127.0.0.1:{port}",
+            "--num_processes", "2"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "fleet_worker.py"),
+             *argv, "--process_id", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, f"fleet worker failed:\n{out}"
+
+    # disjoint shards: each process worked its own contiguous row range
+    assert "rows [0:3) of 5" in outs[0], outs[0]
+    assert "rows [3:5) of 5" in outs[1], outs[1]
+    assert "Extracted features for 3 slides" in outs[0]
+    assert "Extracted features for 2 slides" in outs[1]
+    for out in outs:  # no process ever re-visited the other's slides
+        assert "features already obtained" not in out
+
+    # complete union with correct contents + sentinels
+    for i in range(n_slides):
+        slide = f"FLEET_{i:02d}"
+        d = feat_root / "TCGA-FLEET" / slide
+        assert (d / "complete_tile.txt").exists()
+        with h5py.File(d / f"{slide}.h5", "r") as f:
+            assert f["resnet_features"].shape == (n_tiles, 2048)
+            assert np.isfinite(f["resnet_features"][:]).all()
+
+
 def test_fleet_shard_rows_noop_without_flag():
     import argparse
 
