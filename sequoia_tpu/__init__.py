@@ -25,3 +25,17 @@ TPU-first:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("SEQUOIA_PLATFORM"):
+    # User-facing platform override for the CLIs (e.g. SEQUOIA_PLATFORM=cpu
+    # to run the example pipeline host-side).  Needed because host images
+    # may pin JAX_PLATFORMS to a TPU plugin via sitecustomize BEFORE user
+    # env vars are consulted; jax.config wins if applied pre-backend-init.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["SEQUOIA_PLATFORM"])
+    except Exception:
+        pass  # backend already initialized — too late to switch

@@ -116,15 +116,19 @@ def main(argv=None) -> None:
     names = [os.path.basename(p) for p in args.wsi]
     if len(set(names)) != len(names):  # disambiguate duplicate basenames
         names = list(args.wsi)
+    name_of = dict(zip(args.wsi, names))
     rows = {}
     failed = 0
-    for path, name in zip(args.wsi, names):
-        try:
-            rows[name] = pred.predict_wsi(path)[0]
-            print(f"{name}: ok ({len(models)}-fold ensemble)")
-        except Exception as e:  # per-slide quarantine (reference behavior)
-            failed += 1
-            print(f"{name}: {e}", file=sys.stderr)
+
+    def quarantine(path, e):  # per-slide skip (reference behavior)
+        nonlocal failed
+        failed += 1
+        print(f"{name_of[path]}: {e}", file=sys.stderr)
+
+    # cross-slide pipelining: slide i+1 decodes while slide i computes
+    for path, out in pred.predict_slides(args.wsi, on_error=quarantine):
+        rows[name_of[path]] = out[0]
+        print(f"{name_of[path]}: ok ({len(models)}-fold ensemble)")
     if rows:
         df = pd.DataFrame(rows, index=genes).T
         df.index.name = "wsi_file_name"

@@ -135,11 +135,10 @@ class SlidePredictor:
     def predict_patches(self, patches_u8: np.ndarray) -> np.ndarray:
         return self.predict_features(self.extractor(patches_u8))
 
-    def predict_wsi(self, wsi_path) -> np.ndarray:
-        """Streaming slide inference: a producer thread decodes + screens
-        patch chunks into a bounded queue while the batched extractor keeps
-        the device busy — decode and backbone compute overlap, so slide
-        latency is ~max(decode, compute) instead of their sum."""
+    def _start_producer(self, wsi_path):
+        """Decode producer for one slide: a daemon thread streams screened
+        patch chunks into a bounded queue.  Returns (queue, thread, err,
+        stop) for :meth:`_consume`."""
         import queue
         import threading
 
@@ -168,6 +167,11 @@ class SlidePredictor:
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
+        return q, t, err, stop
+
+    def _consume(self, q, t, err, stop) -> np.ndarray:
+        """Drain one slide's producer through the batched extractor and run
+        the aggregation tail; returns the fold-averaged (1, G) prediction."""
         feats = []
         buf: list[np.ndarray] = []
         buffered = 0
@@ -203,3 +207,39 @@ class SlidePredictor:
             return self.predict_features(
                 np.zeros((0, self.extractor.feature_dim), np.float32))
         return self.predict_features(np.concatenate(feats))
+
+    def predict_wsi(self, wsi_path) -> np.ndarray:
+        """Streaming slide inference: a producer thread decodes + screens
+        patch chunks into a bounded queue while the batched extractor keeps
+        the device busy — decode and backbone compute overlap, so slide
+        latency is ~max(decode, compute) instead of their sum."""
+        return self._consume(*self._start_producer(wsi_path))
+
+    def predict_slides(self, wsi_paths, on_error=None):
+        """Cross-slide pipelined serving: while the device works slide i's
+        feature/k-means/ViS tail, slide i+1's decode thread is already
+        filling its queue — the host never idles between slides.
+
+        Yields ``(path, (1, G) prediction)``; a failing slide is skipped via
+        ``on_error(path, exc)`` (per-slide quarantine) when given, else
+        raised."""
+        paths = list(wsi_paths)
+        if not paths:
+            return
+        producer = self._start_producer(paths[0])
+        for i, path in enumerate(paths):
+            nxt = (self._start_producer(paths[i + 1])
+                   if i + 1 < len(paths) else None)
+            try:
+                out = self._consume(*producer)
+            except Exception as e:
+                if on_error is None:
+                    if nxt is not None:  # don't strand the lookahead thread
+                        nxt[3].set()
+                        nxt[1].join()
+                    raise
+                on_error(path, e)
+                out = None
+            producer = nxt
+            if out is not None:
+                yield path, out

@@ -273,6 +273,45 @@ def test_reference_he2rna_from_pretrained_loads_our_export(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
+def test_predict_slides_pipelined_matches_predict_wsi():
+    """Cross-slide pipelining (slide i+1 decodes while slide i computes)
+    must yield the same per-slide predictions, in order."""
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    pred = make_predictor()
+    slides = [synthetic_wsi(seed=s) for s in (0, 1, 2)]
+    want = [pred.predict_wsi(s) for s in slides]
+    got = list(pred.predict_slides(slides))
+    assert [id(p) for p, _ in got] == [id(s) for s in slides]
+    for (_, g), w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-5)
+
+
+def test_predict_slides_quarantine_and_no_stranded_threads():
+    """A failing slide mid-stream is quarantined via on_error; later slides
+    still serve and every decode thread joins."""
+    import threading
+
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    pred = make_predictor()
+    good = [synthetic_wsi(seed=0), synthetic_wsi(seed=1)]
+    n0 = threading.active_count()
+    failures = []
+    got = list(pred.predict_slides(
+        [good[0], "/nonexistent/slide.svs", good[1]],
+        on_error=lambda p, e: failures.append(p)))
+    assert [id(p) for p, _ in got] == [id(g) for g in good]
+    assert failures == ["/nonexistent/slide.svs"]
+    assert threading.active_count() == n0
+
+    # without on_error the failure propagates and the lookahead joins too
+    with pytest.raises(Exception):
+        list(pred.predict_slides(["/nonexistent/slide.svs", good[0]]))
+    assert threading.active_count() == n0
+
+
 def test_predict_wsi_consumer_failure_does_not_strand_producer():
     """If featurization raises mid-stream, predict_wsi must propagate the
     error promptly and terminate the decode thread (no stuck q.put)."""

@@ -27,10 +27,21 @@ def gene_names(n: int) -> list[str]:
     return [f"GENE{i:05d}" for i in range(n)]
 
 
+def load_gene_list(path: str, n_genes: int = 0) -> list[str]:
+    """Gene names from a gene_list.csv (``gene_name`` column, or the first
+    column) — e.g. the REAL 20,820-gene list imported from the reference by
+    ``tools/import_reference_artifacts.py``.  ``n_genes>0`` truncates."""
+    df = pd.read_csv(path)
+    col = "gene_name" if "gene_name" in df.columns else df.columns[0]
+    genes = [str(g) for g in df[col]]
+    return genes[:n_genes] if n_genes and n_genes > 0 else genes
+
+
 def make_ref_file(out: str, n_slides: int, n_genes: int, project: str,
-                  seed: int = 0) -> pd.DataFrame:
+                  seed: int = 0, genes: list[str] | None = None) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
-    genes = gene_names(n_genes)
+    genes = genes if genes is not None else gene_names(n_genes)
+    n_genes = len(genes)
     rows = []
     for i in range(n_slides):
         row = {
@@ -97,12 +108,19 @@ if __name__ == "__main__":
     p.add_argument("--wsis", action="store_true",
                    help="also write synthetic pyramidal WSIs")
     p.add_argument("--feature_dim", type=int, default=2048)
+    p.add_argument("--gene_list", type=str, default=None,
+                   help="use gene names from this CSV (e.g. the imported "
+                        "real 20,820-gene list) instead of GENE##### "
+                        "synthetics; --n_genes <= 0 keeps all of them")
     args = p.parse_args()
 
-    df = make_ref_file(args.out, args.n_slides, args.n_genes, args.project)
+    genes = (load_gene_list(args.gene_list, args.n_genes)
+             if args.gene_list else None)
+    df = make_ref_file(args.out, args.n_slides, args.n_genes, args.project,
+                       genes=genes)
     if args.features:
         make_feature_store(args.out, df, dim=args.feature_dim)
     if args.wsis:
         make_wsis(args.out, df)
-    print(f"wrote {args.out}/ref_file.csv ({len(df)} slides, "
-          f"{args.n_genes} genes)")
+    n_rna = sum(c.startswith("rna_") for c in df.columns)
+    print(f"wrote {args.out}/ref_file.csv ({len(df)} slides, {n_rna} genes)")

@@ -1,11 +1,29 @@
 #!/bin/bash
 # End-to-end smoke run on synthetic data: WSIs -> tiles -> features ->
 # k-means -> 2-fold CV training -> per-gene evaluation.
+#
+# FULL=1 tools/run_example_pipeline.sh   runs the chain at the REFERENCE
+# width: the real 20,820-gene list is imported from a sequoia-pub checkout
+# (REFERENCE=/root/reference by default) and every stage — training CV,
+# all_genes.csv evaluation, serving — runs over the full panel.
+# SEQUOIA_PLATFORM=cpu pins every stage to host CPU (useful where the TPU
+# plugin is flaky or absent).
 set -e
 OUT=${1:-/tmp/sequoia_example}
+FULL=${FULL:-0}
+REFERENCE=${REFERENCE:-/root/reference}
 rm -rf "$OUT" && mkdir -p "$OUT"
 
-python tools/make_example_data.py --out "$OUT" --n_slides 12 --n_genes 50 --wsis
+GENE_ARGS=(--n_genes 50)
+if [ "$FULL" = "1" ]; then
+    python tools/import_reference_artifacts.py --reference "$REFERENCE" \
+        --out "$OUT/ref_artifacts"
+    GENE_ARGS=(--gene_list "$OUT/ref_artifacts/examples/gene_list.csv" \
+               --n_genes -1)
+fi
+
+python tools/make_example_data.py --out "$OUT" --n_slides 12 \
+    "${GENE_ARGS[@]}" --wsis
 
 python -m sequoia_tpu.cli.patch_gen \
     --wsi_path "$OUT/HE" --patch_path "$OUT/patches" --mask_path "$OUT/patches" \
