@@ -77,6 +77,8 @@ class FeatureExtractor:
         else:
             raise ValueError('feat_type must be "resnet" or "uni"')
         self.cfg = cfg
+        self.raw_fwd = fwd  # unjitted (params, u8) -> (N, D); lets callers
+        # fuse extra device work (e.g. serve's screening) into ONE program
         self._fwd = jax.jit(fwd)
 
     def __call__(self, patches_u8: np.ndarray) -> np.ndarray:

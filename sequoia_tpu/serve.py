@@ -61,9 +61,9 @@ class SlidePredictor:
 
     # -- stages -----------------------------------------------------------
 
-    def iter_patch_chunks(self, wsi_path, decode_chunk: int = 64):
-        """Generator of tissue-screened uint8 patch chunks from a WSI
-        (in-memory, no HDF5); stops at ``max_patches`` total."""
+    def _candidates(self, wsi_path):
+        """Open + coarse-screen a slide: (slide, level-0 coords passing the
+        slide-level tissue mask, patch_size_resized, resize_factor)."""
         slide = open_slide(wsi_path)
         mask, mask_level = patch_gen.compute_slide_mask(slide)
         ratio_x = slide.level_dimensions[0][0] / slide.level_dimensions[mask_level][0]
@@ -72,14 +72,26 @@ class SlidePredictor:
         rf = float(slide.properties.get("aperio.AppMag", 20) or 20) / 20.0
         psr = int(rf * self.patch_size)
 
-        from sequoia_tpu.data.wsi import read_regions
-        from sequoia_tpu.ops import masking
-
         coords = []
         for x, y in patch_gen.candidate_grid(xmax, ymax, psr):
             xm, ym = int(x / ratio_x), int(y / ratio_y)
             if xm < mask.shape[0] and ym < mask.shape[1] and mask[xm, ym]:
                 coords.append((x, y))
+        return slide, coords, psr, rf
+
+    @staticmethod
+    def _slide_rf(wsi_path) -> float:
+        slide = open_slide(wsi_path)
+        return float(slide.properties.get("aperio.AppMag", 20) or 20) / 20.0
+
+    def iter_patch_chunks(self, wsi_path, decode_chunk: int = 64):
+        """Generator of tissue-screened uint8 patch chunks from a WSI
+        (in-memory, no HDF5); stops at ``max_patches`` total."""
+        slide, coords, psr, rf = self._candidates(wsi_path)
+
+        from sequoia_tpu.data.wsi import read_regions
+        from sequoia_tpu.ops import masking
+
         emitted = 0
         for s in range(0, len(coords), decode_chunk):
             chunk = coords[s:s + decode_chunk]
@@ -102,6 +114,39 @@ class SlidePredictor:
                 yield out
             if emitted >= self.max_patches:
                 return
+
+    def iter_raw_chunks(self, wsi_path, decode_chunk: int = 64, stop=None):
+        """Generator of UNSCREENED candidate patch chunks (rf == 1.0 slides
+        only) for the fused screen+featurize path; honors ``stop`` so the
+        consumer can end decoding once ``max_patches`` are kept."""
+        slide, coords, psr, rf = self._candidates(wsi_path)
+        if rf != 1.0:
+            raise ValueError("raw chunks require resize_factor 1.0 "
+                             "(AppMag 20); use iter_patch_chunks")
+
+        from sequoia_tpu.data.wsi import read_regions
+
+        for s in range(0, len(coords), decode_chunk):
+            if stop is not None and stop.is_set():
+                return
+            yield read_regions(slide, coords[s:s + decode_chunk], 0,
+                               (psr, psr))
+
+    def _fused_program(self):
+        """One jitted (params, u8_batch) -> (features, keep_flags) program:
+        candidate patches cross host->device ONCE and screening rides the
+        same launch as the backbone (the screened path uploads every
+        candidate for screening and the survivors a second time)."""
+        if getattr(self, "_fused_fwd", None) is None:
+            from sequoia_tpu.ops import masking
+
+            raw = self.extractor.raw_fwd
+
+            def both(params, u8):
+                return raw(params, u8), masking.patch_keep_flags(u8)
+
+            self._fused_fwd = jax.jit(both)
+        return self._fused_fwd
 
     def extract_patches(self, wsi_path) -> np.ndarray:
         """Tissue-screened patches from a WSI (in-memory, no HDF5)."""
@@ -135,16 +180,16 @@ class SlidePredictor:
     def predict_patches(self, patches_u8: np.ndarray) -> np.ndarray:
         return self.predict_features(self.extractor(patches_u8))
 
-    def _start_producer(self, wsi_path):
-        """Decode producer for one slide: a daemon thread streams screened
-        patch chunks into a bounded queue.  Returns (queue, thread, err,
-        stop) for :meth:`_consume`."""
+    def _start_producer(self, wsi_path, raw: bool = False):
+        """Decode producer for one slide: a daemon thread streams patch
+        chunks (screened, or raw for the fused path) into a bounded queue.
+        Returns (queue, thread, err, stop, raw) for :meth:`_consume`."""
         import queue
         import threading
 
         q: queue.Queue = queue.Queue(maxsize=4)
         err: list[BaseException] = []
-        stop = threading.Event()  # consumer failed: unblock + end the producer
+        stop = threading.Event()  # consumer failed/satisfied: end the producer
 
         def put(item) -> bool:
             while not stop.is_set():
@@ -157,7 +202,9 @@ class SlidePredictor:
 
         def produce():
             try:
-                for chunk in self.iter_patch_chunks(wsi_path):
+                chunks = (self.iter_raw_chunks(wsi_path, stop=stop) if raw
+                          else self.iter_patch_chunks(wsi_path))
+                for chunk in chunks:
                     if not put(chunk):
                         return
             except BaseException as e:  # propagate into the consumer
@@ -167,15 +214,41 @@ class SlidePredictor:
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        return q, t, err, stop
+        return q, t, err, stop, raw
 
-    def _consume(self, q, t, err, stop) -> np.ndarray:
-        """Drain one slide's producer through the batched extractor and run
-        the aggregation tail; returns the fold-averaged (1, G) prediction."""
+    def _consume(self, q, t, err, stop, raw: bool) -> np.ndarray:
+        """Drain one slide's producer through the batched device program and
+        run the aggregation tail; returns the fold-averaged (1, G)
+        prediction.  ``raw``: chunks are unscreened — screening is fused
+        into the feature program (one upload per candidate) and reject rows
+        (plus tail zero-padding, which never passes the tissue mask) are
+        dropped host-side."""
+        fused = self._fused_program() if raw else None
         feats = []
+        kept = 0
         buf: list[np.ndarray] = []
         buffered = 0
         bs = self.extractor.batch_size
+
+        def run_block(block: np.ndarray) -> None:
+            nonlocal kept
+            if not raw:
+                feats.append(self.extractor(block))
+                return
+            if block.shape[0] < bs:  # pad the tail to the compiled shape;
+                # zero rows fail the tissue mask, so the flags drop them
+                pad = np.zeros((bs - block.shape[0],) + block.shape[1:],
+                               np.uint8)
+                block = np.concatenate([block, pad])
+            f, fl = fused(self.extractor.params, jnp.asarray(block))
+            take = np.asarray(f)[np.asarray(fl)]
+            if kept + len(take) > self.max_patches:
+                take = take[: self.max_patches - kept]
+            kept += len(take)
+            if len(take):
+                feats.append(take)
+            if kept >= self.max_patches:
+                stop.set()  # enough patches: end the decode early
 
         def drain(final: bool):
             nonlocal buf, buffered
@@ -183,7 +256,7 @@ class SlidePredictor:
             if not take:
                 return
             block = np.concatenate(buf) if len(buf) > 1 else buf[0]
-            feats.append(self.extractor(block[:take]))
+            run_block(block[:take])
             rest = block[take:]
             buf = [rest] if len(rest) else []
             buffered = len(rest)
@@ -191,13 +264,14 @@ class SlidePredictor:
         try:
             while True:
                 chunk = q.get()
-                if chunk is None:
+                if chunk is None or stop.is_set():
                     break
                 buf.append(chunk)
                 buffered += len(chunk)
-                # featurize only whole extractor batches; the tail pads once
+                # featurize only whole device batches; the tail pads once
                 drain(final=False)
-            drain(final=True)
+            if not stop.is_set():
+                drain(final=True)
         finally:
             stop.set()  # a failure here must not strand the producer
             t.join()
@@ -208,12 +282,21 @@ class SlidePredictor:
                 np.zeros((0, self.extractor.feature_dim), np.float32))
         return self.predict_features(np.concatenate(feats))
 
+    def _producer_mode(self, wsi_path) -> bool:
+        """Fused (raw) mode whenever no magnification resize is needed."""
+        try:
+            return self._slide_rf(wsi_path) == 1.0
+        except Exception:
+            return False  # unreadable slide: let the producer raise cleanly
+
     def predict_wsi(self, wsi_path) -> np.ndarray:
-        """Streaming slide inference: a producer thread decodes + screens
-        patch chunks into a bounded queue while the batched extractor keeps
-        the device busy — decode and backbone compute overlap, so slide
-        latency is ~max(decode, compute) instead of their sum."""
-        return self._consume(*self._start_producer(wsi_path))
+        """Streaming slide inference: a producer thread decodes patch chunks
+        into a bounded queue while the batched device program (screening
+        fused into the backbone at AppMag 20) keeps the device busy — decode
+        and compute overlap, so slide latency is ~max(decode, compute)
+        instead of their sum."""
+        return self._consume(
+            *self._start_producer(wsi_path, raw=self._producer_mode(wsi_path)))
 
     def predict_slides(self, wsi_paths, on_error=None):
         """Cross-slide pipelined serving: while the device works slide i's
@@ -226,10 +309,10 @@ class SlidePredictor:
         paths = list(wsi_paths)
         if not paths:
             return
-        producer = self._start_producer(paths[0])
+        start = lambda p: self._start_producer(p, raw=self._producer_mode(p))
+        producer = start(paths[0])
         for i, path in enumerate(paths):
-            nxt = (self._start_producer(paths[i + 1])
-                   if i + 1 < len(paths) else None)
+            nxt = start(paths[i + 1]) if i + 1 < len(paths) else None
             try:
                 out = self._consume(*producer)
             except Exception as e:

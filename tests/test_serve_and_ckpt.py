@@ -324,12 +324,15 @@ def test_predict_wsi_consumer_failure_does_not_strand_producer():
     class Boom(RuntimeError):
         pass
 
+    def _boom(*a, **k):
+        raise Boom("backbone OOM")
+
     class FailingExtractor:
         batch_size = 8
         feature_dim = pred.extractor.feature_dim
-
-        def __call__(self, patches):
-            raise Boom("backbone OOM")
+        params = None
+        raw_fwd = staticmethod(_boom)  # fused path traces this
+        __call__ = _boom  # screened path calls this
 
     pred.extractor = FailingExtractor()
     n0 = threading.active_count()
