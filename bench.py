@@ -1,24 +1,29 @@
-"""Benchmark: whole-slide compute path on one TPU chip.
+"""Benchmark: whole-slide pipeline on one TPU chip.
 
-Workload per slide, at reference scale: 4096 x 256x256x3 uint8 patches ->
-ResNet-50 features (bf16 fast path, f32 accumulation) -> 100-cluster
-kmeans++/Lloyd -> per-cluster mean features -> ViS inference over the full
-20,820-gene panel — the device-resident pipeline from
-``sequoia_tpu.pipeline.fused``.
+Legs (each under its own watchdog; a wedged leg degrades to the cached
+value for that leg instead of killing the run):
 
-Sandbox note: this environment reaches the TPU through a ~10-40 MB/s
-loopback relay (vs ~10-25 GB/s PCIe on a real v5e host), so the benchmark
-stages one 50 MB patch batch and synthesizes the remaining batches
-ON-DEVICE (XOR with fresh random bits per batch — identical compute cost,
-distinct data for k-means) rather than benchmarking the relay.  The relay
-rate is measured and logged to stderr for transparency.  In production the
-double-buffered host pipeline (``pipeline.features``) overlaps patch
-streaming with compute.
+1. ``resnet`` — device-resident headline: 4096 x 256px uint8 patches ->
+   ResNet-50 (bf16) -> 100-cluster kmeans++/Lloyd -> cluster means -> ViS
+   over the full 20,820-gene panel (patch pixels synthesized ON-DEVICE;
+   the sandbox relay is ~MB/s vs ~10-25 GB/s PCIe on a real v5e host).
+2. ``uni`` — same pipeline with the UNI ViT-L/16 backbone (bit-exact PIL
+   224 resize in-graph, reference ``compute_features_hdf5.py:62-68``).
+3. ``decode`` — host-side tiled-TIFF decode rate through the native C++
+   reader (the host leg of the production pipeline).
+4. ``e2e`` — MEASURED wall-clock through ``serve.predict_slides``: two
+   fabricated pyramidal H&E-like TIFFs streamed through the REAL serving
+   path (decode -> fused screen+featurize -> k-means -> ViS) with
+   cross-slide pipelining.  On this sandbox the host->device hop rides a
+   slow loopback relay, so this leg is dominated by a transfer a real v5e
+   host does ~1000x faster; the relay rate is measured and recorded in the
+   unit string for transparency.
 
-``vs_baseline``: the reference pushes one patch at a time through ResNet-50
-(batch size 1, compute_features_hdf5.py hot loop) at ~10 ms/patch on a
-V100-class GPU -> ~40 s/slide features + ~10 s sklearn KMeans -> ~72
-slides/hour.
+``vs_baseline``: the reference pushes one patch at a time through the
+backbone (batch size 1, ``compute_features_hdf5.py`` hot loop) at
+~10 ms/patch on a V100-class GPU -> ~40 s/slide features + ~10 s sklearn
+KMeans -> ~72 slides/hour (ResNet).  UNI at batch 1 is ~25 ms/patch ->
+~110 s/slide -> ~33 slides/hour.
 
 Prints exactly ONE JSON line on stdout.
 """
@@ -33,10 +38,10 @@ import time
 
 import numpy as np
 
-REF_SLIDES_PER_HOUR = 72.0  # see module docstring
+REF_SLIDES_PER_HOUR = 72.0  # reference resnet path, see module docstring
+REF_UNI_SLIDES_PER_HOUR = 33.0
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache.json")
-WATCHDOG_SECONDS = 480  # the sandbox TPU relay sometimes wedges entirely
 
 PATCHES_PER_SLIDE = 4096
 PATCH = 256
@@ -46,27 +51,208 @@ NUM_GENES = 20820
 FEAT_DIM = 2048
 TIMED_SLIDES = 3
 IO_SLIDE = "/tmp/sequoia_bench_slide_8192.tiff"  # 32x32 tiles of 256px
+E2E_SLIDES = [f"/tmp/sequoia_bench_e2e_{i}.tiff" for i in range(2)]
+E2E_GRID = 72  # 72x72 tiles of 256px -> 18432^2 level 0, ~4.4k tissue tiles
+
+LEG_TIMEOUTS = {"probe": 240, "resnet": 360, "uni": 480, "decode": 150,
+                "e2e": int(os.environ.get("SEQUOIA_BENCH_E2E_TIMEOUT", "900"))}
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_decode() -> tuple[float, int] | None:
-    """Host-side WSI decode rate through the native C++ tiled-TIFF reader.
+class LegTimeout(BaseException):
+    # BaseException so legs' own retry/except-Exception blocks can never
+    # swallow the watchdog (the probe leg did exactly that in testing)
+    pass
 
-    Fabricates (once, cached) a tiled pyramidal TIFF whose level 0 is
-    8192x8192 (32x32 tiles of 256px) and measures batched ``read_regions``
-    throughput over PATCHES_PER_SLIDE tile decodes.  Returns
-    (patches_per_second, nthreads) or None if the native library is
-    unavailable.  This is the host leg of the production pipeline; on this
-    sandbox the host has a single CPU core (the decode thread pool is
-    core-starved — a real v5e host has >100 cores).
-    """
+
+def run_leg(name: str, fn, results: dict, failures: dict):
+    """Execute one benchmark leg under its own SIGALRM watchdog."""
+    seconds = LEG_TIMEOUTS[name]
+
+    def on_alarm(signum, frame):
+        raise LegTimeout(f"{name} leg exceeded {seconds}s (relay wedge?)")
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    t0 = time.perf_counter()
+    signal.alarm(seconds)
+    try:
+        results[name] = fn()
+        log(f"[leg {name}] ok in {time.perf_counter() - t0:.1f}s")
+        return True
+    except BaseException as e:  # noqa: BLE001 — a leg must never kill the run
+        failures[name] = f"{type(e).__name__}: {e}"
+        log(f"[leg {name}] FAILED after {time.perf_counter() - t0:.1f}s: "
+            f"{failures[name]}")
+        return False
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+# ---------------------------------------------------------------------------
+# slide fabrication (host side, cached on disk)
+
+def make_e2e_slide(path: str, seed: int) -> None:
+    """Fabricate a pyramidal tiled TIFF whose Otsu tissue mask keeps >4096
+    tiles: ~88% H&E-like per-pixel noise (every patch distinct, so k-means
+    sees real diversity), ~12% white-background tiles."""
+    from sequoia_tpu import native
+
+    if os.path.exists(path):
+        return
+    rng = np.random.default_rng(seed)
+    side = E2E_GRID * PATCH
+    lv0 = np.empty((side, side, 3), np.uint8)
+    lv0[..., 0] = rng.integers(150, 220, (side, side), dtype=np.uint8)
+    lv0[..., 1] = rng.integers(60, 140, (side, side), dtype=np.uint8)
+    lv0[..., 2] = rng.integers(150, 230, (side, side), dtype=np.uint8)
+    # 8% background: ~5041 grid tiles * 0.92 tissue * ~0.94 coarse-mask pass
+    # ~= 4360 kept candidates — safely above the 4096 cap, so every slide
+    # hits the cap and k-means always compiles ONE (4096, D) shape
+    is_white = rng.random((E2E_GRID, E2E_GRID)) < 0.08
+    for i, j in zip(*np.nonzero(is_white)):
+        lv0[i * PATCH:(i + 1) * PATCH, j * PATCH:(j + 1) * PATCH] = (
+            242 + rng.integers(0, 10, (PATCH, PATCH, 3), dtype=np.uint8))
+    native.write_tiled_tiff(path + ".tmp", [lv0, lv0[::16, ::16]],
+                            tile=(PATCH, PATCH))
+    os.replace(path + ".tmp", path)
+
+
+# ---------------------------------------------------------------------------
+# legs
+
+def measure_probe():
+    """Relay liveness + h2d rate; retries so a transient stall does not
+    abort the whole bench."""
+    import jax
+    import jax.numpy as jnp
+
+    last = None
+    for attempt in range(3):
+        try:
+            probe = np.zeros((4 * 1024 * 1024,), np.uint8)
+            t0 = time.perf_counter()
+            pd_ = jax.device_put(probe)
+            _ = float(jnp.sum(pd_[:8].astype(jnp.int32)))
+            rate = 4 / (time.perf_counter() - t0)
+            log(f"sandbox relay h2d probe: {rate:.1f} MB/s "
+                f"(attempt {attempt + 1})")
+            return rate
+        except Exception as e:  # noqa: BLE001
+            last = e
+            time.sleep(3)
+    raise RuntimeError(f"relay probe failed 3x: {last}")
+
+
+def _aggregate_fns(feat_dim: int):
+    """kmeans + cluster-means + full-width ViS tail, pre-compiled shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from sequoia_tpu.models import vis
+    from sequoia_tpu.ops import kmeans as km
+
+    vis_cfg = vis.ViSConfig(num_outputs=NUM_GENES, input_dim=feat_dim,
+                            depth=6, nheads=16, dim_f=64, dim_s=64, dim_c=64,
+                            num_clusters=NUM_CLUSTERS)
+    vis_params = vis.init(vis_cfg, jax.random.PRNGKey(1))
+    vis_fwd = jax.jit(lambda p, x: vis.apply(vis_cfg, p, x))
+    mask_all = jnp.ones((PATCHES_PER_SLIDE,), bool)
+
+    def aggregate(feats, key):
+        # three pre-compiled programs, data stays on device between them
+        # (one combined jit stalls this sandbox's remote-compile service)
+        _, labels, _, _ = km.kmeans_fit(feats, mask_all, key,
+                                        n_clusters=NUM_CLUSTERS)
+        cf = km.cluster_means(feats, labels, mask_all,
+                              n_clusters=NUM_CLUSTERS)
+        return vis_fwd(vis_params, cf[None])[0]
+
+    return aggregate, vis_cfg, vis_params
+
+
+def measure_device_pipeline(backbone: str):
+    """Device-resident slides/hour: on-device synthesized patches -> backbone
+    -> kmeans -> ViS (the sandbox relay never touches the timed region)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sequoia_tpu.models import resnet, uni_vit
+    from sequoia_tpu.ops import pil_resize
+
+    n_batches = PATCHES_PER_SLIDE // FEAT_BATCH
+    base_dev = jax.random.randint(jax.random.PRNGKey(42),
+                                  (FEAT_BATCH, PATCH, PATCH, 3), 0, 256,
+                                  jnp.uint8)
+
+    if backbone == "resnet":
+        rcfg = resnet.ResNetConfig(compute_dtype=jnp.bfloat16)
+        params = resnet.random_params(jax.random.PRNGKey(0))
+
+        def one_batch(p, u8):
+            return resnet.extract_from_uint8(rcfg, p, u8)
+
+        feat_dim, timed = FEAT_DIM, TIMED_SLIDES
+    else:
+        ucfg = uni_vit.UniViTConfig(compute_dtype=jnp.bfloat16)
+        # params materialize ON DEVICE (per-tensor RNG ops) — a host-side
+        # ViT-L pytree would trip the sandbox relay's upload limits
+        params = uni_vit.random_params(ucfg, jax.random.PRNGKey(0))
+
+        def one_batch(p, u8):
+            u8 = pil_resize.resize_u8(u8, ucfg.img_size, ucfg.img_size)
+            x = u8.astype(jnp.float32) / 255.0
+            mean = jnp.asarray(resnet.IMAGENET_MEAN, jnp.float32)
+            std = jnp.asarray(resnet.IMAGENET_STD, jnp.float32)
+            return uni_vit.forward(ucfg, p, (x - mean) / std)
+
+        feat_dim, timed = ucfg.dim, max(2, TIMED_SLIDES - 1)
+
+    @jax.jit
+    def features(p, base_u8, key):
+        def step(_, k):
+            bits = jax.random.bits(k, base_u8.shape, jnp.uint8)
+            return None, one_batch(p, base_u8 ^ bits)
+
+        _, feats = jax.lax.scan(step, None, jax.random.split(key, n_batches))
+        return feats.reshape(-1, feat_dim)
+
+    aggregate, _, _ = _aggregate_fns(feat_dim)
+
+    log(f"[{backbone}] warmup (compile features)...")
+    t0 = time.perf_counter()
+    feats = features(params, base_dev, jax.random.PRNGKey(0))
+    _ = float(feats[0, 0])
+    log(f"[{backbone}] features compiled+ran in {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    pred = aggregate(feats, jax.random.PRNGKey(0))
+    _ = float(pred[0])
+    log(f"[{backbone}] aggregate compiled+ran in {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for i in range(timed):
+        key = jax.random.PRNGKey(i + 1)
+        pred = aggregate(features(params, base_dev, key), key)
+    s = float(jnp.sum(pred))  # host readback = full sync through the relay
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(s)
+    per_slide = elapsed / timed
+    log(f"[{backbone}] per-slide: {per_slide:.3f}s "
+        f"({PATCHES_PER_SLIDE / per_slide:.0f} patches/s)")
+    return per_slide
+
+
+def measure_decode():
+    """Host-side WSI decode rate through the native C++ tiled-TIFF reader
+    (single-core sandbox host; a real v5e host has >100 cores and the
+    reader's handle pool scales per-core)."""
     from sequoia_tpu import native
 
     if not native.available():
-        return None
+        raise RuntimeError("native tiff reader unavailable")
     if not os.path.exists(IO_SLIDE):
         rng = np.random.default_rng(7)
         block = rng.integers(0, 256, (2048, 2048, 3), dtype=np.uint8)
@@ -91,129 +277,162 @@ def measure_decode() -> tuple[float, int] | None:
                 done += out.shape[0]
         rate = max(rate, done / (time.perf_counter() - t0))
     reader.close()
-    return rate, nthreads
+    log(f"decode: {rate:.0f} patches/s ({nthreads} threads, "
+        f"{os.cpu_count()} host cores)")
+    return rate
 
 
-def main() -> None:
+def measure_e2e_serving():
+    """MEASURED wall-clock slides/hour through serve.predict_slides on
+    fabricated pyramidal TIFFs — the real streaming path (decode -> fused
+    screen+featurize -> kmeans -> ViS) with >=2-slide cross-slide overlap."""
     import jax
     import jax.numpy as jnp
 
-    from sequoia_tpu.models import resnet, vis
-    from sequoia_tpu.ops import kmeans as km
+    from sequoia_tpu.models import resnet
+    from sequoia_tpu.pipeline.features import FeatureExtractor
+    from sequoia_tpu.serve import SlidePredictor
 
-    dev = jax.devices()[0]
-    log(f"device: {dev}")
-    n_batches = PATCHES_PER_SLIDE // FEAT_BATCH
+    for i, path in enumerate(E2E_SLIDES):
+        make_e2e_slide(path, seed=100 + i)
 
-    # Relay probe (small, for transparency only — the sandbox tunnel is
-    # ~0.3-40 MB/s and highly variable; real v5e PCIe is ~10-25 GB/s).
-    probe = np.zeros((4 * 1024 * 1024,), np.uint8)
-    t0 = time.perf_counter()
-    pd_ = jax.device_put(probe)
-    _ = float(jnp.sum(pd_[:8].astype(jnp.int32)))
-    log(f"sandbox relay h2d probe: {4 / (time.perf_counter() - t0):.1f} MB/s")
+    from sequoia_tpu.models import vis
+    from sequoia_tpu.ops import kmeans as km  # noqa: F401 (compile cache)
 
-    # Patch pixels synthesized ON DEVICE: the benchmark measures the
-    # framework's compute path, not the sandbox tunnel.
-    base_dev = jax.random.randint(jax.random.PRNGKey(42),
-                                  (FEAT_BATCH, PATCH, PATCH, 3), 0, 256,
-                                  jnp.uint8)
-
-    rcfg = resnet.ResNetConfig(compute_dtype=jnp.bfloat16)
     rparams = resnet.random_params(jax.random.PRNGKey(0))
+    extractor = FeatureExtractor(
+        "resnet", rparams, batch_size=FEAT_BATCH,
+        cfg=resnet.ResNetConfig(compute_dtype=jnp.bfloat16))
     vis_cfg = vis.ViSConfig(num_outputs=NUM_GENES, input_dim=FEAT_DIM,
                             depth=6, nheads=16, dim_f=64, dim_s=64, dim_c=64,
                             num_clusters=NUM_CLUSTERS)
     vis_params = vis.init(vis_cfg, jax.random.PRNGKey(1))
+    pred = SlidePredictor(extractor, [(vis_cfg, vis_params)],
+                          n_clusters=NUM_CLUSTERS,
+                          max_patches=PATCHES_PER_SLIDE, patch_size=PATCH)
 
-    @jax.jit
-    def features(base_u8, key):
-        def step(_, k):
-            bits = jax.random.bits(k, base_u8.shape, jnp.uint8)
-            return None, resnet.extract_from_uint8(rcfg, rparams,
-                                                   base_u8 ^ bits)
-
-        _, feats = jax.lax.scan(step, None, jax.random.split(key, n_batches))
-        return feats.reshape(-1, FEAT_DIM)
-
-    vis_fwd = jax.jit(lambda p, x: vis.apply(vis_cfg, p, x))
-    mask_all = jnp.ones((PATCHES_PER_SLIDE,), bool)
-
-    def aggregate(feats, key):
-        # three pre-compiled programs, data stays on device between them
-        # (one combined jit stalls this sandbox's remote-compile service)
-        _, labels, _, _ = km.kmeans_fit(feats, mask_all, key,
-                                        n_clusters=NUM_CLUSTERS)
-        cf = km.cluster_means(feats, labels, mask_all,
-                              n_clusters=NUM_CLUSTERS)
-        return vis_fwd(vis_params, cf[None])[0]
-
-    log("warmup (compile features)...")
+    log("[e2e] warmup slide (compiles fused program + aggregation)...")
     t0 = time.perf_counter()
-    feats = features(base_dev, jax.random.PRNGKey(0))
-    _ = float(feats[0, 0])
-    log(f"features compiled+ran in {time.perf_counter() - t0:.1f}s")
-    log("warmup (compile kmeans/cluster_means/vis)...")
-    t0 = time.perf_counter()
-    pred = aggregate(feats, jax.random.PRNGKey(0))
-    _ = float(pred[0])
-    log(f"aggregate compiled+ran in {time.perf_counter() - t0:.1f}s")
+    out = pred.predict_wsi(E2E_SLIDES[0])
+    assert np.isfinite(out).all() and out.shape == (1, NUM_GENES)
+    warm = time.perf_counter() - t0
+    log(f"[e2e] warmup slide in {warm:.1f}s")
 
     t0 = time.perf_counter()
-    for i in range(TIMED_SLIDES):
-        key = jax.random.PRNGKey(i + 1)
-        pred = aggregate(features(base_dev, key), key)
-    s = float(jnp.sum(pred))  # host readback = full sync through the relay
+    n = 0
+    for _path, out in pred.predict_slides(E2E_SLIDES):
+        assert np.isfinite(out).all()
+        n += 1
     elapsed = time.perf_counter() - t0
-    assert np.isfinite(s)
-
-    per_slide = elapsed / TIMED_SLIDES
-    slides_per_hour = 3600.0 / per_slide
-    log(f"per-slide: {per_slide:.3f}s "
-        f"({PATCHES_PER_SLIDE / per_slide:.0f} patches/s through "
-        "resnet50+kmeans+ViS)")
-
-    result = {
-        "metric": "slides_per_hour_e2e_1chip",
-        "value": round(slides_per_hour, 1),
-        "unit": "slides/hour (4096x256px uint8 patches -> resnet50 bf16 -> kmeans100 -> ViS 20820 genes, device-resident)",
-        "vs_baseline": round(slides_per_hour / REF_SLIDES_PER_HOUR, 2),
-    }
-
-    # Second metric: end-to-end INCLUDING host I/O (WSI tile decode).  In
-    # the double-buffered production pipeline the host decode pool and the
-    # device overlap, so per-slide wall time is max(decode, compute).  Both
-    # legs are real measurements on this machine; note the sandbox host has
-    # ONE CPU core, so the decode leg is the pessimistic floor (a v5e host
-    # has >100 cores and OpenSlide/libtiff decode scales per-core).
-    dec = measure_decode()
-    if dec is not None:
-        dec_rate, nthreads = dec
-        t_decode = PATCHES_PER_SLIDE / dec_rate
-        t_overlap = max(t_decode, per_slide)
-        log(f"decode: {dec_rate:.0f} patches/s ({nthreads} threads, "
-            f"{os.cpu_count()} host cores) -> {t_decode:.2f}s/slide; "
-            f"overlapped e2e {t_overlap:.2f}s/slide")
-        result["with_io"] = {
-            "metric": "slides_per_hour_e2e_with_io",
-            "value": round(3600.0 / t_overlap, 1),
-            "unit": ("slides/hour incl. native tiled-TIFF decode "
-                     f"(decode {dec_rate:.0f} patches/s on "
-                     f"{os.cpu_count()}-core host, overlapped with device "
-                     "compute as max(decode, compute))"),
-            "vs_baseline": round(3600.0 / t_overlap / REF_SLIDES_PER_HOUR, 2),
-        }
-    with open(CACHE, "w") as f:
-        json.dump(result, f)
-    print(json.dumps(result))
+    per_slide = elapsed / n
+    log(f"[e2e] {n} slides in {elapsed:.1f}s -> {per_slide:.2f}s/slide "
+        "(cross-slide pipelined)")
+    return per_slide
 
 
-def _emit_fallback(reason: str) -> None:
-    """The relay wedged: emit the last good measurement, flagged as cached."""
-    log(f"bench aborted: {reason}")
+# ---------------------------------------------------------------------------
+
+def main() -> None:
+    import jax
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    cached = {}
     if os.path.exists(CACHE):
+        try:
+            with open(CACHE) as f:
+                cached = json.load(f)
+        except Exception:  # noqa: BLE001
+            cached = {}
+
+    results: dict = {}
+    failures: dict = {}
+
+    if not run_leg("probe", measure_probe, results, failures):
+        # relay is down: everything device-side would wedge — emit cache
+        _emit_fallback(failures["probe"], cached)
+        return
+    relay_rate = results["probe"]
+
+    run_leg("resnet", lambda: measure_device_pipeline("resnet"),
+            results, failures)
+    run_leg("uni", lambda: measure_device_pipeline("uni"), results, failures)
+    run_leg("decode", measure_decode, results, failures)
+    run_leg("e2e", measure_e2e_serving, results, failures)
+
+    out: dict = {}
+    if "resnet" in results:
+        sph = 3600.0 / results["resnet"]
+        out.update({
+            "metric": "slides_per_hour_e2e_1chip",
+            "value": round(sph, 1),
+            "unit": ("slides/hour (4096x256px uint8 patches -> resnet50 "
+                     "bf16 -> kmeans100 -> ViS 20820 genes, device-resident)"),
+            "vs_baseline": round(sph / REF_SLIDES_PER_HOUR, 2),
+        })
+    elif cached.get("metric"):
+        out.update({k: cached[k] for k in
+                    ("metric", "value", "unit", "vs_baseline") if k in cached})
+        out["cached"] = True
+        out["cache_reason"] = failures.get("resnet", "leg skipped")
+
+    if "uni" in results:
+        sph = 3600.0 / results["uni"]
+        out["uni"] = {
+            "metric": "uni_slides_per_hour_1chip",
+            "value": round(sph, 1),
+            "unit": ("slides/hour (4096 patches -> bit-exact PIL 224 resize "
+                     "-> UNI ViT-L/16 bf16 -> kmeans100 -> ViS 20820 genes, "
+                     "device-resident)"),
+            "vs_baseline": round(sph / REF_UNI_SLIDES_PER_HOUR, 2),
+        }
+    elif isinstance(cached.get("uni"), dict):
+        out["uni"] = {**cached["uni"], "cached": True,
+                      "cache_reason": failures.get("uni", "leg skipped")}
+
+    if "e2e" in results:
+        sph = 3600.0 / results["e2e"]
+        out["with_io"] = {
+            "metric": "slides_per_hour_e2e_with_io",
+            "value": round(sph, 1),
+            "unit": ("slides/hour MEASURED wall-clock through "
+                     "serve.predict_slides (tiled-TIFF decode -> fused "
+                     "screen+featurize resnet bf16 -> kmeans100 -> ViS "
+                     "20820 genes, cross-slide pipelined; sandbox h2d relay "
+                     f"~{relay_rate:.0f} MB/s vs ~10-25 GB/s PCIe on a real "
+                     "v5e host"
+                     + (f"; host decode {results['decode']:.0f} patches/s "
+                        f"on {os.cpu_count()} core(s)"
+                        if "decode" in results else "") + ")"),
+            "vs_baseline": round(sph / REF_SLIDES_PER_HOUR, 2),
+        }
+    elif isinstance(cached.get("with_io"), dict):
+        out["with_io"] = {**cached["with_io"], "cached": True,
+                          "cache_reason": failures.get("e2e", "leg skipped")}
+
+    if failures:
+        out["leg_failures"] = failures
+    if not out.get("metric"):
+        _emit_fallback("; ".join(f"{k}: {v}" for k, v in failures.items()),
+                       cached)
+        return
+
+    to_cache = {k: v for k, v in out.items()
+                if k not in ("leg_failures", "cached", "cache_reason")}
+    with open(CACHE, "w") as f:
+        json.dump(to_cache, f)
+    print(json.dumps(out))
+
+
+def _emit_fallback(reason: str, cached: dict | None = None) -> None:
+    """Nothing fresh measured: emit the last good result, flagged."""
+    log(f"bench falling back to cache: {reason}")
+    if cached is None and os.path.exists(CACHE):
         with open(CACHE) as f:
-            result = json.load(f)
+            cached = json.load(f)
+    if cached and cached.get("metric"):
+        result = dict(cached)
         result["cached"] = True
         result["cache_reason"] = reason
         print(json.dumps(result))
@@ -224,13 +443,6 @@ def _emit_fallback(reason: str) -> None:
 
 
 if __name__ == "__main__":
-    def _on_alarm(signum, frame):
-        _emit_fallback(f"TPU relay unresponsive for {WATCHDOG_SECONDS}s "
-                       "(sandbox tunnel wedge)")
-        os._exit(0)
-
-    signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(WATCHDOG_SECONDS)
     try:
         main()
     except Exception as e:  # noqa: BLE001

@@ -129,6 +129,26 @@ def _lloyd(x, mask, centers, max_iter: int, tol_abs, use_pallas: bool = False,
             jnp.asarray(False))
     centers, _, n_iter, _ = jax.lax.while_loop(cond, step, init)
     labels, best = assign(centers)
+    # Final-assignment empty-cluster repair (sklearn _relocate_empty_clusters
+    # semantics): on degenerate inputs (e.g. near-duplicate points) argmin
+    # tie-breaking can leave a relocated center with zero members, which
+    # would surface as NaN cluster means downstream.  One round per cluster:
+    # fill each still-empty cluster with the farthest valid point currently
+    # belonging to a DONOR cluster (>=2 members, so no cluster is drained).
+    # With n_valid >= k this terminates with every cluster non-empty; with
+    # fewer valid points than clusters the un-fillable ones stay empty.
+    cluster_ids = jnp.arange(k)
+
+    def fix_one(labels, c):
+        counts = jnp.sum((labels[:, None] == cluster_ids[None, :])
+                         & mask[:, None], axis=0)
+        donor_ok = counts[labels] >= 2
+        score = jnp.where(mask & donor_ok, best, -jnp.inf)
+        p = jnp.argmax(score)
+        take = (counts[c] == 0) & jnp.isfinite(score[p])
+        return jnp.where(take, labels.at[p].set(c), labels), None
+
+    labels, _ = jax.lax.scan(fix_one, labels, cluster_ids)
     inertia = jnp.sum(best)
     return centers, labels, inertia, n_iter
 

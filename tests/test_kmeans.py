@@ -163,3 +163,33 @@ def test_hybrid_backend_matches_sklearn():
     # identical seeding + same Lloyd fixed point -> same clusters, possibly
     # permuted only if sklearn reorders (it doesn't for single init)
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_empty_cluster_repair_on_degenerate_features():
+    """Near-duplicate / exact-duplicate inputs (e.g. a collapsed backbone)
+    must still yield a full set of non-empty clusters — sklearn's
+    _relocate_empty_clusters guarantee — so cluster means stay finite.
+    With fewer valid points than clusters, exactly n_valid clusters fill."""
+    import jax
+    import jax.numpy as jnp
+
+    from sequoia_tpu.ops import kmeans as km
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(1, 64)).astype(np.float32)
+    cases = [
+        ("near-dup", np.repeat(base, 16, 0)
+         + 1e-5 * rng.normal(size=(16, 64)).astype(np.float32), 8, 8),
+        ("exact-dup", np.repeat(base, 16, 0), 8, 8),
+        ("fewer-than-k", np.repeat(base, 5, 0), 8, 5),
+    ]
+    for name, xnp, k, want_filled in cases:
+        x = jnp.asarray(xnp)
+        mask = jnp.ones((xnp.shape[0],), bool)
+        _, labels, _, _ = km.kmeans_fit(x, mask, jax.random.PRNGKey(0),
+                                        n_clusters=k)
+        cf = np.asarray(km.cluster_means(x, labels, mask, n_clusters=k))
+        filled = np.isfinite(cf).all(axis=1).sum()
+        assert filled == want_filled, (name, filled)
+        counts = np.bincount(np.asarray(labels), minlength=k)
+        assert (counts > 0).sum() == want_filled, (name, counts)

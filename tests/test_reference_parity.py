@@ -361,6 +361,48 @@ def test_gtex_pretrain_headswap_parity_vs_reference(ref, tmp_path):
     print(f"gtex headswap parity: pretrain+finetune |dr| max {dr.max():.2e}")
 
 
+def test_reference_get_emd_parity():
+    """Drive the reference's OWN EMD comparator (``spatial_vis/get_emd.py``,
+    scanpy/POT stubbed — cv2 is real on both sides) against
+    ``evaluation/spatial_metrics``: signature build, EMD incl. the all-zero
+    rules, nearest-4 GT averaging, median filter, percentile transform."""
+    import pandas as pd
+
+    from sequoia_tpu.evaluation import spatial_metrics as sm
+
+    ref = rl.load_reference_get_emd()
+    rng = np.random.default_rng(3)
+
+    a = rng.random((7, 9))
+    b = rng.random((7, 9))
+    np.testing.assert_array_equal(sm.img_to_sig(a), ref.img_to_sig(a))
+    assert sm.calculate_emd(a, b) == ref.calculate_emd(a, b)
+    assert sm.calculate_emd(a, b, norm=True) == ref.calculate_emd(a, b, norm=True)
+    z = np.zeros_like(a)
+    assert sm.calculate_emd(z, z) == ref.calculate_emd(z, z) == 0
+    assert np.isnan(sm.calculate_emd(z, b)) and np.isnan(ref.calculate_emd(z, b))
+
+    gt = pd.DataFrame({"x": rng.random(30) * 10, "y": rng.random(30) * 10,
+                       "gene_expr": rng.normal(size=30)})
+    for _ in range(5):
+        x, y = rng.random() * 10, rng.random() * 10
+        assert sm.get_average(x, y, gt, 4) == ref.get_average(x, y, gt, 4)
+
+    tiles = pd.DataFrame({
+        "xcoord_tf": rng.integers(0, 6, 40),
+        "ycoord_tf": rng.integers(0, 6, 40),
+        "v": rng.normal(size=40)})
+    tiles = tiles.drop_duplicates(["xcoord_tf", "ycoord_tf"]).reset_index(drop=True)
+    for _, r in tiles.iterrows():
+        ours = sm.median_filter(tiles, "v", r["xcoord_tf"], r["ycoord_tf"], 1)
+        want = ref.median_filter(tiles, "v", r["xcoord_tf"], r["ycoord_tf"], 1)
+        assert ours == want
+    refv = tiles["v"].values
+    for s in [tiles["v"].iloc[0], np.nan, 0.0]:
+        o, w = sm.score2percentile(s, refv), ref.score2percentile(s, refv)
+        assert (np.isnan(o) and np.isnan(w)) or o == w
+
+
 def _sliding_window_fixture(seed=7, ps=16, dim=12, genes=7, grid=13):
     """Synthetic tile grid + deterministic fake extractor/model shared by
     both sides of the sliding-window gate."""

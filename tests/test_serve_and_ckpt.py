@@ -312,6 +312,70 @@ def test_predict_slides_quarantine_and_no_stranded_threads():
     assert threading.active_count() == n0
 
 
+def test_predict_wsi_uni_backbone_end_to_end():
+    """The uni serving path (fused screen + bit-exact PIL 224 resize +
+    ViT in one program) through predict_wsi on a synthetic WSI, small ViT
+    config for CPU speed; fused result == sequential screened extraction."""
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    from sequoia_tpu.models import uni_vit
+
+    ucfg = uni_vit.UniViTConfig(img_size=32, patch_size=16, dim=24, depth=2,
+                                heads=2, mlp_dim=32)
+    uparams = uni_vit.random_params(ucfg, jax.random.PRNGKey(0))
+    extractor = FeatureExtractor("uni", uparams, batch_size=16, cfg=ucfg,
+                                 patch_size=64)
+    cfg = vis.ViSConfig(num_outputs=5, input_dim=24, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=8)
+    pred = SlidePredictor(extractor, [(cfg, vis.init(cfg, jax.random.PRNGKey(1)))],
+                          n_clusters=8, max_patches=48, patch_size=64)
+    path = synthetic_wsi()
+    streamed = pred.predict_wsi(path)
+    sequential = pred.predict_patches(pred.extract_patches(path))
+    assert streamed.shape == (1, 5) and np.isfinite(streamed).all()
+    np.testing.assert_allclose(streamed, sequential, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_cli_serve_uni_end_to_end(tmp_path, monkeypatch):
+    """serve CLI with --feat_type uni: synthetic WSI -> predictions through
+    the REAL ViT-L/16 architecture (random weights) + a 1024-d ViS head."""
+    import pickle
+
+    from sequoia_tpu.cli import serve as cli_serve
+    from sequoia_tpu.models import convert
+
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    monkeypatch.chdir(tmp_path)
+    slide = synthetic_wsi()
+    native.write_tiled_tiff("slide1.tiff", [slide.levels[0], slide.levels[1]],
+                            tile=(128, 128))
+
+    genes = [f"G{i}" for i in range(4)]
+    ckpt_dir = tmp_path / "exp"
+    ckpt_dir.mkdir()
+    cfg = vis.ViSConfig(num_outputs=4, input_dim=1024, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=8)
+    checkpoint.save_torch_state_dict(
+        convert.vis_to_torch(cfg, vis.init(cfg, jax.random.PRNGKey(0))),
+        str(ckpt_dir / "model_best_0.pt"))
+    with open(ckpt_dir / "test_results.pkl", "wb") as f:
+        pickle.dump({"genes": genes}, f)
+
+    cli_serve.main(["--wsi", "slide1.tiff", "--checkpoints", str(ckpt_dir),
+                    "--feat_type", "uni", "--weights", "random",
+                    "--batch_size", "8", "--compute_dtype", "float32",
+                    "--max_patches", "16", "--patch_size", "64",
+                    "--num_clusters", "8", "--out", "preds.csv"])
+    out = pd.read_csv("preds.csv", index_col=0)
+    assert list(out.columns) == genes
+    assert np.isfinite(out.to_numpy()).all()
+
+
 def test_predict_wsi_consumer_failure_does_not_strand_producer():
     """If featurization raises mid-stream, predict_wsi must propagate the
     error promptly and terminate the decode thread (no stuck q.put)."""

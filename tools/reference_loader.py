@@ -86,6 +86,23 @@ def load_reference_visualize(root: str = REFERENCE_ROOT):
     return mod
 
 
+def load_reference_get_emd(root: str = REFERENCE_ROOT):
+    """Import the reference's ``spatial_vis/get_emd.py`` (EMD comparator).
+    Its module-top ``scanpy``/``ot`` imports are data-loading only — the
+    comparator math (``img_to_sig``/``calculate_emd``/``median_filter``/
+    ``get_average``) needs neither — so both are stubbed like ``wandb``."""
+    for name in ("scanpy", "ot"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "reference_get_emd", os.path.join(root, "spatial_vis", "get_emd.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 class TorchStream:
     """Adapter presenting a sequoia_tpu ``BatchLoader`` to the reference's
     torch loops: yields ``(features, rna, wsi, project)`` with padded rows
