@@ -361,6 +361,103 @@ def test_gtex_pretrain_headswap_parity_vs_reference(ref, tmp_path):
     print(f"gtex headswap parity: pretrain+finetune |dr| max {dr.max():.2e}")
 
 
+def _textbook_bh(pvals, alpha=0.05):
+    """Benjamini-Hochberg written from the published definition — a THIRD
+    implementation, independent of both statsmodels (absent in this
+    sandbox) and sequoia_tpu's fdr_bh, so stubbing it under the reference
+    is not circular."""
+    p = np.asarray(pvals, float)
+    n = len(p)
+    order = np.argsort(p, kind="stable")
+    scaled = p[order] * n / (np.arange(n) + 1)
+    adj = np.minimum(np.minimum.accumulate(scaled[::-1])[::-1], 1.0)
+    out = np.empty(n)
+    out[order] = adj
+    return out <= alpha, out
+
+
+def test_reference_evaluate_model_parity(tmp_path, monkeypatch):
+    """Execute the reference's OWN ``evaluation/evaluate_model.py`` __main__
+    (fold concat, constant-gene special case, Steiger test, NaN fills, BH
+    FDR, the 6-clause significance gate, CSV outputs) on a synthetic
+    test_results.pkl and diff every column against our evaluator.
+
+    statsmodels' fdrcorrection is stubbed with a textbook BH written in
+    this test (third implementation — not ours), and sklearn.metrics with
+    a definitional RMSE (sklearn >= 1.6 removed the ``squared=`` kwarg the
+    reference passes)."""
+    import pickle
+    import runpy
+    import types as _types
+
+    import pandas as pd
+
+    from sequoia_tpu.evaluation import evaluate_model as em
+
+    rng = np.random.default_rng(5)
+    genes = [f"G{i}" for i in range(12)] + ["CONST"]
+    folds, n = 5, 10
+    test_res = {"genes": genes}
+    for k in range(folds):
+        real = rng.normal(size=(n, len(genes)))
+        real[:, -1] = 3.14  # constant gene: the reference's special case
+        preds = 0.7 * real + 0.3 * rng.normal(size=real.shape)
+        rand = rng.normal(size=real.shape)
+        test_res[f"split_{k}"] = {
+            "real": real, "preds": preds, "random": rand,
+            "wsi_file_name": [f"W{k}_{i}" for i in range(n)],
+            "tcga_project": ["TCGA-BRCA"] * n,
+        }
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("model_path/brca", exist_ok=True)
+    with open("model_path/brca/test_results.pkl", "wb") as f:
+        pickle.dump(test_res, f)
+
+    # stub statsmodels (absent here) + sklearn.metrics (squared= removed)
+    sm_mod = _types.ModuleType("statsmodels")
+    sm_stats = _types.ModuleType("statsmodels.stats")
+    sm_mt = _types.ModuleType("statsmodels.stats.multitest")
+    sm_mt.fdrcorrection = _textbook_bh
+    sm_mod.stats = sm_stats
+    sm_stats.multitest = sm_mt
+    monkeypatch.setitem(sys.modules, "statsmodels", sm_mod)
+    monkeypatch.setitem(sys.modules, "statsmodels.stats", sm_stats)
+    monkeypatch.setitem(sys.modules, "statsmodels.stats.multitest", sm_mt)
+    skm = _types.ModuleType("sklearn.metrics")
+    skm.mean_squared_error = lambda a, b, squared=True: (
+        float(np.mean((np.asarray(a) - np.asarray(b)) ** 2)) if squared
+        else float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2))))
+    monkeypatch.setitem(sys.modules, "sklearn.metrics", skm)
+    if rl.REFERENCE_ROOT not in sys.path:  # for `from evaluation. ...`
+        sys.path.insert(0, rl.REFERENCE_ROOT)
+
+    runpy.run_path(os.path.join(rl.REFERENCE_ROOT, "evaluation",
+                                "evaluate_model.py"), run_name="__main__")
+    ref_all = pd.read_csv("model_path/results/all_genes.csv", index_col=0)
+    ref_sig = pd.read_csv("model_path/results/sig_genes.csv", index_col=0)
+    assert len(ref_all) == len(genes), "reference run silently skipped brca"
+
+    ours_all, ours_sig = em.evaluate_model_dir(
+        "model_path", cancers=["brca"], folds=folds,
+        save_path=str(tmp_path / "ours"))
+
+    assert list(ref_all.index) == list(ours_all.index)
+    non_const = ref_all.index != "CONST"
+    for col in ("pred_real_r", "random_real_r", "pearson_p", "Steiger_p",
+                "rmse_pred", "rmse_random", "rmse_quantile_norm",
+                "rmse_mean_norm", "fdr_pearson_p", "fdr_Steiger_p"):
+        sel = (non_const if col == "random_real_r"
+               else np.ones(len(ref_all), bool))
+        # constant-gene random_real_r: the reference's branch reads
+        # `xy, xy, yz = 0, 0, 0` (evaluate_model.py:73) — a shipped typo
+        # that never resets xz, so its value is the PREVIOUS gene's stale
+        # correlation.  We implement the intent (0) per SURVEY 7.5.
+        np.testing.assert_allclose(ours_all[col].to_numpy()[sel],
+                                   ref_all[col].to_numpy()[sel],
+                                   rtol=1e-9, atol=1e-12, err_msg=col)
+    assert list(ref_sig.index) == list(ours_sig.index)  # same gene set
+
+
 def test_reference_get_emd_parity():
     """Drive the reference's OWN EMD comparator (``spatial_vis/get_emd.py``,
     scanpy/POT stubbed — cv2 is real on both sides) against
