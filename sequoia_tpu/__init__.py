@@ -28,14 +28,17 @@ __version__ = "0.1.0"
 
 import os as _os
 
-if _os.environ.get("SEQUOIA_PLATFORM"):
-    # User-facing platform override for the CLIs (e.g. SEQUOIA_PLATFORM=cpu
-    # to run the example pipeline host-side).  Needed because host images
-    # may pin JAX_PLATFORMS to a TPU plugin via sitecustomize BEFORE user
-    # env vars are consulted; jax.config wins if applied pre-backend-init.
+_platform = (_os.environ.get("SEQUOIA_JAX_PLATFORM")
+             or _os.environ.get("SEQUOIA_PLATFORM"))
+if _platform:
+    # User-facing platform override (e.g. SEQUOIA_JAX_PLATFORM=cpu to run
+    # the example pipeline host-side).  Needed because host images may pin
+    # JAX_PLATFORMS to a TPU plugin via sitecustomize BEFORE user env vars
+    # are consulted; jax.config wins if applied pre-backend-init.  Also
+    # applied in cli/__init__.py; here it covers library imports too.
     import jax as _jax
 
     try:
-        _jax.config.update("jax_platforms", _os.environ["SEQUOIA_PLATFORM"])
+        _jax.config.update("jax_platforms", _platform)
     except Exception:
         pass  # backend already initialized — too late to switch

@@ -27,7 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
                     reason="reference checkout not present")
 def test_full_width_example_pipeline(tmp_path):
     out = str(tmp_path / "full")
-    env = dict(os.environ, FULL="1", SEQUOIA_PLATFORM="cpu")
+    env = dict(os.environ, FULL="1", SEQUOIA_JAX_PLATFORM="cpu")
     r = subprocess.run(
         ["bash", os.path.join(REPO, "tools", "run_example_pipeline.sh"), out],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=5400)

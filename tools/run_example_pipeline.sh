@@ -6,7 +6,7 @@
 # width: the real 20,820-gene list is imported from a sequoia-pub checkout
 # (REFERENCE=/root/reference by default) and every stage — training CV,
 # all_genes.csv evaluation, serving — runs over the full panel.
-# SEQUOIA_PLATFORM=cpu pins every stage to host CPU (useful where the TPU
+# SEQUOIA_JAX_PLATFORM=cpu pins every stage to host CPU (useful where the TPU
 # plugin is flaky or absent).
 set -e
 OUT=${1:-/tmp/sequoia_example}
