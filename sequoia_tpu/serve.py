@@ -235,20 +235,27 @@ class SlidePredictor:
             if not raw:
                 feats.append(self.extractor(block))
                 return
-            if block.shape[0] < bs:  # pad the tail to the compiled shape;
-                # zero rows fail the tissue mask, so the flags drop them
-                pad = np.zeros((bs - block.shape[0],) + block.shape[1:],
-                               np.uint8)
-                block = np.concatenate([block, pad])
-            f, fl = fused(self.extractor.params, jnp.asarray(block))
-            take = np.asarray(f)[np.asarray(fl)]
-            if kept + len(take) > self.max_patches:
-                take = take[: self.max_patches - kept]
-            kept += len(take)
-            if len(take):
-                feats.append(take)
-            if kept >= self.max_patches:
-                stop.set()  # enough patches: end the decode early
+            # the fused program is compiled for exactly (bs, ...): chunk a
+            # multi-batch drain and pad the tail (zero rows fail the tissue
+            # mask, so the flags drop them)
+            for s in range(0, block.shape[0], bs):
+                if stop.is_set():
+                    return
+                piece = block[s:s + bs]
+                if piece.shape[0] < bs:
+                    pad = np.zeros((bs - piece.shape[0],) + piece.shape[1:],
+                                   np.uint8)
+                    piece = np.concatenate([piece, pad])
+                f, fl = fused(self.extractor.params, jnp.asarray(piece))
+                take = np.asarray(f)[np.asarray(fl)]
+                if kept + len(take) > self.max_patches:
+                    take = take[: self.max_patches - kept]
+                kept += len(take)
+                if len(take):
+                    feats.append(take)
+                if kept >= self.max_patches:
+                    stop.set()  # enough patches: end the decode early
+                    return
 
         def drain(final: bool):
             nonlocal buf, buffered
