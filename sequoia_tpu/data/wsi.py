@@ -129,9 +129,13 @@ def open_slide(path_or_reader) -> SlideReader:
         return path_or_reader
     path = str(path_or_reader)
     try:
-        import openslide  # noqa: F401
+        import openslide
 
-        return OpenSlideReader(path)
+        # hasattr guards against a stub module in sys.modules (parity tests
+        # stub openslide to import the reference's visualize.py; a leaked
+        # stub must not shadow the native/PIL backends)
+        if hasattr(openslide, "OpenSlide"):
+            return OpenSlideReader(path)
     except ImportError:
         pass
     try:

@@ -1,6 +1,8 @@
 """Native C++ tile reader tests (skipped when the toolchain/libtiff is
 unavailable)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -67,6 +69,41 @@ def test_open_slide_prefers_native(tiled_pyramid):
     assert isinstance(r, native.NativeTiffReader)
     batch = wsi.read_regions(r, [(0, 0), (64, 64)], 0, (32, 32))
     np.testing.assert_array_equal(batch[1], lv0[64:96, 64:96])
+
+
+def test_open_slide_ignores_stub_openslide(tiled_pyramid, monkeypatch):
+    """A bare `openslide` module in sys.modules (the parity gate stubs one
+    to import the reference's visualize.py) must not shadow the native
+    backend — open_slide probes for the OpenSlide class, not the import."""
+    import sys
+    import types
+
+    from sequoia_tpu.data import wsi
+
+    path, _, _ = tiled_pyramid
+    monkeypatch.setitem(sys.modules, "openslide",
+                        types.ModuleType("openslide"))
+    r = wsi.open_slide(path)
+    assert isinstance(r, native.NativeTiffReader)
+
+
+def test_reference_visualize_loader_cleans_stubs():
+    """load_reference_visualize must not leave its openslide/timm/
+    torchvision stubs in sys.modules (a leaked stub broke open_slide for
+    every later test in the session)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+    from tools import reference_loader as rl
+
+    if not rl.reference_available():
+        pytest.skip("reference checkout unavailable")
+    before = {n: sys.modules.get(n)
+              for n in ("openslide", "timm", "torchvision", "scanpy", "ot")}
+    rl.load_reference_visualize()
+    rl.load_reference_get_emd()
+    after = {n: sys.modules.get(n) for n in before}
+    assert after == before
 
 
 @pytest.mark.slow

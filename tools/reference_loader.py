@@ -67,22 +67,32 @@ def load_reference_visualize(root: str = REFERENCE_ROOT):
     src = os.path.join(root, "src")
     if src not in sys.path:  # visualize.py does `from tformer_lin import ViS`
         sys.path.insert(0, src)
+    stubbed = []
     for name in ("openslide", "timm"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
+            stubbed.append(name)
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tvt = types.ModuleType("torchvision.transforms")
         tv.transforms = tvt
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tvt
+        stubbed += ["torchvision", "torchvision.transforms"]
     import importlib.util
 
-    spec = importlib.util.spec_from_file_location(
-        "reference_visualize", os.path.join(root, "spatial_vis",
-                                            "visualize.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "reference_visualize", os.path.join(root, "spatial_vis",
+                                                "visualize.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        # the loaded module keeps its own references; a stub left in
+        # sys.modules would later shadow real backends for unrelated code
+        # (open_slide's backend probe found an empty `openslide` and died)
+        for name in stubbed:
+            sys.modules.pop(name, None)
     return mod
 
 
@@ -91,15 +101,22 @@ def load_reference_get_emd(root: str = REFERENCE_ROOT):
     Its module-top ``scanpy``/``ot`` imports are data-loading only — the
     comparator math (``img_to_sig``/``calculate_emd``/``median_filter``/
     ``get_average``) needs neither — so both are stubbed like ``wandb``."""
+    stubbed = []
     for name in ("scanpy", "ot"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
+            stubbed.append(name)
     import importlib.util
 
-    spec = importlib.util.spec_from_file_location(
-        "reference_get_emd", os.path.join(root, "spatial_vis", "get_emd.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "reference_get_emd",
+            os.path.join(root, "spatial_vis", "get_emd.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for name in stubbed:  # see load_reference_visualize
+            sys.modules.pop(name, None)
     return mod
 
 
