@@ -418,7 +418,10 @@ def main() -> None:
                        cached)
         return
 
-    to_cache = {k: v for k, v in out.items()
+    to_cache = {k: ({kk: vv for kk, vv in v.items()
+                     if kk not in ("cached", "cache_reason")}
+                    if isinstance(v, dict) else v)
+                for k, v in out.items()
                 if k not in ("leg_failures", "cached", "cache_reason")}
     with open(CACHE, "w") as f:
         json.dump(to_cache, f)

@@ -139,16 +139,24 @@ def _lloyd(x, mask, centers, max_iter: int, tol_abs, use_pallas: bool = False,
     # fewer valid points than clusters the un-fillable ones stay empty.
     cluster_ids = jnp.arange(k)
 
-    def fix_one(labels, c):
+    def fix_one(carry, c):
+        labels, centers, best = carry
         counts = jnp.sum((labels[:, None] == cluster_ids[None, :])
                          & mask[:, None], axis=0)
         donor_ok = counts[labels] >= 2
         score = jnp.where(mask & donor_ok, best, -jnp.inf)
         p = jnp.argmax(score)
         take = (counts[c] == 0) & jnp.isfinite(score[p])
-        return jnp.where(take, labels.at[p].set(c), labels), None
+        # keep the returned triple self-consistent (sklearn semantics: the
+        # relocated point becomes the cluster's center, so its distance —
+        # and inertia contribution — drops to 0)
+        labels = jnp.where(take, labels.at[p].set(c), labels)
+        centers = jnp.where(take, centers.at[c].set(x[p]), centers)
+        best = jnp.where(take, best.at[p].set(0.0), best)
+        return (labels, centers, best), None
 
-    labels, _ = jax.lax.scan(fix_one, labels, cluster_ids)
+    (labels, centers, best), _ = jax.lax.scan(
+        fix_one, (labels, centers, best), cluster_ids)
     inertia = jnp.sum(best)
     return centers, labels, inertia, n_iter
 

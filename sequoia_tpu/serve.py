@@ -79,11 +79,6 @@ class SlidePredictor:
                 coords.append((x, y))
         return slide, coords, psr, rf
 
-    @staticmethod
-    def _slide_rf(wsi_path) -> float:
-        slide = open_slide(wsi_path)
-        return float(slide.properties.get("aperio.AppMag", 20) or 20) / 20.0
-
     def iter_patch_chunks(self, wsi_path, decode_chunk: int = 64):
         """Generator of tissue-screened uint8 patch chunks from a WSI
         (in-memory, no HDF5); stops at ``max_patches`` total."""
@@ -180,12 +175,24 @@ class SlidePredictor:
     def predict_patches(self, patches_u8: np.ndarray) -> np.ndarray:
         return self.predict_features(self.extractor(patches_u8))
 
-    def _start_producer(self, wsi_path, raw: bool = False):
+    def _start_producer(self, wsi_path):
         """Decode producer for one slide: a daemon thread streams patch
-        chunks (screened, or raw for the fused path) into a bounded queue.
+        chunks (screened, or raw for the fused path at AppMag 20) into a
+        bounded queue.  The slide is opened ONCE here (mode decision needs
+        its magnification) and the open reader is handed to the chunk
+        iterator — no second header parse per slide.
         Returns (queue, thread, err, stop, raw) for :meth:`_consume`."""
         import queue
         import threading
+
+        try:
+            slide = open_slide(wsi_path)
+            rf = float(slide.properties.get("aperio.AppMag", 20) or 20) / 20.0
+            raw = rf == 1.0
+        except Exception:
+            # unreadable slide: hand the path through so the producer thread
+            # raises cleanly and _consume propagates it (per-slide quarantine)
+            slide, raw = wsi_path, False
 
         q: queue.Queue = queue.Queue(maxsize=4)
         err: list[BaseException] = []
@@ -202,15 +209,24 @@ class SlidePredictor:
 
         def produce():
             try:
-                chunks = (self.iter_raw_chunks(wsi_path, stop=stop) if raw
-                          else self.iter_patch_chunks(wsi_path))
+                chunks = (self.iter_raw_chunks(slide, stop=stop) if raw
+                          else self.iter_patch_chunks(slide))
                 for chunk in chunks:
                     if not put(chunk):
                         return
             except BaseException as e:  # propagate into the consumer
                 err.append(e)
             finally:
-                put(None)
+                if not put(None):
+                    # stop was set (early cap / consumer failure): the gated
+                    # put refuses, but a consumer blocked in q.get() with an
+                    # EMPTY queue would wait forever without a sentinel —
+                    # best-effort enqueue (if the queue is full the consumer
+                    # will dequeue a chunk and see stop instead)
+                    try:
+                        q.put_nowait(None)
+                    except queue.Full:
+                        pass
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -270,6 +286,12 @@ class SlidePredictor:
 
         try:
             while True:
+                # stop is only ever set from THIS thread (early patch cap in
+                # run_block, or the finally below), so checking it before
+                # q.get() deterministically avoids blocking on a queue whose
+                # producer has already seen stop and exited
+                if stop.is_set():
+                    break
                 chunk = q.get()
                 if chunk is None or stop.is_set():
                     break
@@ -289,21 +311,13 @@ class SlidePredictor:
                 np.zeros((0, self.extractor.feature_dim), np.float32))
         return self.predict_features(np.concatenate(feats))
 
-    def _producer_mode(self, wsi_path) -> bool:
-        """Fused (raw) mode whenever no magnification resize is needed."""
-        try:
-            return self._slide_rf(wsi_path) == 1.0
-        except Exception:
-            return False  # unreadable slide: let the producer raise cleanly
-
     def predict_wsi(self, wsi_path) -> np.ndarray:
         """Streaming slide inference: a producer thread decodes patch chunks
         into a bounded queue while the batched device program (screening
         fused into the backbone at AppMag 20) keeps the device busy — decode
         and compute overlap, so slide latency is ~max(decode, compute)
         instead of their sum."""
-        return self._consume(
-            *self._start_producer(wsi_path, raw=self._producer_mode(wsi_path)))
+        return self._consume(*self._start_producer(wsi_path))
 
     def predict_slides(self, wsi_paths, on_error=None):
         """Cross-slide pipelined serving: while the device works slide i's
@@ -316,20 +330,26 @@ class SlidePredictor:
         paths = list(wsi_paths)
         if not paths:
             return
-        start = lambda p: self._start_producer(p, raw=self._producer_mode(p))
-        producer = start(paths[0])
-        for i, path in enumerate(paths):
-            nxt = start(paths[i + 1]) if i + 1 < len(paths) else None
-            try:
-                out = self._consume(*producer)
-            except Exception as e:
-                if on_error is None:
-                    if nxt is not None:  # don't strand the lookahead thread
-                        nxt[3].set()
-                        nxt[1].join()
-                    raise
-                on_error(path, e)
-                out = None
-            producer = nxt
-            if out is not None:
-                yield path, out
+        producer = self._start_producer(paths[0])
+        try:
+            for i, path in enumerate(paths):
+                nxt = (self._start_producer(paths[i + 1])
+                       if i + 1 < len(paths) else None)
+                try:
+                    out = self._consume(*producer)
+                except Exception as e:
+                    if on_error is None:
+                        producer = nxt  # the finally below reaps the lookahead
+                        raise
+                    on_error(path, e)
+                    out = None
+                producer = nxt
+                if out is not None:
+                    yield path, out
+        finally:
+            # reached on generator abandonment too (break / caller exception /
+            # GC close): without this the prefetched lookahead thread would
+            # spin on its bounded queue for the rest of the process
+            if producer is not None:
+                producer[3].set()
+                producer[1].join()

@@ -273,7 +273,6 @@ def test_reference_he2rna_from_pretrained_loads_our_export(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_predict_slides_pipelined_matches_predict_wsi():
     """Cross-slide pipelining (slide i+1 decodes while slide i computes)
     must yield the same per-slide predictions, in order."""
@@ -310,6 +309,75 @@ def test_predict_slides_quarantine_and_no_stranded_threads():
     with pytest.raises(Exception):
         list(pred.predict_slides(["/nonexistent/slide.svs", good[0]]))
     assert threading.active_count() == n0
+
+
+def test_predict_wsi_early_cap_with_slow_producer_terminates():
+    """Early patch-cap stop while the decode producer is mid-chunk (queue
+    empty) must not deadlock _consume: the producer's gated sentinel put is
+    refused once stop is set, so the consumer has to check stop before
+    blocking in q.get() (regression: this hung forever)."""
+    import threading
+    import time
+
+    from sequoia_tpu.data.wsi import ArrayReader
+
+    pred = make_predictor()  # max_patches=48, batch 16
+
+    rng = np.random.default_rng(0)
+
+    def tissue_chunk(n):
+        c = np.empty((n, 64, 64, 3), np.uint8)
+        c[..., 0] = rng.integers(150, 220, c.shape[:3])
+        c[..., 1] = rng.integers(60, 140, c.shape[:3])
+        c[..., 2] = rng.integers(150, 230, c.shape[:3])
+        return c
+
+    def slow_raw_chunks(slide, decode_chunk=64, stop=None):
+        yield tissue_chunk(64)  # >= max_patches of obvious tissue
+        # consumer hits the cap and sets stop while we're "decoding"
+        time.sleep(2.0)
+        yield tissue_chunk(64)
+
+    pred.iter_raw_chunks = slow_raw_chunks
+    reader = ArrayReader([np.zeros((256, 256, 3), np.uint8)],
+                         properties={"aperio.AppMag": "20"})
+
+    result = []
+    worker = threading.Thread(
+        target=lambda: result.append(pred.predict_wsi(reader)), daemon=True)
+    worker.start()
+    worker.join(timeout=120)
+    assert not worker.is_alive(), "predict_wsi deadlocked after early cap"
+    assert result and result[0].shape == (1, 5)
+    assert np.isfinite(result[0]).all()
+
+
+def test_predict_slides_abandoned_generator_reaps_lookahead():
+    """Breaking out of predict_slides mid-iteration must terminate the
+    prefetched lookahead decode thread (regression: it spun on its bounded
+    queue for the rest of the process)."""
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    pred = make_predictor()
+    started = []
+    orig = pred._start_producer
+
+    def tracking_start(path):
+        tup = orig(path)
+        started.append(tup)
+        return tup
+
+    pred._start_producer = tracking_start
+    slides = [synthetic_wsi(seed=0), synthetic_wsi(seed=1),
+              synthetic_wsi(seed=2)]
+    for _path, out in pred.predict_slides(slides):
+        assert np.isfinite(out).all()
+        break  # abandon with the slide-2 lookahead running
+
+    assert len(started) == 2  # slide 1 + the prefetched slide 2
+    for tup in started:
+        tup[1].join(timeout=60)
+        assert not tup[1].is_alive(), "lookahead decode thread stranded"
 
 
 def test_predict_wsi_uni_backbone_end_to_end():
@@ -376,6 +444,7 @@ def test_cli_serve_uni_end_to_end(tmp_path, monkeypatch):
     assert np.isfinite(out.to_numpy()).all()
 
 
+@pytest.mark.slow
 def test_predict_wsi_consumer_failure_does_not_strand_producer():
     """If featurization raises mid-stream, predict_wsi must propagate the
     error promptly and terminate the decode thread (no stuck q.put)."""
