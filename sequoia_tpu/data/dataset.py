@@ -210,15 +210,30 @@ class PrefetchIterator:
 
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._err = None
+        self._stop = threading.Event()  # consumer gone: unblock the worker
+
+        def put(item) -> bool:
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in iterable:
-                    self._q.put(item)
+                    if not put(item):
+                        return
             except BaseException as e:  # propagate into the consumer
                 self._err = e
             finally:
-                self._q.put(self._SENTINEL)
+                if not put(self._SENTINEL):
+                    try:  # best-effort: a blocked consumer still wakes
+                        self._q.put_nowait(self._SENTINEL)
+                    except queue.Full:
+                        pass
 
         self._t = threading.Thread(target=worker, daemon=True)
         self._t.start()
@@ -227,12 +242,24 @@ class PrefetchIterator:
         return self
 
     def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
         item = self._q.get()
         if item is self._SENTINEL:
             if self._err is not None:
                 raise self._err
             raise StopIteration
         return item
+
+    def close(self) -> None:
+        """Stop the reader thread without draining (abandoned iteration —
+        e.g. an exception mid-epoch); without this the worker would block
+        in q.put for the process lifetime, pinning the underlying loader."""
+        self._stop.set()
+        self._t.join()
+
+    def __del__(self):  # GC fallback: unblock, but never join from a finalizer
+        self._stop.set()
 
 
 def prefetch(loader, depth: int = 2):

@@ -163,24 +163,30 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
 
             batches = (_prefetch(loaders[phase], depth=prefetch_depth)
                        if prefetch_depth else loaders[phase])
-            for batch in batches:
-                if batch.n_valid == 0:
-                    continue
-                if mesh is not None:
-                    from sequoia_tpu.parallel import sharding as _sh
+            try:
+                for batch in batches:
+                    if batch.n_valid == 0:
+                        continue
+                    if mesh is not None:
+                        from sequoia_tpu.parallel import sharding as _sh
 
-                    feats, rna, valid = _sh.shard_batch_arrays(
-                        mesh, batch.features, batch.rna, batch.valid)
-                else:
-                    feats = jnp.asarray(batch.features)
-                    rna = jnp.asarray(batch.rna)
-                    valid = jnp.asarray(batch.valid)
-                if phase == "train":
-                    params, opt_state, m = train_step(params, opt_state,
-                                                      feats, rna, valid)
-                else:
-                    _, m = eval_step(params, feats, rna, valid)
-                accum.append(m)
+                        feats, rna, valid = _sh.shard_batch_arrays(
+                            mesh, batch.features, batch.rna, batch.valid)
+                    else:
+                        feats = jnp.asarray(batch.features)
+                        rna = jnp.asarray(batch.rna)
+                        valid = jnp.asarray(batch.valid)
+                    if phase == "train":
+                        params, opt_state, m = train_step(params, opt_state,
+                                                          feats, rna, valid)
+                    else:
+                        _, m = eval_step(params, feats, rna, valid)
+                    accum.append(m)
+            finally:
+                # an exception mid-epoch must not strand the reader thread
+                # blocked on its bounded queue
+                if prefetch_depth:
+                    batches.close()
             accum = jax.device_get(accum)
             means = {k: float(np.mean([a[k] for a in accum])) for k in accum[0]} \
                 if accum else {"loss": np.nan, "mae": np.nan, "corr": np.nan}

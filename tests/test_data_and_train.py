@@ -218,6 +218,24 @@ def test_prefetch_propagates_errors():
         next(it)
 
 
+def test_prefetch_close_unblocks_abandoned_worker():
+    """close() on a part-consumed prefetch must terminate the reader thread
+    (regression: the worker blocked in q.put forever once the consumer
+    stopped draining)."""
+    def endless():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    it = ds.prefetch(endless(), depth=2)
+    assert next(it) == 0  # worker is now blocked on the full queue
+    it.close()
+    assert not it._t.is_alive()
+    with pytest.raises(StopIteration):
+        next(it)
+
+
 def test_stage_timer():
     import time
     from sequoia_tpu.utils.profiling import StageTimer
