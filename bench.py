@@ -46,6 +46,9 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 PATCHES_PER_SLIDE = 4096
 PATCH = 256
 FEAT_BATCH = 128  # measured fastest per-patch inside the scan (v5e sweep)
+UNI_FEAT_BATCH = 16  # ViT-L sweep (r3): 949 p/s at 16 vs 726 at 128 — the
+# MLP hidden activation (bs x 197 x 4096) tiles much better at small bs;
+# scan amortizes dispatch, so small batches cost nothing here
 NUM_CLUSTERS = 100
 NUM_GENES = 20820
 FEAT_DIM = 2048
@@ -183,9 +186,10 @@ def measure_device_pipeline(backbone: str):
     from sequoia_tpu.models import resnet, uni_vit
     from sequoia_tpu.ops import pil_resize
 
-    n_batches = PATCHES_PER_SLIDE // FEAT_BATCH
+    bs = FEAT_BATCH if backbone == "resnet" else UNI_FEAT_BATCH
+    n_batches = PATCHES_PER_SLIDE // bs
     base_dev = jax.random.randint(jax.random.PRNGKey(42),
-                                  (FEAT_BATCH, PATCH, PATCH, 3), 0, 256,
+                                  (bs, PATCH, PATCH, 3), 0, 256,
                                   jnp.uint8)
 
     if backbone == "resnet":
