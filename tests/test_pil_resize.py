@@ -81,6 +81,28 @@ def test_uni_feature_extractor_resizes_like_pillow():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_uni_scan_chunking_matches_direct_forward():
+    """The in-jit scan over UNI_SCAN_CHUNK sub-batches (a TPU throughput
+    win: the (bs, 197, 4096) MLP activation tiles better small) must not
+    change the features vs one direct full-batch forward."""
+    from sequoia_tpu.models import uni_vit
+    from sequoia_tpu.pipeline.features import FeatureExtractor
+
+    cfg = uni_vit.UniViTConfig(img_size=224, patch_size=56, dim=32, depth=2,
+                               heads=4, mlp_dim=64)
+    params = uni_vit.random_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, size=(8, 256, 256, 3), dtype=np.uint8)
+
+    chunked = FeatureExtractor("uni", params, batch_size=8, cfg=cfg)
+    assert chunked.UNI_SCAN_CHUNK  # chunking is the default
+    chunked.UNI_SCAN_CHUNK = 4     # 8 % 4 == 0 -> scan path
+    direct = FeatureExtractor("uni", params, batch_size=8, cfg=cfg)
+    direct.UNI_SCAN_CHUNK = 0      # disables chunking
+
+    np.testing.assert_allclose(chunked(u8), direct(u8), rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_matches_pillow_scale_sweep():
     """Bit-exactness across a sweep of scales/filters (downs, ups,
