@@ -85,6 +85,8 @@ def run_leg(name: str, fn, results: dict, failures: dict):
         results[name] = fn()
         log(f"[leg {name}] ok in {time.perf_counter() - t0:.1f}s")
         return True
+    except (KeyboardInterrupt, SystemExit):
+        raise  # only LegTimeout/errors degrade to cache; Ctrl-C still stops
     except BaseException as e:  # noqa: BLE001 — a leg must never kill the run
         failures[name] = f"{type(e).__name__}: {e}"
         log(f"[leg {name}] FAILED after {time.perf_counter() - t0:.1f}s: "
@@ -132,6 +134,10 @@ def measure_probe():
     abort the whole bench."""
     import jax
     import jax.numpy as jnp
+
+    # first backend contact happens HERE, under this leg's watchdog — a
+    # relay wedged at process start must degrade to cache, not hang forever
+    log(f"device: {jax.devices()[0]}")
 
     last = None
     for attempt in range(3):
@@ -337,11 +343,6 @@ def measure_e2e_serving():
 # ---------------------------------------------------------------------------
 
 def main() -> None:
-    import jax
-
-    dev = jax.devices()[0]
-    log(f"device: {dev}")
-
     cached = {}
     if os.path.exists(CACHE):
         try:

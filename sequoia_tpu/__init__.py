@@ -40,5 +40,9 @@ if _platform:
 
     try:
         _jax.config.update("jax_platforms", _platform)
-    except Exception:
-        pass  # backend already initialized — too late to switch
+    except Exception as _e:
+        # backend already initialized — too late to switch; the explicit
+        # override is being IGNORED, which must not be silent
+        import sys as _sys
+        print(f"sequoia_tpu: SEQUOIA_JAX_PLATFORM={_platform} ignored "
+              f"(JAX backend already initialized: {_e})", file=_sys.stderr)

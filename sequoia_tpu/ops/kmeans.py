@@ -138,11 +138,14 @@ def _lloyd(x, mask, centers, max_iter: int, tol_abs, use_pallas: bool = False,
     # With n_valid >= k this terminates with every cluster non-empty; with
     # fewer valid points than clusters the un-fillable ones stay empty.
     cluster_ids = jnp.arange(k)
+    counts0 = jnp.sum((labels[:, None] == cluster_ids[None, :])
+                      & mask[:, None], axis=0)
 
     def fix_one(carry, c):
-        labels, centers, best = carry
-        counts = jnp.sum((labels[:, None] == cluster_ids[None, :])
-                         & mask[:, None], axis=0)
+        # counts rides the carry and is updated incrementally (one label
+        # moves per step) — O(N*k) total instead of an (N, k) one-hot
+        # reduction per step
+        labels, centers, best, counts = carry
         donor_ok = counts[labels] >= 2
         score = jnp.where(mask & donor_ok, best, -jnp.inf)
         p = jnp.argmax(score)
@@ -150,13 +153,15 @@ def _lloyd(x, mask, centers, max_iter: int, tol_abs, use_pallas: bool = False,
         # keep the returned triple self-consistent (sklearn semantics: the
         # relocated point becomes the cluster's center, so its distance —
         # and inertia contribution — drops to 0)
+        counts = jnp.where(take, counts.at[labels[p]].add(-1).at[c].add(1),
+                           counts)
         labels = jnp.where(take, labels.at[p].set(c), labels)
         centers = jnp.where(take, centers.at[c].set(x[p]), centers)
         best = jnp.where(take, best.at[p].set(0.0), best)
-        return (labels, centers, best), None
+        return (labels, centers, best, counts), None
 
-    (labels, centers, best), _ = jax.lax.scan(
-        fix_one, (labels, centers, best), cluster_ids)
+    (labels, centers, best, _), _ = jax.lax.scan(
+        fix_one, (labels, centers, best, counts0), cluster_ids)
     inertia = jnp.sum(best)
     return centers, labels, inertia, n_iter
 

@@ -61,6 +61,14 @@ class SlidePredictor:
 
     # -- stages -----------------------------------------------------------
 
+    @staticmethod
+    def _resize_factor(slide) -> float:
+        """AppMag -> level-0 resize factor (reference `patch_gen_hdf5.py`
+        semantics: patches are read at AppMag/20 x the target size, then
+        resized down).  The raw/screened routing in `_start_producer` and
+        the psr math in `_candidates` must agree, so both call this."""
+        return float(slide.properties.get("aperio.AppMag", 20) or 20) / 20.0
+
     def _candidates(self, wsi_path):
         """Open + coarse-screen a slide: (slide, level-0 coords passing the
         slide-level tissue mask, patch_size_resized, resize_factor)."""
@@ -69,7 +77,7 @@ class SlidePredictor:
         ratio_x = slide.level_dimensions[0][0] / slide.level_dimensions[mask_level][0]
         ratio_y = slide.level_dimensions[0][1] / slide.level_dimensions[mask_level][1]
         xmax, ymax = slide.level_dimensions[0]
-        rf = float(slide.properties.get("aperio.AppMag", 20) or 20) / 20.0
+        rf = self._resize_factor(slide)
         psr = int(rf * self.patch_size)
 
         coords = []
@@ -187,8 +195,7 @@ class SlidePredictor:
 
         try:
             slide = open_slide(wsi_path)
-            rf = float(slide.properties.get("aperio.AppMag", 20) or 20) / 20.0
-            raw = rf == 1.0
+            raw = self._resize_factor(slide) == 1.0
         except Exception:
             # unreadable slide: hand the path through so the producer thread
             # raises cleanly and _consume propagates it (per-slide quarantine)
@@ -331,6 +338,7 @@ class SlidePredictor:
         if not paths:
             return
         producer = self._start_producer(paths[0])
+        nxt = None
         try:
             for i, path in enumerate(paths):
                 nxt = (self._start_producer(paths[i + 1])
@@ -339,17 +347,21 @@ class SlidePredictor:
                     out = self._consume(*producer)
                 except Exception as e:
                     if on_error is None:
-                        producer = nxt  # the finally below reaps the lookahead
                         raise
                     on_error(path, e)
                     out = None
-                producer = nxt
+                finally:
+                    # hand off BEFORE any exception propagates (including a
+                    # BaseException escaping _consume, or on_error itself
+                    # raising) so the outer finally always sees the lookahead
+                    producer, nxt = nxt, None
                 if out is not None:
                     yield path, out
         finally:
             # reached on generator abandonment too (break / caller exception /
             # GC close): without this the prefetched lookahead thread would
             # spin on its bounded queue for the rest of the process
-            if producer is not None:
-                producer[3].set()
-                producer[1].join()
+            for p in (producer, nxt):
+                if p is not None:
+                    p[3].set()
+                    p[1].join()

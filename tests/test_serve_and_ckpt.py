@@ -311,6 +311,37 @@ def test_predict_slides_quarantine_and_no_stranded_threads():
     assert threading.active_count() == n0
 
 
+def test_predict_slides_raising_on_error_reaps_lookahead():
+    """If the caller's on_error callback itself raises, the prefetched
+    lookahead producer must still be terminated (regression: the
+    producer-handoff was skipped on that path and the thread spun on its
+    bounded queue forever)."""
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    pred = make_predictor()
+    started = []
+    orig = pred._start_producer
+
+    def tracking_start(path):
+        tup = orig(path)
+        started.append(tup)
+        return tup
+
+    pred._start_producer = tracking_start
+    slides = ["/nonexistent/slide.svs", synthetic_wsi(seed=0)]
+
+    def bad_on_error(path, exc):
+        raise RuntimeError("logging bug in the quarantine callback")
+
+    with pytest.raises(RuntimeError, match="logging bug"):
+        list(pred.predict_slides(slides, on_error=bad_on_error))
+
+    assert len(started) == 2  # slide 1 + the prefetched slide 2
+    for tup in started:
+        tup[1].join(timeout=60)
+        assert not tup[1].is_alive(), "lookahead decode thread stranded"
+
+
 def test_predict_wsi_early_cap_with_slow_producer_terminates():
     """Early patch-cap stop while the decode producer is mid-chunk (queue
     empty) must not deadlock _consume: the producer's gated sentinel put is
