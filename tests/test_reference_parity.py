@@ -574,3 +574,130 @@ def test_reference_sliding_window_parity(tmp_path, stride):
             # values carries ~K*eps ~ 1e-5 absolute error under cancellation.
             np.testing.assert_allclose(got[g][k], float(want[g][k]),
                                        rtol=5e-5, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# patch_gen_hdf5.py — the reference's ACTUAL tiling executable
+# ---------------------------------------------------------------------------
+
+def _tb_rgb2hsv(rgb):
+    """Textbook skimage.color.rgb2hsv (uint8 -> float64 HSV in [0, 1]) —
+    a third implementation so the gate is not our-code-vs-our-code."""
+    x = np.asarray(rgb, np.float64) / 255.0
+    mx = x.max(axis=-1)
+    mn = x.min(axis=-1)
+    d = mx - mn
+    s = np.where(mx > 0, d / np.where(mx > 0, mx, 1.0), 0.0)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    dd = np.where(d == 0, 1.0, d)
+    h = np.select([mx == r, mx == g], [(g - b) / dd, 2.0 + (b - r) / dd],
+                  default=4.0 + (r - g) / dd)
+    h = np.where(d == 0, 0.0, h) / 6.0
+    h = np.where(h < 0, h + 1.0, h)
+    return np.stack([h, s, mx], axis=-1)
+
+
+def _tb_is_low_contrast(image, fraction_threshold=0.05):
+    """Textbook skimage.exposure.is_low_contrast: RGB -> rgb2gray float
+    (dtype limits (-1, 1) => range 2 — the skimage quirk), p99-p1 ratio."""
+    a = np.asarray(image)
+    if a.ndim == 3:
+        a = (a / 255.0) @ np.array([0.2125, 0.7154, 0.0721])
+        drange = 2.0
+    else:
+        drange = 255.0 if a.dtype == np.uint8 else 2.0
+    lo, hi = np.percentile(a, [1, 99])
+    return (hi - lo) / drange < fraction_threshold
+
+
+class _PILSlide:
+    """openslide.OpenSlide stand-in over an ArrayReader: identical decode
+    bytes on both sides of the gate (decode parity is not under test —
+    mask/grid/keep/resize/HDF5 logic is)."""
+
+    def __init__(self, reader):
+        self._r = reader
+        self.level_dimensions = reader.level_dimensions
+        self.properties = reader.properties
+
+    def read_region(self, location, level, size):
+        from PIL import Image
+
+        return Image.fromarray(self._r.read_region(location, level, size))
+
+
+def _gapped_wsi(app_mag: str, seed: int = 0):
+    """Synthetic pyramid whose per-channel and HSV-S histograms are
+    strongly bimodal with EMPTY gaps, so every Otsu threshold on both
+    sides falls inside the same empty run and the tissue partitions are
+    bit-identical (the two otsu implementations may differ by a bin)."""
+    from sequoia_tpu.data.wsi import ArrayReader
+
+    rng = np.random.default_rng(seed)
+    h, w = 1536, 2048
+    lv0 = np.full((h, w, 3), 242, np.uint8)
+    ys, xs = np.mgrid[0:h, 0:w]
+    blob = ((ys - h / 2) ** 2 / (h / 2.5) ** 2
+            + (xs - w / 3) ** 2 / (w / 3) ** 2) < 1
+    tex = rng.integers(-40, 40, size=(h, w, 3))
+    tissue = np.clip(np.array([188, 105, 160]) + tex, 0, 255).astype(np.uint8)
+    lv0[blob] = tissue[blob]
+    return ArrayReader([lv0, lv0[::4, ::4].copy()],
+                       properties={"aperio.AppMag": app_mag})
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("app_mag,max_patches", [("20", 10), ("40", None)],
+                         ids=["mag20-capped", "mag40-resize"])
+def test_reference_patch_gen_parity(tmp_path, app_mag, max_patches):
+    """Drive the reference's OWN extract_patches (patch_gen_hdf5.py:51-133,
+    skimage stubbed with textbook third implementations, OpenSlide with a
+    PIL adapter over the same in-memory pyramid) vs pipeline.patch_gen on
+    an identical synthetic slide: mask.npy, HDF5 tile keys + bytes, and
+    the complete.txt sentinel must match exactly — including the seed-5
+    shuffle order under a binding patch cap and the AppMag-40 PIL-default
+    resize path."""
+    import h5py
+
+    from sequoia_tpu.pipeline import patch_gen as our_pg
+    from tests.test_masking import np_otsu
+
+    reader = _gapped_wsi(app_mag)
+    ref_pg = rl.load_reference_patch_gen(
+        skimage_funcs={"rgb2hsv": _tb_rgb2hsv, "threshold_otsu": np_otsu,
+                       "is_low_contrast": _tb_is_low_contrast},
+        open_slide_factory=lambda path: _PILSlide(reader))
+
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    for d in (ref_dir, our_dir):
+        (d / "patches").mkdir(parents=True)
+        (d / "masks").mkdir(parents=True)
+
+    # reference signature: (slide_path, mask_path, patch_size,
+    #                       patches_output_dir, slide_id, max)
+    ref_pg.extract_patches("synthetic.svs", str(ref_dir / "masks"),
+                           (256, 256), str(ref_dir / "patches"), "slide",
+                           max_patches_per_slide=max_patches)
+    n_ours = our_pg.extract_patches(reader, str(our_dir / "patches"),
+                                    str(our_dir / "masks"), "slide",
+                                    patch_size=(256, 256),
+                                    max_patches_per_slide=max_patches)
+
+    ref_mask = np.load(ref_dir / "masks" / "slide" / "mask.npy")
+    our_mask = np.load(our_dir / "masks" / "slide" / "mask.npy")
+    np.testing.assert_array_equal(ref_mask, our_mask)
+
+    with h5py.File(ref_dir / "patches" / "slide" / "slide.hdf5") as fr, \
+            h5py.File(our_dir / "patches" / "slide" / "slide.hdf5") as fo:
+        ref_keys = set(fr.keys())
+        assert ref_keys == set(fo.keys())
+        assert len(ref_keys) == n_ours > 0
+        if max_patches is not None:
+            assert len(ref_keys) == max_patches  # the cap must bind
+        for k in ref_keys:
+            np.testing.assert_array_equal(fr[k][:], fo[k][:])
+
+    ref_txt = (ref_dir / "patches" / "slide" / "complete.txt").read_text()
+    our_txt = (our_dir / "patches" / "slide" / "complete.txt").read_text()
+    assert ref_txt == our_txt

@@ -96,6 +96,63 @@ def load_reference_visualize(root: str = REFERENCE_ROOT):
     return mod
 
 
+def load_reference_patch_gen(root: str = REFERENCE_ROOT, *,
+                             skimage_funcs: dict, open_slide_factory):
+    """Import the reference's ``pre_processing/patch_gen_hdf5.py`` so the
+    parity gate can drive its ACTUAL ``extract_patches``/``get_mask``
+    (``patch_gen_hdf5.py:25-133``).
+
+    skimage is absent in this sandbox and openslide has no SVS data, so
+    both are stubbed: ``skimage_funcs`` must supply INDEPENDENT textbook
+    implementations written in the test (``rgb2hsv``, ``threshold_otsu``,
+    ``is_low_contrast`` — the same third-implementation pattern the
+    evaluate_model gate uses for statsmodels' BH), and
+    ``open_slide_factory(path)`` returns a PIL-returning slide object for
+    the test's synthetic pyramid.  Stubs are popped after import (the
+    loaded module keeps its references)."""
+    stubbed = []
+
+    def _stub(name: str, **attrs):
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+        stubbed.append(name)
+        return mod
+
+    def _unused(name):
+        def fn(*a, **k):
+            raise AssertionError(f"reference called stub skimage.{name}")
+        return fn
+
+    if "skimage" not in sys.modules:
+        sk = _stub("skimage")
+        sk.color = _stub("skimage.color", rgb2hsv=skimage_funcs["rgb2hsv"])
+        sk.filters = _stub("skimage.filters",
+                           threshold_otsu=skimage_funcs["threshold_otsu"])
+        sk.io = _stub("skimage.io", imsave=_unused("imsave"),
+                      imread=_unused("imread"))
+        sk.exposure = _stub("skimage.exposure")
+        sk.exposure.exposure = _stub(
+            "skimage.exposure.exposure",
+            is_low_contrast=skimage_funcs["is_low_contrast"])
+        sk.transform = _stub("skimage.transform", resize=_unused("resize"))
+    if "openslide" not in sys.modules:
+        _stub("openslide", OpenSlide=open_slide_factory)
+    import importlib.util
+
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "reference_patch_gen",
+            os.path.join(root, "pre_processing", "patch_gen_hdf5.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for name in stubbed:  # see load_reference_visualize
+            sys.modules.pop(name, None)
+    return mod
+
+
 def load_reference_get_emd(root: str = REFERENCE_ROOT):
     """Import the reference's ``spatial_vis/get_emd.py`` (EMD comparator).
     Its module-top ``scanpy``/``ot`` imports are data-loading only — the
