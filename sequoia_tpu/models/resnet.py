@@ -2,7 +2,9 @@
 
 Behavior contract: reference ``src/resnet.py`` vendors the torchvision
 ResNet; the pipeline uses ``resnet50(pretrained=True).forward_extract`` — a
-global-average-pooled 2048-d embedding of a normalized 256x256 patch
+2048-d embedding of a normalized 256x256 patch via ``nn.AvgPool2d(7)``
+(FIXED 7x7/stride-7 windows: on the 8x8 layer4 map from a 256px patch the
+reference pools only the top-left 7x7 — see forward_extract below)
 (reference ``pre_processing/compute_features_hdf5.py`` resnet path; no
 resize, only ConvertImageDtype + ImageNet Normalize).
 
@@ -233,8 +235,24 @@ def forward_extract(cfg: ResNetConfig, params: Params, images: jax.Array) -> jax
         else:
             for b in range(start, len(blocks)):
                 x = block_fn(x, blocks[b], 1)
-    feats = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-    return feats
+    x = x.astype(jnp.float32)
+    h, w = x.shape[1], x.shape[2]
+    if h >= 7 and w >= 7:
+        # reference src/resnet.py:110,155-170: nn.AvgPool2d(7) — FIXED
+        # 7x7/stride-7 windows, not adaptive/global pooling.  At the
+        # production 256px patch the layer4 map is 8x8, so the reference
+        # pools ONLY the top-left 7x7 window (last row/col discarded); its
+        # released checkpoints were trained on those features, so the
+        # quirk is load-bearing (caught by the parity gate driving the
+        # reference's own compute_features_hdf5.py).
+        nh, nw = (h - 7) // 7 + 1, (w - 7) // 7 + 1
+        p = x[:, :nh * 7, :nw * 7, :].reshape(
+            x.shape[0], nh, 7, nw, 7, x.shape[3]).mean(axis=(2, 4))
+        # torch flattens NCHW -> (B, C*nh*nw) channel-major
+        return p.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
+    # maps smaller than the 7x7 kernel would crash the reference's
+    # AvgPool2d; keep global mean for these (tiny test configs only)
+    return jnp.mean(x, axis=(1, 2))
 
 
 def _fused_chain(x: jax.Array, blocks, start: int) -> jax.Array:

@@ -701,3 +701,190 @@ def test_reference_patch_gen_parity(tmp_path, app_mag, max_patches):
     ref_txt = (ref_dir / "patches" / "slide" / "complete.txt").read_text()
     our_txt = (our_dir / "patches" / "slide" / "complete.txt").read_text()
     assert ref_txt == our_txt
+
+
+# ---------------------------------------------------------------------------
+# compute_features_hdf5.py + kmean_features.py — the reference's ACTUAL
+# feature-extraction and aggregation executables (runpy, like evaluate_model)
+# ---------------------------------------------------------------------------
+
+def _write_ref_csv(path, wsis, project="TCGA-X"):
+    import pandas as pd
+
+    pd.DataFrame({"wsi_file_name": wsis,
+                  "patient_id": [f"P{i}" for i in range(len(wsis))],
+                  "tcga_project": [project] * len(wsis)}).to_csv(path,
+                                                                 index=False)
+
+
+@pytest.mark.slow
+def test_reference_compute_features_resnet_parity(tmp_path, monkeypatch):
+    """Execute the reference's OWN ``compute_features_hdf5.py`` __main__
+    (resnet path: its vendored ``src/resnet.py`` model, uint8->float
+    ConvertImageDtype + ImageNet Normalize, batch-1 loop, ``random.sample``
+    patch subsampling, sentinel/dataset contract) on a patch store produced
+    by our tiler, with a shared random torchvision-format state dict, and
+    diff the feature .h5 against our extractor CLI.
+
+    torchvision is absent here: ``ConvertImageDtype``/``Normalize`` are
+    stubbed with textbook nn.Modules written in this test; timm (uni-only)
+    with an empty module; the model-zoo download with the shared dict."""
+    import runpy
+    import types as _types
+
+    torch = _torch()
+
+    from sequoia_tpu.pipeline import patch_gen as our_pg
+    from tests import torch_goldens as tg
+
+    # one slide, tiled by OUR tiler (store parity is proven separately)
+    reader = _gapped_wsi("20")
+    patches = tmp_path / "patches"
+    our_pg.extract_patches(reader, str(patches), str(tmp_path / "masks"),
+                           "slideA", patch_size=(256, 256))
+    _write_ref_csv(tmp_path / "ref.csv", ["slideA.svs"])
+
+    # shared weights: torchvision-format random resnet50 (+ unused fc, the
+    # reference loads strict=True)
+    sd = {k: v.float() for k, v in
+          tg.resnet50_sd(torch.Generator().manual_seed(7)).items()}
+    sd["fc.weight"] = torch.zeros(1000, 2048)
+    sd["fc.bias"] = torch.zeros(1000)
+
+    class _ConvertImageDtype(torch.nn.Module):
+        def __init__(self, dtype):
+            super().__init__()
+            self.dtype = dtype
+
+        def forward(self, x):  # uint8 input only (as in the script)
+            return x.to(self.dtype) / 255.0
+
+    class _Normalize(torch.nn.Module):
+        def __init__(self, mean, std):
+            super().__init__()
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def forward(self, x):
+            return (x - self.mean) / self.std
+
+    def _unused(*a, **k):
+        raise AssertionError("uni-only transform used in resnet path")
+
+    tv = _types.ModuleType("torchvision")
+    tvt = _types.ModuleType("torchvision.transforms")
+    tvt.ConvertImageDtype = _ConvertImageDtype
+    tvt.Normalize = _Normalize
+    tvt.Compose = tvt.Resize = tvt.ToTensor = _unused
+    tv.transforms = tvt
+    monkeypatch.setitem(sys.modules, "torchvision", tv)
+    monkeypatch.setitem(sys.modules, "torchvision.transforms", tvt)
+    monkeypatch.setitem(sys.modules, "timm", _types.ModuleType("timm"))
+    if rl.REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, rl.REFERENCE_ROOT)
+    import src.resnet as ref_resnet  # noqa: E402
+
+    monkeypatch.setattr(ref_resnet.model_zoo, "load_url",
+                        lambda url, **k: {k2: v.clone()
+                                          for k2, v in sd.items()})
+
+    ref_out = tmp_path / "ref_feats"
+    monkeypatch.setattr(sys, "argv", [
+        "compute_features_hdf5.py", "--feat_type", "resnet",
+        "--ref_file", str(tmp_path / "ref.csv"),
+        "--patch_data_path", str(patches),
+        "--feature_path", str(ref_out),
+        "--max_patch_number", "8", "--seed", "99"])
+    runpy.run_path(os.path.join(rl.REFERENCE_ROOT, "pre_processing",
+                                "compute_features_hdf5.py"),
+                   run_name="__main__")
+
+    import h5py
+
+    ref_h5 = ref_out / "TCGA-X" / "slideA" / "slideA.h5"
+    assert ref_h5.exists(), "reference run quarantined the slide"
+    with h5py.File(ref_h5) as f:
+        want = f["resnet_features"][:]
+    assert want.shape == (8, 2048)  # the sample cap must bind
+
+    # ours: same torch checkpoint through the CLI loader
+    from sequoia_tpu.cli import compute_features as our_cf
+    from sequoia_tpu.train import checkpoint as ckpt
+
+    wpath = tmp_path / "weights.pt"
+    ckpt.save_torch_state_dict({k: v.numpy() for k, v in sd.items()},
+                               str(wpath))
+    our_out = tmp_path / "our_feats"
+    our_cf.main(["--feat_type", "resnet", "--ref_file",
+                 str(tmp_path / "ref.csv"), "--patch_data_path",
+                 str(patches), "--feature_path", str(our_out),
+                 "--max_patch_number", "8", "--seed", "99",
+                 "--weights", str(wpath), "--batch_size", "8"])
+    with h5py.File(our_out / "TCGA-X" / "slideA" / "slideA.h5") as f:
+        got = f["resnet_features"][:]
+
+    # identical patch subset in identical order (random.sample parity),
+    # then fp32 forward cross-implementation tolerance
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    ref_txt = (ref_out / "TCGA-X" / "slideA" / "complete_tile.txt").read_text()
+    our_txt = (our_out / "TCGA-X" / "slideA" / "complete_tile.txt").read_text()
+    assert ref_txt == our_txt
+
+
+def test_reference_kmean_features_parity(tmp_path, monkeypatch):
+    """Execute the reference's OWN ``kmean_features.py`` __main__ (r+ open,
+    <num_clusters skip, already-present skip, sklearn KMeans(random_state=0),
+    per-cluster np.mean) and diff the appended ``cluster_features`` dataset
+    bit-for-bit against our kmeans stage's sklearn backend."""
+    import runpy
+    import shutil
+
+    import h5py
+
+    from sequoia_tpu.pipeline import kmeans_stage
+
+    rng = np.random.default_rng(11)
+    k = 16
+
+    def make_store(root):
+        for wsi, n in (("slideA", 120), ("slideB", 9)):  # B: skip rule
+            d = root / "TCGA-X" / wsi
+            d.mkdir(parents=True)
+            with h5py.File(d / f"{wsi}.h5", "w") as f:
+                f.create_dataset("resnet_features",
+                                 data=rng.normal(size=(n, 32)).astype(
+                                     np.float32))
+
+    ref_store = tmp_path / "ref_feats"
+    make_store(ref_store)
+    our_store = tmp_path / "our_feats"
+    shutil.copytree(ref_store, our_store)
+    _write_ref_csv(tmp_path / "ref.csv", ["slideA.svs", "slideB.svs"])
+
+    if rl.REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, rl.REFERENCE_ROOT)
+    rng = np.random.default_rng(11)  # identical stores on both sides
+    monkeypatch.setattr(sys, "argv", [
+        "kmean_features.py", "--ref_file", str(tmp_path / "ref.csv"),
+        "--patch_data_path", "unused", "--feature_path", str(ref_store),
+        "--num_clusters", str(k)])
+    runpy.run_path(os.path.join(rl.REFERENCE_ROOT, "pre_processing",
+                                "kmean_features.py"), run_name="__main__")
+
+    import pandas as pd
+
+    done = kmeans_stage.run_kmeans(
+        pd.read_csv(tmp_path / "ref.csv"), str(our_store), num_clusters=k,
+        seed=0, backend="sklearn", verbose=False)
+    assert done == 1  # slideB skipped on both sides
+
+    with h5py.File(ref_store / "TCGA-X" / "slideA" / "slideA.h5") as f:
+        want = f["cluster_features"][:]
+    with h5py.File(our_store / "TCGA-X" / "slideA" / "slideA.h5") as f:
+        got = f["cluster_features"][:]
+    assert want.shape == (k, 32)
+    np.testing.assert_array_equal(got, want)  # same sklearn -> bit-equal
+    with h5py.File(ref_store / "TCGA-X" / "slideB" / "slideB.h5") as f:
+        assert "cluster_features" not in f

@@ -245,6 +245,11 @@ def resnet50_forward_extract(sd, x: torch.Tensor) -> torch.Tensor:
                 x = _bn_eval(F.conv2d(x, sd[pre + "downsample.0.weight"], stride=stride),
                              sd, pre + "downsample.1")
             x = F.relu(y + x)
+    # reference src/resnet.py:110: nn.AvgPool2d(7) — fixed 7x7 windows
+    # (top-left-only on the 8x8 map from 256px patches), NOT adaptive;
+    # maps <7 (tiny test inputs) fall back to global mean like our model
+    if x.shape[2] >= 7 and x.shape[3] >= 7:
+        return F.avg_pool2d(x, 7).flatten(1)
     return F.adaptive_avg_pool2d(x, (1, 1)).flatten(1)
 
 
