@@ -23,7 +23,10 @@ from sequoia_tpu.train import checkpoint
 
 def load_extractor(feat_type: str, weights: str, batch_size: int,
                    compute_dtype: str = "float32") -> feat_stage.FeatureExtractor:
+    import dataclasses
+
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
+    cfg = None
     if feat_type == "resnet":
         if weights == "random":
             params = resnet.random_params(jax.random.PRNGKey(0))
@@ -36,11 +39,15 @@ def load_extractor(feat_type: str, weights: str, batch_size: int,
                                            jax.random.PRNGKey(0))
         else:
             sd = checkpoint.load_torch_checkpoint(weights)
-            _, params = uni_vit.uni_from_torch(sd)
+            # keep the cfg inferred from the state dict (the released UNI
+            # weights match the default, but non-ViT-L dicts must not be
+            # silently forced into the default shape)
+            cfg, params = uni_vit.uni_from_torch(sd)
+            cfg = dataclasses.replace(cfg, compute_dtype=dtype)
     else:
         raise ValueError('feat_type must be "resnet" or "uni"')
     return feat_stage.FeatureExtractor(feat_type, params, batch_size=batch_size,
-                                       compute_dtype=dtype)
+                                       compute_dtype=dtype, cfg=cfg)
 
 
 def build_parser() -> argparse.ArgumentParser:

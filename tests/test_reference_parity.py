@@ -995,3 +995,132 @@ def test_reference_split_functions_parity(ref):
     for w_list, g_list in zip(want, got):
         for w, g in zip(w_list, g_list):
             np.testing.assert_array_equal(g, w)
+
+
+@pytest.mark.slow
+def test_reference_compute_features_uni_parity(tmp_path, monkeypatch):
+    """The reference's ``compute_features_hdf5.py`` __main__ UNI branch
+    (PIL ``convert('RGB')`` -> torchvision ``Resize(224)`` -> ToTensor ->
+    Normalize -> ViT forward, random.sample subsampling, ``uni_features``
+    dataset) vs our fused extractor CLI (bit-exact PIL resize in-graph).
+
+    timm is absent here: ``create_model`` is stubbed to a module whose
+    forward is the float64 timm-math golden (tests/torch_goldens.py) over
+    the state dict the script itself torch.loads — weights shared with
+    our converter.  torchvision transforms are stubbed with textbook
+    implementations over REAL Pillow (shorter-side Resize semantics)."""
+    import runpy
+    import types as _types
+
+    torch = _torch()
+    from PIL import Image
+
+    from sequoia_tpu.pipeline import patch_gen as our_pg
+    from tests import torch_goldens as tg
+
+    reader = _gapped_wsi("20")
+    patches = tmp_path / "patches"
+    our_pg.extract_patches(reader, str(patches), str(tmp_path / "masks"),
+                           "slideA", patch_size=(256, 256))
+    _write_ref_csv(tmp_path / "ref.csv", ["slideA.svs"])
+
+    depth, heads = 2, 16
+    sd64 = tg.uni_sd(torch.Generator().manual_seed(3), img=224, patch=56,
+                     dim=64, depth=depth, heads=heads, mlp=128)
+    sd = {k: v.float() for k, v in sd64.items()}
+    monkeypatch.chdir(tmp_path)
+    torch.save(sd, "pytorch_model.bin")  # the script loads local_dir=""
+
+    class _FakeUni(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self._sd = None
+
+        def load_state_dict(self, state, strict=True):
+            self._sd = {k: v.double() for k, v in state.items()}
+
+        def forward(self, x):
+            return tg.uni_forward(self._sd, x.double(), depth=depth,
+                                  heads=heads).float()
+
+    timm_mod = _types.ModuleType("timm")
+    timm_mod.create_model = lambda *a, **k: _FakeUni()
+    monkeypatch.setitem(sys.modules, "timm", timm_mod)
+
+    class _Resize:
+        def __init__(self, size):
+            self.size = size
+
+        def __call__(self, img):  # torchvision int-size: shorter side
+            w, h = img.size
+            s = self.size
+            if w <= h:
+                out = (s, int(round(s * h / w)))
+            else:
+                out = (int(round(s * w / h)), s)
+            return img.resize(out, Image.BILINEAR)
+
+    def _to_tensor(img):
+        a = np.asarray(img, np.float32) / 255.0
+        return torch.from_numpy(a.transpose(2, 0, 1))
+
+    class _Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, x):
+            return (x - self.mean) / self.std
+
+    class _Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for fn in self.fns:
+                x = fn(x)
+            return x
+
+    tv = _types.ModuleType("torchvision")
+    tvt = _types.ModuleType("torchvision.transforms")
+    tvt.Compose, tvt.Resize, tvt.ToTensor = _Compose, _Resize, lambda: _to_tensor
+    tvt.Normalize = _Normalize
+    tvt.ConvertImageDtype = lambda *a: None  # resnet branch, unused
+    tv.transforms = tvt
+    monkeypatch.setitem(sys.modules, "torchvision", tv)
+    monkeypatch.setitem(sys.modules, "torchvision.transforms", tvt)
+    if rl.REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, rl.REFERENCE_ROOT)
+
+    ref_out = tmp_path / "ref_feats"
+    monkeypatch.setattr(sys, "argv", [
+        "compute_features_hdf5.py", "--feat_type", "uni",
+        "--ref_file", str(tmp_path / "ref.csv"),
+        "--patch_data_path", str(patches),
+        "--feature_path", str(ref_out),
+        "--max_patch_number", "8", "--seed", "99"])
+    runpy.run_path(os.path.join(rl.REFERENCE_ROOT, "pre_processing",
+                                "compute_features_hdf5.py"),
+                   run_name="__main__")
+
+    import h5py
+
+    with h5py.File(ref_out / "TCGA-X" / "slideA" / "slideA.h5") as f:
+        want = f["uni_features"][:]
+    assert want.shape == (8, 64)
+
+    from sequoia_tpu.cli import compute_features as our_cf
+    from sequoia_tpu.train import checkpoint as ckpt
+
+    ckpt.save_torch_state_dict({k: v.numpy() for k, v in sd.items()},
+                               str(tmp_path / "uni.pt"))
+    our_out = tmp_path / "our_feats"
+    our_cf.main(["--feat_type", "uni", "--ref_file", str(tmp_path / "ref.csv"),
+                 "--patch_data_path", str(patches), "--feature_path",
+                 str(our_out), "--max_patch_number", "8", "--seed", "99",
+                 "--weights", str(tmp_path / "uni.pt"), "--batch_size", "8"])
+    with h5py.File(our_out / "TCGA-X" / "slideA" / "slideA.h5") as f:
+        got = f["uni_features"][:]
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
