@@ -618,6 +618,7 @@ class _PILSlide:
     def __init__(self, reader):
         self._r = reader
         self.level_dimensions = reader.level_dimensions
+        self.dimensions = reader.level_dimensions[0]
         self.properties = reader.properties
 
     def read_region(self, location, level, size):
@@ -1124,3 +1125,218 @@ def test_reference_compute_features_uni_parity(tmp_path, monkeypatch):
 
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_reference_vis_spatial_broadcast_quirk(ref):
+    """PIN a shipped quirk our spatial path deliberately does NOT port:
+    `visualize.py:77-84` feeds an UNBATCHED (100, D) window into ViS;
+    `rearrange('b ... d -> b (...) d')` makes it (100, 1, D), the
+    pos-emb addition broadcasts to (100, 100, D), and `predictions[0]`
+    is therefore computed from the window's FIRST tile only (tokens =
+    feat_0 + every positional embedding).  We run the real window
+    through the model instead (documented in PARITY_NOTES)."""
+    torch = _torch()
+
+    model = rl.build_reference_model(ref, "vis", 7, 16, 1, 2, 100)
+    model.eval()
+    rng = np.random.default_rng(6)
+    w = torch.from_numpy(rng.normal(size=(100, 16)).astype(np.float32))
+    with torch.no_grad():
+        full = model(w).numpy()          # (100, G): per-tile, NOT per-window
+        first_only = model(w[0:1]).numpy()  # (1, G): tokens = feat_0 + pos
+    assert full.shape == (100, 7)
+    np.testing.assert_allclose(full[0], first_only[0], rtol=1e-5, atol=1e-6)
+    # and it really ignores every other tile:
+    w2 = w.clone()
+    w2[1:] = 0.0
+    with torch.no_grad():
+        np.testing.assert_allclose(model(w2).numpy()[0], full[0],
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_reference_visualize_main_he2rna_parity(tmp_path, monkeypatch):
+    """Execute the reference's OWN ``spatial_vis/visualize.py`` __main__
+    end-to-end (TCGA layout, mask load + transpose, valid-tile grid with
+    the dilated-crop 50% rule, HE2RNA fold loop incl. the ``model_{i}.pt``
+    whole-module name quirk, stride-1 window sweep, per-fold columns +
+    across-fold mean, ``stride-1.csv``) against our ``cli.visualize`` on
+    an identical workspace with shared weights.
+
+    The HE2RNA model path is used because it is the reference's only
+    shape-correct spatial model path (see the broadcast-quirk test).
+    feat_type=uni with timm stubbed to the shared-weights fake ViT;
+    ``pickle`` is injected into the exec globals (visualize.py uses it
+    without importing it — SURVEY 7.5)."""
+    import pickle
+    import types as _types
+
+    import pandas as pd
+
+    torch = _torch()
+    from PIL import Image
+
+    from sequoia_tpu.models import convert as cvt
+    from sequoia_tpu.models import he2rna
+    from sequoia_tpu.pipeline import patch_gen
+    from sequoia_tpu.train import checkpoint as ckpt
+    from tests import torch_goldens as tg
+
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+    ref_mods = rl.load_reference()  # wandb stub + paths; src imports below
+
+    monkeypatch.chdir(tmp_path)
+    project, wsi = "TCGA-SYN", "TCGA-AA-0009.svs"
+    stem = wsi.replace(".svs", "")
+
+    # slide: 14x14 tiles of 256px, tissue EXACTLY on tiles [2..11]^2 so the
+    # valid grid is a 10x10 block on both sides
+    rng = np.random.default_rng(21)
+    side = 14 * 256
+    lv0 = np.full((side, side, 3), 242, np.uint8)
+    t0, t1 = 2 * 256, 12 * 256
+    block = (slice(t0, t1), slice(t0, t1))
+    tex = rng.integers(-40, 40, size=(t1 - t0, t1 - t0, 3))
+    lv0[block] = np.clip(np.array([188, 105, 160]) + tex, 0, 255)
+    levels = [lv0, lv0[::4, ::4].copy()]
+    from sequoia_tpu.data.wsi import ArrayReader
+
+    reader = ArrayReader(levels, properties={"aperio.AppMag": "20"})
+    os.makedirs(f"TCGA/{project}", exist_ok=True)
+    native.write_tiled_tiff(f"TCGA/{project}/{wsi}", levels, tile=(256, 256))
+    mask, _ = patch_gen.compute_slide_mask(reader)
+    os.makedirs(f"TCGA/{project}_Masks/{stem}", exist_ok=True)
+    np.save(f"TCGA/{project}_Masks/{stem}/mask.npy", mask)
+
+    # shared HE2RNA fold checkpoints (whole-module torch.save, the
+    # reference's convention; our loader's pickle shim reads them too)
+    genes = [f"G{i}" for i in range(5)]
+    cfg = he2rna.HE2RNAConfig(input_dim=1024, output_dim=5,
+                              layers=(256, 256), ks=(1, 2, 5, 10, 20, 50, 100))
+    os.makedirs("he2rna_uni/syn", exist_ok=True)
+    for fold in range(2):
+        params = he2rna.init(cfg, jax.random.PRNGKey(fold))
+        model = ref_mods.he2rna.HE2RNA(input_dim=1024, layers=[256, 256],
+                                       ks=[1, 2, 5, 10, 20, 50, 100],
+                                       output_dim=5, device="cpu")
+        rl._load_our_params(model, cvt.he2rna_to_torch(cfg, params))
+        torch.save(model, f"he2rna_uni/syn/model_{fold}.pt")
+    with open("he2rna_uni/syn/test_results.pkl", "wb") as f:
+        pickle.dump({"genes": genes}, f)
+
+    # shared fake-UNI backbone weights (1024-d, timm layout)
+    depth, heads = 1, 16
+    usd = {k: v.float() for k, v in
+           tg.uni_sd(torch.Generator().manual_seed(5), img=224, patch=56,
+                     dim=1024, depth=depth, heads=heads, mlp=64).items()}
+    os.makedirs("Gen-Pred/src/spatial_vis/uni_ckpt", exist_ok=True)
+    torch.save(usd, "Gen-Pred/src/spatial_vis/uni_ckpt/pytorch_model.bin")
+    ckpt.save_torch_state_dict({k: v.numpy() for k, v in usd.items()},
+                               "uni1024.pt")
+
+    # ---- OUR side first (no stubs in sys.modules) ----
+    from sequoia_tpu.cli import visualize as cv
+
+    cv.main(["--study", "syn", "--project", project, "--gene_names", "G0,G2",
+             "--wsi_file_name", wsi, "--save_folder", "ours",
+             "--model_type", "he2rna", "--feat_type", "uni",
+             "--folds", "0,1", "--stride", "1", "--patch_size", "256",
+             "--weights", "uni1024.pt", "--batch_size", "16"])
+    ours = pd.read_csv(f"visualizations/{project}/ours/{wsi}/stride-1.csv",
+                       index_col=0)
+
+    # ---- reference side (stubs + exec with pickle injected) ----
+    class _FakeUni(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self._sd = None
+
+        def load_state_dict(self, state, strict=True):
+            self._sd = dict(state)
+
+        def forward(self, x):
+            return tg.uni_forward(self._sd, x, depth=depth, heads=heads)
+
+    timm_mod = _types.ModuleType("timm")
+    timm_mod.create_model = lambda *a, **k: _FakeUni()
+    monkeypatch.setitem(sys.modules, "timm", timm_mod)
+
+    class _Resize:
+        def __init__(self, size):
+            self.size = size
+
+        def __call__(self, img):
+            w, h = img.size
+            s = self.size
+            out = ((s, int(round(s * h / w))) if w <= h
+                   else (int(round(s * w / h)), s))
+            return img.resize(out, Image.BILINEAR)
+
+    class _Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, x):
+            return (x - self.mean) / self.std
+
+    class _Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for fn in self.fns:
+                x = fn(x)
+            return x
+
+    def _to_tensor(img):
+        a = np.asarray(img, np.float32) / 255.0
+        return torch.from_numpy(a.transpose(2, 0, 1))
+
+    tv = _types.ModuleType("torchvision")
+    tvt = _types.ModuleType("torchvision.transforms")
+    tvt.Compose, tvt.Resize, tvt.Normalize = _Compose, _Resize, _Normalize
+    tvt.ToTensor = lambda: _to_tensor
+    tvt.ConvertImageDtype = lambda *a: None
+    tv.transforms = tvt
+    monkeypatch.setitem(sys.modules, "torchvision", tv)
+    monkeypatch.setitem(sys.modules, "torchvision.transforms", tvt)
+    osl = _types.ModuleType("openslide")
+    osl.OpenSlide = lambda path: _PILSlide(reader)
+    monkeypatch.setitem(sys.modules, "openslide", osl)
+
+    src_dir = os.path.join(rl.REFERENCE_ROOT, "src")
+    if src_dir not in sys.path:
+        sys.path.insert(0, src_dir)
+    # torch>=2.6 weights_only default breaks the whole-module torch.load
+    # the reference performs (same note as the he2rna fit gate)
+    orig_load = torch.load
+    monkeypatch.setattr(
+        torch, "load",
+        lambda *a, **k: orig_load(*a, **{**k, "weights_only": False}))
+
+    monkeypatch.setattr(sys, "argv", [
+        "visualize.py", "--study", "syn", "--project", project,
+        "--gene_names", "G0,G2", "--wsi_file_name", wsi,
+        "--save_folder", "ref", "--model_type", "he2rna",
+        "--feat_type", "uni", "--folds", "0,1"])
+    src_path = os.path.join(rl.REFERENCE_ROOT, "spatial_vis", "visualize.py")
+    with open(src_path) as f:
+        code = compile(f.read(), src_path, "exec")
+    g = {"__name__": "__main__", "__file__": src_path, "pickle": pickle}
+    exec(code, g)  # noqa: S102 — the parity oracle itself
+
+    want = pd.read_csv(f"visualizations/{project}/ref/{wsi}/stride-1.csv",
+                       index_col=0)
+
+    assert len(want) == len(ours) == 100  # the 10x10 valid block
+    for c in ("xcoord", "ycoord", "xcoord_tf", "ycoord_tf"):
+        np.testing.assert_array_equal(ours[c].to_numpy(), want[c].to_numpy())
+    for c in ("G0_0", "G0_1", "G0", "G2_0", "G2_1", "G2"):
+        w_ = want[c].to_numpy()
+        o_ = ours[c].to_numpy()
+        np.testing.assert_array_equal(np.isnan(w_), np.isnan(o_))
+        np.testing.assert_allclose(o_[~np.isnan(o_)], w_[~np.isnan(w_)],
+                                   rtol=1e-4, atol=1e-4, err_msg=c)
