@@ -147,6 +147,13 @@ def measure_probe():
     last = None
     for attempt in range(3):
         try:
+            # warm-up: 64KB put + sum compiles the sync program and pays
+            # the first-dispatch cost OUTSIDE the timed window, so the
+            # measured rate approximates bulk throughput (it feeds the
+            # e2e leg's bandwidth gate — an understated rate would skip
+            # live e2e runs that would actually fit the watchdog)
+            warm = jax.device_put(np.zeros((64 * 1024,), np.uint8))
+            _ = float(jnp.sum(warm[:8].astype(jnp.int32)))
             probe = np.zeros((512 * 1024,), np.uint8)
             t0 = time.perf_counter()
             pd_ = jax.device_put(probe)

@@ -82,6 +82,20 @@ class ResNetConfig:
     def feature_dim(self) -> int:
         return STAGE_WIDTH[-1] * self.expansion  # 2048 / 512
 
+    def feature_dim_for(self, img_h: int, img_w: int) -> int:
+        """Output width of ``forward_extract`` for an input size — the
+        reference's ``AvgPool2d(7)`` + flatten yields C*nh*nw, so inputs
+        >= 448px produce MORE than ``feature_dim`` features (e.g. 512px
+        -> 16x16 map -> 2x2 windows -> 8192), exactly like the
+        reference's ``x.view(B, -1)``."""
+        h, w = img_h, img_w
+        for _ in range(5):  # stem conv s2, maxpool s2, layers 2-4 s2
+            h, w = (h + 1) // 2, (w + 1) // 2
+        if h >= 7 and w >= 7:
+            return self.feature_dim * (((h - 7) // 7 + 1)
+                                       * ((w - 7) // 7 + 1))
+        return self.feature_dim  # small maps: global-mean fallback
+
 DEPTH_TO_STAGES = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
                    101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
 

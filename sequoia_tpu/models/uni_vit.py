@@ -109,21 +109,34 @@ def _np(x) -> np.ndarray:
     return np.asarray(x, dtype=np.float32)
 
 
-def uni_from_torch(sd, cfg: UniViTConfig | None = None) -> tuple[UniViTConfig, Params]:
+def uni_from_torch(sd, cfg: UniViTConfig | None = None, *,
+                   heads: int | None = None) -> tuple[UniViTConfig, Params]:
     """timm ``vit_large_patch16_224`` state dict -> our pytree.
 
     The conv patch-embed kernel (D, 3, p, p) is re-laid-out to match the
     reshape+GEMM token order (p_row, p_col, channel).
+
+    The head count is NOT recoverable from a fused-qkv state dict; it is
+    inferred as 16 only for the ViT-L width (dim 1024 — the UNI backbone,
+    ``compute_features_hdf5.py:62-68``).  Any other width must supply
+    ``cfg`` or ``heads`` explicitly rather than silently computing a
+    wrong attention partition.
     """
     if cfg is None:
         d = _np(sd["cls_token"]).shape[-1]
+        if heads is None:
+            if d != 1024:
+                raise ValueError(
+                    f"cannot infer the head count for dim={d} (a fused-qkv "
+                    f"state dict does not record it); pass cfg= or heads=")
+            heads = 16
         depth = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("blocks."))
         mlp = _np(sd["blocks.0.mlp.fc1.weight"]).shape[0]
         p = _np(sd["patch_embed.proj.weight"]).shape[-1]
         n_tok = _np(sd["pos_embed"]).shape[1]
         img = int(round(((n_tok - 1) ** 0.5))) * p
         cfg = UniViTConfig(img_size=img, patch_size=p, dim=d, depth=depth,
-                           heads=16, mlp_dim=mlp)
+                           heads=heads, mlp_dim=mlp)
 
     w = _np(sd["patch_embed.proj.weight"])  # (D, 3, p, p)
     patch_w = w.transpose(2, 3, 1, 0).reshape(-1, cfg.dim)  # (p*p*3, D)

@@ -63,7 +63,9 @@ class FeatureExtractor:
 
         if feat_type == "resnet":
             cfg = cfg or resnet_mod.ResNetConfig(compute_dtype=compute_dtype)
-            self.feature_dim = cfg.feature_dim
+            # AvgPool2d(7) flattening: >=448px patches yield C*nh*nw
+            # features (reference x.view(B, -1)), not a fixed 2048
+            self.feature_dim = cfg.feature_dim_for(patch_size, patch_size)
 
             def fwd(params, u8):
                 return resnet_mod.extract_from_uint8(cfg, params, u8)

@@ -66,9 +66,14 @@ def test_uni_vit_parity():
 def test_uni_config_inference_from_sd():
     rng = torch.Generator().manual_seed(2)
     sd = tg.uni_sd(rng, img=32, patch=8, dim=64, depth=3, heads=4, mlp=96)
-    cfg, params = uni_vit.uni_from_torch(sd)
+    cfg, params = uni_vit.uni_from_torch(sd, heads=4)
     assert cfg.depth == 3 and cfg.mlp_dim == 96 and cfg.img_size == 32
+    assert cfg.heads == 4
     assert params["blocks"]["w_qkv"].shape == (3, 64, 192)
+    # head count is NOT recoverable from a fused-qkv dict: non-ViT-L
+    # widths must not silently default to 16 heads
+    with pytest.raises(ValueError, match="head count"):
+        uni_vit.uni_from_torch(sd)
 
 
 def test_s2d_stem_exactness():
@@ -164,3 +169,27 @@ def test_resnet18_basic_block_parity():
                                              jnp.float32))
     assert out.shape == (1, 512)
     assert rel_err(out, golden) < 2e-3
+
+
+def test_resnet_feature_dim_for_matches_forward_extract():
+    """AvgPool2d(7) flattening: >=448px inputs yield C*nh*nw features
+    (reference ``x.view(B, -1)``), and FeatureExtractor's preallocation
+    relies on ``feature_dim_for`` agreeing with the real output."""
+    cfg = resnet.ResNetConfig()
+    params = resnet.random_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    for size, want in ((64, 2048), (224, 2048), (256, 2048), (448, 8192)):
+        assert cfg.feature_dim_for(size, size) == want, size
+        x = jnp.asarray(rng.normal(size=(1, size, size, 3)).astype(np.float32))
+        out = resnet.forward_extract(cfg, params, x)
+        assert out.shape == (1, want), (size, out.shape)
+
+
+def test_feature_extractor_dim_tracks_patch_size():
+    from sequoia_tpu.pipeline.features import FeatureExtractor
+
+    params = resnet.random_params(jax.random.PRNGKey(0))
+    assert FeatureExtractor("resnet", params,
+                            patch_size=256).feature_dim == 2048
+    assert FeatureExtractor("resnet", params,
+                            patch_size=448).feature_dim == 8192

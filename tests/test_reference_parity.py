@@ -866,7 +866,6 @@ def test_reference_kmean_features_parity(tmp_path, monkeypatch):
 
     if rl.REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, rl.REFERENCE_ROOT)
-    rng = np.random.default_rng(11)  # identical stores on both sides
     monkeypatch.setattr(sys, "argv", [
         "kmean_features.py", "--ref_file", str(tmp_path / "ref.csv"),
         "--patch_data_path", "unused", "--feature_path", str(ref_store),
@@ -998,6 +997,57 @@ def test_reference_split_functions_parity(ref):
             np.testing.assert_array_equal(g, w)
 
 
+def _tv_transform_stubs(torch):
+    """Textbook torchvision.transforms stand-ins over REAL Pillow (one
+    shared implementation for every runpy/exec gate): int-size Resize
+    resizes the shorter side (BILINEAR), ToTensor is /255 CHW, Normalize
+    is channelwise (x-mean)/std; ConvertImageDtype belongs to the resnet
+    branch and is unused by the uni paths that take these stubs."""
+    import types as _types
+
+    from PIL import Image
+
+    class _Resize:
+        def __init__(self, size):
+            self.size = size
+
+        def __call__(self, img):
+            w, h = img.size
+            s = self.size
+            out = ((s, int(round(s * h / w))) if w <= h
+                   else (int(round(s * w / h)), s))
+            return img.resize(out, Image.BILINEAR)
+
+    class _Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, x):
+            return (x - self.mean) / self.std
+
+    class _Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for fn in self.fns:
+                x = fn(x)
+            return x
+
+    def _to_tensor(img):
+        a = np.asarray(img, np.float32) / 255.0
+        return torch.from_numpy(a.transpose(2, 0, 1))
+
+    tvt = _types.ModuleType("torchvision.transforms")
+    tvt.Compose, tvt.Resize, tvt.Normalize = _Compose, _Resize, _Normalize
+    tvt.ToTensor = lambda: _to_tensor
+    tvt.ConvertImageDtype = lambda *a: None
+    tv = _types.ModuleType("torchvision")
+    tv.transforms = tvt
+    return tv, tvt
+
+
 @pytest.mark.slow
 def test_reference_compute_features_uni_parity(tmp_path, monkeypatch):
     """The reference's ``compute_features_hdf5.py`` __main__ UNI branch
@@ -1026,8 +1076,10 @@ def test_reference_compute_features_uni_parity(tmp_path, monkeypatch):
     _write_ref_csv(tmp_path / "ref.csv", ["slideA.svs"])
 
     depth, heads = 2, 16
+    # dim must be the ViT-L width: head count is not recoverable from a
+    # fused-qkv dict, so the CLI only auto-infers heads=16 at dim=1024
     sd64 = tg.uni_sd(torch.Generator().manual_seed(3), img=224, patch=56,
-                     dim=64, depth=depth, heads=heads, mlp=128)
+                     dim=1024, depth=depth, heads=heads, mlp=128)
     sd = {k: v.float() for k, v in sd64.items()}
     monkeypatch.chdir(tmp_path)
     torch.save(sd, "pytorch_model.bin")  # the script loads local_dir=""
@@ -1048,46 +1100,7 @@ def test_reference_compute_features_uni_parity(tmp_path, monkeypatch):
     timm_mod.create_model = lambda *a, **k: _FakeUni()
     monkeypatch.setitem(sys.modules, "timm", timm_mod)
 
-    class _Resize:
-        def __init__(self, size):
-            self.size = size
-
-        def __call__(self, img):  # torchvision int-size: shorter side
-            w, h = img.size
-            s = self.size
-            if w <= h:
-                out = (s, int(round(s * h / w)))
-            else:
-                out = (int(round(s * w / h)), s)
-            return img.resize(out, Image.BILINEAR)
-
-    def _to_tensor(img):
-        a = np.asarray(img, np.float32) / 255.0
-        return torch.from_numpy(a.transpose(2, 0, 1))
-
-    class _Normalize:
-        def __init__(self, mean, std):
-            self.mean = torch.tensor(mean).view(-1, 1, 1)
-            self.std = torch.tensor(std).view(-1, 1, 1)
-
-        def __call__(self, x):
-            return (x - self.mean) / self.std
-
-    class _Compose:
-        def __init__(self, fns):
-            self.fns = fns
-
-        def __call__(self, x):
-            for fn in self.fns:
-                x = fn(x)
-            return x
-
-    tv = _types.ModuleType("torchvision")
-    tvt = _types.ModuleType("torchvision.transforms")
-    tvt.Compose, tvt.Resize, tvt.ToTensor = _Compose, _Resize, lambda: _to_tensor
-    tvt.Normalize = _Normalize
-    tvt.ConvertImageDtype = lambda *a: None  # resnet branch, unused
-    tv.transforms = tvt
+    tv, tvt = _tv_transform_stubs(torch)
     monkeypatch.setitem(sys.modules, "torchvision", tv)
     monkeypatch.setitem(sys.modules, "torchvision.transforms", tvt)
     if rl.REFERENCE_ROOT not in sys.path:
@@ -1108,7 +1121,7 @@ def test_reference_compute_features_uni_parity(tmp_path, monkeypatch):
 
     with h5py.File(ref_out / "TCGA-X" / "slideA" / "slideA.h5") as f:
         want = f["uni_features"][:]
-    assert want.shape == (8, 64)
+    assert want.shape == (8, 1024)
 
     from sequoia_tpu.cli import compute_features as our_cf
     from sequoia_tpu.train import checkpoint as ckpt
@@ -1263,44 +1276,7 @@ def test_reference_visualize_main_he2rna_parity(tmp_path, monkeypatch):
     timm_mod.create_model = lambda *a, **k: _FakeUni()
     monkeypatch.setitem(sys.modules, "timm", timm_mod)
 
-    class _Resize:
-        def __init__(self, size):
-            self.size = size
-
-        def __call__(self, img):
-            w, h = img.size
-            s = self.size
-            out = ((s, int(round(s * h / w))) if w <= h
-                   else (int(round(s * w / h)), s))
-            return img.resize(out, Image.BILINEAR)
-
-    class _Normalize:
-        def __init__(self, mean, std):
-            self.mean = torch.tensor(mean).view(-1, 1, 1)
-            self.std = torch.tensor(std).view(-1, 1, 1)
-
-        def __call__(self, x):
-            return (x - self.mean) / self.std
-
-    class _Compose:
-        def __init__(self, fns):
-            self.fns = fns
-
-        def __call__(self, x):
-            for fn in self.fns:
-                x = fn(x)
-            return x
-
-    def _to_tensor(img):
-        a = np.asarray(img, np.float32) / 255.0
-        return torch.from_numpy(a.transpose(2, 0, 1))
-
-    tv = _types.ModuleType("torchvision")
-    tvt = _types.ModuleType("torchvision.transforms")
-    tvt.Compose, tvt.Resize, tvt.Normalize = _Compose, _Resize, _Normalize
-    tvt.ToTensor = lambda: _to_tensor
-    tvt.ConvertImageDtype = lambda *a: None
-    tv.transforms = tvt
+    tv, tvt = _tv_transform_stubs(torch)
     monkeypatch.setitem(sys.modules, "torchvision", tv)
     monkeypatch.setitem(sys.modules, "torchvision.transforms", tvt)
     osl = _types.ModuleType("openslide")

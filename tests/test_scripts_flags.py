@@ -20,7 +20,10 @@ FLAG_RE = re.compile(r"(--[\w-]+)")
                          ids=[os.path.basename(s) for s in SCRIPTS])
 def test_script_flags_exist_on_cli(script):
     with open(script) as f:
-        text = f.read()
+        # flags mentioned in comments (e.g. "# --weights: path to ...")
+        # are documentation, not invocation arguments
+        text = "\n".join(ln for ln in f.read().splitlines()
+                         if not ln.lstrip().startswith("#"))
     mods = MOD_RE.findall(text)
     assert mods, f"{script} invokes no sequoia_tpu.cli module"
     used = set(FLAG_RE.findall(text))

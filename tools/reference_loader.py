@@ -125,20 +125,26 @@ def load_reference_patch_gen(root: str = REFERENCE_ROOT, *,
             raise AssertionError(f"reference called stub skimage.{name}")
         return fn
 
-    if "skimage" not in sys.modules:
-        sk = _stub("skimage")
-        sk.color = _stub("skimage.color", rgb2hsv=skimage_funcs["rgb2hsv"])
-        sk.filters = _stub("skimage.filters",
-                           threshold_otsu=skimage_funcs["threshold_otsu"])
-        sk.io = _stub("skimage.io", imsave=_unused("imsave"),
-                      imread=_unused("imread"))
-        sk.exposure = _stub("skimage.exposure")
-        sk.exposure.exposure = _stub(
-            "skimage.exposure.exposure",
-            is_low_contrast=skimage_funcs["is_low_contrast"])
-        sk.transform = _stub("skimage.transform", resize=_unused("resize"))
-    if "openslide" not in sys.modules:
-        _stub("openslide", OpenSlide=open_slide_factory)
+    for name in ("skimage", "openslide"):
+        if name in sys.modules:
+            # silently running the reference against a REAL (or leaked)
+            # module would void the gate's third-implementation premise
+            raise RuntimeError(
+                f"{name!r} already in sys.modules — the patch_gen parity "
+                f"gate requires the caller-supplied stubs to be the ones "
+                f"actually used; pop it (or fix the leak) first")
+    sk = _stub("skimage")
+    sk.color = _stub("skimage.color", rgb2hsv=skimage_funcs["rgb2hsv"])
+    sk.filters = _stub("skimage.filters",
+                       threshold_otsu=skimage_funcs["threshold_otsu"])
+    sk.io = _stub("skimage.io", imsave=_unused("imsave"),
+                  imread=_unused("imread"))
+    sk.exposure = _stub("skimage.exposure")
+    sk.exposure.exposure = _stub(
+        "skimage.exposure.exposure",
+        is_low_contrast=skimage_funcs["is_low_contrast"])
+    sk.transform = _stub("skimage.transform", resize=_unused("resize"))
+    _stub("openslide", OpenSlide=open_slide_factory)
     import importlib.util
 
     try:
