@@ -73,6 +73,10 @@ class ResNetConfig:
     # (layer2+) every GEMM axis fills the MXU and the whole stride-1 run
     # stays VMEM-resident.  Entry/exit are NHWC<->(C, P) transposes.
     cp_stages: tuple[int, ...] = ()
+    # AvgPool2d(7, stride=pool_stride): the reference's plain ResNet pools
+    # with stride 7 (nn.AvgPool2d(7) default), but its RNfour/RNone
+    # variants use nn.AvgPool2d(7, stride=1) (src/resnet.py:186,261)
+    pool_stride: int = 7
 
     @property
     def expansion(self) -> int:
@@ -92,8 +96,9 @@ class ResNetConfig:
         for _ in range(5):  # stem conv s2, maxpool s2, layers 2-4 s2
             h, w = (h + 1) // 2, (w + 1) // 2
         if h >= 7 and w >= 7:
-            return self.feature_dim * (((h - 7) // 7 + 1)
-                                       * ((w - 7) // 7 + 1))
+            s = self.pool_stride
+            return self.feature_dim * (((h - 7) // s + 1)
+                                       * ((w - 7) // s + 1))
         return self.feature_dim  # small maps: global-mean fallback
 
 DEPTH_TO_STAGES = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
@@ -253,15 +258,16 @@ def forward_extract(cfg: ResNetConfig, params: Params, images: jax.Array) -> jax
     h, w = x.shape[1], x.shape[2]
     if h >= 7 and w >= 7:
         # reference src/resnet.py:110,155-170: nn.AvgPool2d(7) — FIXED
-        # 7x7/stride-7 windows, not adaptive/global pooling.  At the
-        # production 256px patch the layer4 map is 8x8, so the reference
-        # pools ONLY the top-left 7x7 window (last row/col discarded); its
-        # released checkpoints were trained on those features, so the
-        # quirk is load-bearing (caught by the parity gate driving the
-        # reference's own compute_features_hdf5.py).
-        nh, nw = (h - 7) // 7 + 1, (w - 7) // 7 + 1
-        p = x[:, :nh * 7, :nw * 7, :].reshape(
-            x.shape[0], nh, 7, nw, 7, x.shape[3]).mean(axis=(2, 4))
+        # 7x7 windows (stride 7 for the plain ResNet, stride 1 for the
+        # RNfour/RNone variants via cfg.pool_stride), not adaptive/global
+        # pooling.  At the production 256px patch the layer4 map is 8x8,
+        # so the reference pools ONLY the top-left 7x7 window (last
+        # row/col discarded); its released checkpoints were trained on
+        # those features, so the quirk is load-bearing (caught by the
+        # parity gate driving the reference's own compute_features_hdf5).
+        s = cfg.pool_stride
+        p = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, 7, 7, 1), (1, s, s, 1), "VALID") / 49.0
         # torch flattens NCHW -> (B, C*nh*nw) channel-major
         return p.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
     # maps smaller than the 7x7 kernel would crash the reference's
@@ -438,14 +444,17 @@ def random_params_channels(key, in_channels: int, dtype=jnp.float32) -> Params:
 
 
 def resnet50_4channel(key=None, sd=None) -> Params:
-    """4-channel-input ResNet-50 (reference ``RNfour``)."""
+    """4-channel-input ResNet-50 (reference ``RNfour``).  Run with
+    ``ResNetConfig(pool_stride=1)``: RNfour pools ``AvgPool2d(7, stride=1)``
+    (``src/resnet.py:186``), unlike the plain ResNet's stride-7."""
     if sd is not None:
         return resnet50_from_torch(sd)
     return random_params_channels(key, 4)
 
 
 def resnet50_1channel(key=None, sd=None) -> Params:
-    """1-channel-input ResNet-50 (reference ``RNone``)."""
+    """1-channel-input ResNet-50 (reference ``RNone``).  Run with
+    ``ResNetConfig(pool_stride=1)`` (``src/resnet.py:261``)."""
     if sd is not None:
         return resnet50_from_torch(sd)
     return random_params_channels(key, 1)

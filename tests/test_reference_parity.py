@@ -1316,3 +1316,77 @@ def test_reference_visualize_main_he2rna_parity(tmp_path, monkeypatch):
         np.testing.assert_array_equal(np.isnan(w_), np.isnan(o_))
         np.testing.assert_allclose(o_[~np.isnan(o_)], w_[~np.isnan(w_)],
                                    rtol=1e-4, atol=1e-4, err_msg=c)
+
+
+@pytest.mark.slow
+def test_reference_resnet_variants_parity(tmp_path, monkeypatch):
+    """The unused-but-shipped ResNet variants against the reference's OWN
+    classes: RNfour/RNone (4-/1-channel stems, ``AvgPool2d(7, stride=1)``
+    — NOT the plain ResNet's stride-7 — so a 256px input yields 2x2
+    windows = 8192 features) built through the reference's own
+    pretrained-surgery loaders (model zoo stubbed), and ResNetProject's
+    tanh-projection head."""
+    torch = _torch()
+
+    import jax.numpy as jnp
+
+    from sequoia_tpu.models import resnet as rn
+    from tests import torch_goldens as tg
+
+    if rl.REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, rl.REFERENCE_ROOT)
+    import src.resnet as ref_resnet  # noqa: E402
+
+    sd = {k: v.float() for k, v in
+          tg.resnet50_sd(torch.Generator().manual_seed(4)).items()}
+    sd["fc.weight"] = torch.zeros(1000, 2048)
+    sd["fc.bias"] = torch.zeros(1000)
+    monkeypatch.setattr(ref_resnet.model_zoo, "load_url",
+                        lambda url, **k: {k2: v.clone()
+                                          for k2, v in sd.items()})
+
+    rng = np.random.default_rng(12)
+    cfg1 = rn.ResNetConfig(pool_stride=1)
+
+    for channels, builder, ours_from in (
+            (4, ref_resnet.resnet50_4channel, rn.resnet50_4channel),
+            (1, ref_resnet.resnet50_1channel, rn.resnet50_1channel)):
+        model = builder(pretrained=True)  # runs the reference's surgery
+        model.eval()
+        x = rng.normal(size=(1, channels, 256, 256)).astype(np.float32)
+        with torch.no_grad():
+            want = model.forward_extract(torch.from_numpy(x)).numpy()
+        assert want.shape == (1, 8192)  # stride-1 pooling on the 8x8 map
+
+        params = ours_from(sd={k: v.numpy()
+                               for k, v in model.state_dict().items()})
+        got = rn.forward_extract(cfg1, params,
+                                 jnp.asarray(x.transpose(0, 2, 3, 1)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4,
+                                   atol=3e-4)
+
+    # ResNetProject: plain stride-7 backbone + Linear->tanh(->dropout)->fc
+    base = ref_resnet.resnet50(pretrained=True)
+    proj = ref_resnet.ResNetProject(base, hdim=16, input_dim=2048,
+                                    dropout=0.3)
+    proj.eval()
+    x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        want_e = proj.forward_extract(torch.from_numpy(x)).numpy()
+        want_f = proj(torch.from_numpy(x)).numpy()
+
+    pcfg = rn.ResNetProjectConfig(hdim=16, input_dim=2048, dropout=0.3)
+    psd = proj.state_dict()
+    pparams = {"project_w": jnp.asarray(psd["project.weight"].numpy().T),
+               "project_b": jnp.asarray(psd["project.bias"].numpy()),
+               "fc_w": jnp.asarray(psd["fc.weight"].numpy().T),
+               "fc_b": jnp.asarray(psd["fc.bias"].numpy())}
+    bparams = rn.resnet50_from_torch({k: v.numpy() for k, v in sd.items()})
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    got_e = rn.resnet_project_extract(pcfg, pparams, bparams, x_nhwc)
+    got_f = rn.resnet_project_forward(pcfg, pparams, bparams, x_nhwc)
+    np.testing.assert_allclose(np.asarray(got_e), want_e, rtol=3e-4,
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got_f), want_f, rtol=3e-4,
+                               atol=3e-4)
