@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import json
 import os
-import signal
 import sys
 import time
 
@@ -72,29 +71,46 @@ class LegTimeout(BaseException):
 
 
 def run_leg(name: str, fn, results: dict, failures: dict):
-    """Execute one benchmark leg under its own SIGALRM watchdog."""
+    """Execute one benchmark leg in a daemon worker thread with a join
+    timeout.  A SIGALRM watchdog cannot interrupt a C call that never
+    returns — observed live: a fully wedged relay blocked
+    ``jax.devices()`` inside backend init for >10 min with the alarm
+    pending — so the watchdog is the JOIN, which the main thread always
+    controls.  A timed-out leg's thread is left behind (daemon: it cannot
+    block process exit) and the run degrades to cache for that leg."""
+    import threading
+
     seconds = LEG_TIMEOUTS[name]
+    out: list = []
+    err: list[BaseException] = []
 
-    def on_alarm(signum, frame):
-        raise LegTimeout(f"{name} leg exceeded {seconds}s (relay wedge?)")
+    def target():
+        try:
+            out.append(fn())
+        except BaseException as e:  # noqa: BLE001 — reported below
+            err.append(e)
 
-    old = signal.signal(signal.SIGALRM, on_alarm)
     t0 = time.perf_counter()
-    signal.alarm(seconds)
-    try:
-        results[name] = fn()
-        log(f"[leg {name}] ok in {time.perf_counter() - t0:.1f}s")
-        return True
-    except (KeyboardInterrupt, SystemExit):
-        raise  # only LegTimeout/errors degrade to cache; Ctrl-C still stops
-    except BaseException as e:  # noqa: BLE001 — a leg must never kill the run
-        failures[name] = f"{type(e).__name__}: {e}"
-        log(f"[leg {name}] FAILED after {time.perf_counter() - t0:.1f}s: "
-            f"{failures[name]}")
+    worker = threading.Thread(target=target, daemon=True,
+                              name=f"bench-leg-{name}")
+    worker.start()
+    worker.join(seconds)
+    elapsed = time.perf_counter() - t0
+    if worker.is_alive():
+        failures[name] = (f"LegTimeout: {name} leg exceeded {seconds}s "
+                          f"(relay wedge?)")
+        log(f"[leg {name}] FAILED after {elapsed:.1f}s: {failures[name]}")
         return False
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+    if err:
+        e = err[0]
+        if isinstance(e, (KeyboardInterrupt, SystemExit)):
+            raise e  # Ctrl-C still stops the bench
+        failures[name] = f"{type(e).__name__}: {e}"
+        log(f"[leg {name}] FAILED after {elapsed:.1f}s: {failures[name]}")
+        return False
+    results[name] = out[0]
+    log(f"[leg {name}] ok in {elapsed:.1f}s")
+    return True
 
 
 # ---------------------------------------------------------------------------

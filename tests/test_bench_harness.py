@@ -77,3 +77,20 @@ def test_leg_timeout_is_base_exception(bench):
     retry loop (the probe leg did exactly that in testing)."""
     assert issubclass(bench.LegTimeout, BaseException)
     assert not issubclass(bench.LegTimeout, Exception)
+
+
+def test_run_leg_times_out_hung_leg(bench, monkeypatch):
+    """A leg that never returns (e.g. backend init blocked inside a C call
+    — SIGALRM cannot interrupt that; observed live) must be reported as a
+    LegTimeout failure via the join-based watchdog, not hang the bench."""
+    import time as _time
+
+    monkeypatch.setitem(bench.LEG_TIMEOUTS, "probe", 1)
+    results: dict = {}
+    failures: dict = {}
+    t0 = _time.perf_counter()
+    ok = bench.run_leg("probe", lambda: _time.sleep(60), results, failures)
+    assert ok is False
+    assert _time.perf_counter() - t0 < 10
+    assert "LegTimeout" in failures["probe"]
+    assert results == {}
