@@ -66,6 +66,31 @@ def load_gene_names(arg: str | None, ckpt_path: str, n: int) -> list[str]:
     return [f"gene_{i}" for i in range(n)]
 
 
+def resolve_panel(arg: str, genes: list[str]) -> tuple[list[int], list[str]]:
+    """--panel value -> (head column indices, panel gene names)."""
+    if os.path.exists(arg):
+        if arg.endswith(".npy"):
+            wanted = [str(g) for g in np.load(arg, allow_pickle=True)]
+        elif arg.endswith(".csv"):
+            df = pd.read_csv(arg)
+            wanted = df[df.columns[-1]].astype(str).tolist()
+        else:  # one gene name per line
+            with open(arg) as f:
+                wanted = [ln.strip() for ln in f if ln.strip()]
+    elif arg.endswith((".csv", ".npy", ".txt")) or os.sep in arg:
+        raise SystemExit(f"--panel file not found: {arg}")
+    else:
+        wanted = arg.split(",")
+    pos = {g: i for i, g in enumerate(genes)}
+    missing = [g for g in wanted if g not in pos]
+    if missing:
+        raise SystemExit(f"--panel genes not in the model's gene list: "
+                         f"{missing[:5]}{'...' if len(missing) > 5 else ''}")
+    if not wanted:
+        raise SystemExit("--panel resolved to an empty gene list")
+    return [pos[g] for g in wanted], wanted
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="WSI -> gene panel serving")
     p.add_argument("--wsi", type=str, nargs="+", required=True)
@@ -78,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gene_names", type=str, default=None,
                    help="gene_list.csv / .npy; default: the checkpoint "
                         "dir's test_results.pkl")
+    p.add_argument("--panel", type=str, default=None,
+                   help="restrict output to a gene panel: comma list of "
+                        "gene names, or a file (.csv last column / .npy / "
+                        "one-per-line .txt); slices the ViS head so serving "
+                        "reads only the panel's head columns")
     p.add_argument("--out", type=str, default="predictions.csv")
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--compute_dtype", default="bfloat16",
@@ -98,6 +128,10 @@ def main(argv=None) -> None:
     if len(genes) != models[0][0].num_outputs:
         raise SystemExit(f"{len(genes)} gene names vs model head "
                          f"{models[0][0].num_outputs}")
+
+    if args.panel:
+        idx, genes = resolve_panel(args.panel, genes)
+        models = [vis.slice_head(cfg, params, idx) for cfg, params in models]
 
     cfg0 = models[0][0]
     if cfg0.num_clusters != args.num_clusters:

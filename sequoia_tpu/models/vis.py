@@ -172,6 +172,24 @@ def apply(cfg: ViSConfig, params: Params, x: jax.Array) -> jax.Array:
     return linear(x, params["head_w"], params["head_b"])
 
 
+def slice_head(cfg: ViSConfig, params: Params,
+               indices) -> tuple[ViSConfig, Params]:
+    """Restrict the output head to a gene panel: gather head columns.
+
+    Serving optimization with no reference counterpart: B=1 ViS latency is
+    dominated by reading the ``(D, 20820)`` head weight from HBM, so a
+    P-gene panel cuts the dominant read by ``G/P`` — a linear head commutes
+    with output selection, so kept-gene predictions equal slicing the full
+    output (up to XLA matmul reduction order)."""
+    idx = jnp.asarray(indices, jnp.int32)
+    if idx.ndim != 1 or idx.shape[0] == 0:
+        raise ValueError("slice_head needs a non-empty 1-D index list")
+    new = dict(params)
+    new["head_w"] = params["head_w"][:, idx]
+    new["head_b"] = params["head_b"][idx]
+    return dataclasses.replace(cfg, num_outputs=int(idx.shape[0])), new
+
+
 def replace_head(cfg: ViSConfig, params: Params, num_outputs: int,
                  key: jax.Array) -> tuple[ViSConfig, Params]:
     """GTEx->TCGA transfer: swap the LN+Linear output head for a fresh one

@@ -507,6 +507,27 @@ def test_predict_wsi_consumer_failure_does_not_strand_producer():
 
 
 @pytest.mark.slow
+def test_slice_head_matches_full_output_columns():
+    """Panel serving: slicing the ViS head == selecting the full output's
+    columns (a linear head commutes with output selection; equality is up
+    to XLA's matmul reduction order, which differs between a (D, P) and a
+    (D, G) head)."""
+    cfg = vis.ViSConfig(num_outputs=11, input_dim=32, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=8)
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(3, 8, 32)),
+                    jnp.float32)
+    full = vis.apply(cfg, params, x)
+    idx = [7, 0, 10]
+    pcfg, pparams = vis.slice_head(cfg, params, idx)
+    assert pcfg.num_outputs == 3
+    np.testing.assert_allclose(np.asarray(full)[:, idx],
+                               np.asarray(vis.apply(pcfg, pparams, x)),
+                               rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError):
+        vis.slice_head(cfg, params, [])
+
+
 def test_cli_serve_end_to_end(tmp_path, monkeypatch):
     """serve CLI: synthetic WSI -> predictions.csv through a 2-fold CV dir,
     gene names from test_results.pkl."""
@@ -553,6 +574,27 @@ def test_cli_serve_end_to_end(tmp_path, monkeypatch):
                     "--patch_size", "64", "--num_clusters", "8",
                     "--gene_names", ",".join(genes), "--out", "preds2.csv"])
     assert list(pd.read_csv("preds2.csv", index_col=0).columns) == genes
+
+    # gene-panel serving: head sliced to the panel; values match the
+    # corresponding columns of the full run
+    cli_serve.main(["--wsi", "slide1.tiff", "--checkpoints", str(ckpt_dir),
+                    "--weights", "random", "--batch_size", "16",
+                    "--compute_dtype", "float32", "--max_patches", "48",
+                    "--patch_size", "64", "--num_clusters", "8",
+                    "--panel", "G3,G1", "--out", "panel.csv"])
+    panel = pd.read_csv("panel.csv", index_col=0)
+    assert list(panel.columns) == ["G3", "G1"]
+    np.testing.assert_allclose(panel.to_numpy(),
+                               out[["G3", "G1"]].to_numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(SystemExit, match="not in the model's gene list"):
+        cli_serve.main(["--wsi", "slide1.tiff", "--checkpoints",
+                        str(ckpt_dir), "--weights", "random",
+                        "--batch_size", "16", "--compute_dtype", "float32",
+                        "--max_patches", "48", "--patch_size", "64",
+                        "--num_clusters", "8", "--panel", "NOPE",
+                        "--out", "panel2.csv"])
 
     # config mismatch -> upfront error, not per-slide failures
     with pytest.raises(SystemExit, match="num_clusters"):
