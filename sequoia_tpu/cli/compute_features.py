@@ -22,8 +22,15 @@ from sequoia_tpu.train import checkpoint
 
 
 def load_extractor(feat_type: str, weights: str, batch_size: int,
-                   compute_dtype: str = "float32") -> feat_stage.FeatureExtractor:
+                   compute_dtype: str = "float32",
+                   data_parallel: bool = False) -> feat_stage.FeatureExtractor:
     import dataclasses
+
+    mesh = None
+    if data_parallel:
+        from sequoia_tpu.parallel import sharding as sh
+
+        mesh = sh.make_mesh(n_data=len(jax.devices()), n_model=1)
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
     cfg = None
@@ -47,7 +54,7 @@ def load_extractor(feat_type: str, weights: str, batch_size: int,
     else:
         raise ValueError('feat_type must be "resnet" or "uni"')
     return feat_stage.FeatureExtractor(feat_type, params, batch_size=batch_size,
-                                       compute_dtype=dtype, cfg=cfg)
+                                       compute_dtype=dtype, cfg=cfg, mesh=mesh)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -66,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard patch batches over all local devices "
+                        "(ICI data parallelism; batch_size must divide "
+                        "evenly by the device count)")
     from sequoia_tpu.parallel import multihost
     multihost.add_fleet_args(p)
     return p
@@ -82,7 +93,8 @@ def main(argv=None) -> None:
     print(f"Number of slides = {df.shape[0]}")
 
     extractor = load_extractor(args.feat_type, args.weights, args.batch_size,
-                               args.compute_dtype)
+                               args.compute_dtype,
+                               data_parallel=args.data_parallel)
     done = feat_stage.compute_features(
         df, args.patch_data_path, args.feature_path, extractor,
         max_patch_number=args.max_patch_number, seed=args.seed)

@@ -115,13 +115,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_patches", type=int, default=4000)
     p.add_argument("--patch_size", type=int, default=256)
     p.add_argument("--num_clusters", type=int, default=100)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard backbone patch batches over all local "
+                        "devices (ICI data parallelism)")
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     extractor = load_extractor(args.feat_type, args.weights, args.batch_size,
-                               args.compute_dtype)
+                               args.compute_dtype,
+                               data_parallel=args.data_parallel)
     models = load_fold_models(args.checkpoints)
     genes = load_gene_names(args.gene_names, args.checkpoints,
                             models[0][0].num_outputs)

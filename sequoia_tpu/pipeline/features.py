@@ -49,10 +49,26 @@ class FeatureExtractor:
 
     def __init__(self, feat_type: str, params, batch_size: int = 256,
                  compute_dtype=None, patch_size: int = 256,
-                 cfg=None):
+                 cfg=None, mesh=None):
         self.feat_type = feat_type
         self.batch_size = batch_size
         self.patch_size = patch_size
+        self.mesh = mesh
+        if mesh is not None:
+            # data-parallel extraction over ICI: patch batches shard over
+            # the mesh's 'data' axis, backbone params replicate.  The
+            # backbone has no cross-example mixing, so each chip computes
+            # its shard independently — no collectives until aggregation.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            if batch_size % n_data:
+                raise ValueError(f"batch_size {batch_size} not divisible by "
+                                 f"mesh data axis {n_data}")
+            self._in_shard = NamedSharding(mesh, P("data"))
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+        else:
+            self._in_shard = None
         self.params = params
         if (cfg is not None and compute_dtype is not None
                 and cfg.compute_dtype != compute_dtype):
@@ -86,6 +102,13 @@ class FeatureExtractor:
 
             def fwd(params, u8):
                 n, ck = u8.shape[0], self.UNI_SCAN_CHUNK
+                if mesh is not None:
+                    # sharded mode: the scan-chunk trick is a SINGLE-chip
+                    # dispatch/tiling optimization; reshaping a
+                    # 'data'-sharded batch onto a scan axis would serialize
+                    # shards, so run the whole per-chip shard in one call
+                    # (batch_size/n_data per chip — near the sweep optimum)
+                    return one_chunk(params, u8)
                 if ck and n > ck and n % ck == 0:
                     u8c = u8.reshape(n // ck, ck, *u8.shape[1:])
                     _, feats = jax.lax.scan(
@@ -99,6 +122,13 @@ class FeatureExtractor:
         # fuse extra device work (e.g. serve's screening) into ONE program
         self._fwd = jax.jit(fwd)
 
+    def upload(self, block_u8: np.ndarray) -> jax.Array:
+        """Host block -> device array with this extractor's input layout
+        (sharded over the mesh 'data' axis when one is configured)."""
+        if self._in_shard is None:
+            return jnp.asarray(block_u8)
+        return jax.device_put(block_u8, self._in_shard)
+
     def __call__(self, patches_u8: np.ndarray) -> np.ndarray:
         """(N, ps, ps, 3) uint8 -> (N, D) f32, batched through the device."""
         n = patches_u8.shape[0]
@@ -110,7 +140,7 @@ class FeatureExtractor:
             if block.shape[0] < bs:  # pad the tail to the compiled shape
                 pad = np.zeros((bs - block.shape[0],) + block.shape[1:], np.uint8)
                 block = np.concatenate([block, pad])
-            fut = self._fwd(self.params, jnp.asarray(block))
+            fut = self._fwd(self.params, self.upload(block))
             pending.append((slice(start, min(start + bs, n)), fut))
             if len(pending) > 2:  # keep at most 2 batches in flight
                 sl, f = pending.pop(0)

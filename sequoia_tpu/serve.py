@@ -269,7 +269,8 @@ class SlidePredictor:
                     pad = np.zeros((bs - piece.shape[0],) + piece.shape[1:],
                                    np.uint8)
                     piece = np.concatenate([piece, pad])
-                f, fl = fused(self.extractor.params, jnp.asarray(piece))
+                f, fl = fused(self.extractor.params,
+                              self.extractor.upload(piece))
                 take = np.asarray(f)[np.asarray(fl)]
                 if kept + len(take) > self.max_patches:
                     take = take[: self.max_patches - kept]

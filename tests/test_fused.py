@@ -90,3 +90,35 @@ def test_fused_uni_backbone():
         assert out.shape == (4,) and np.isfinite(np.asarray(out)).all()
     finally:
         uni_vit.UniViTConfig = orig
+
+
+def test_feature_extractor_mesh_matches_unsharded():
+    """FeatureExtractor(mesh=...) — data-parallel extraction over an
+    8-device mesh equals the single-device run, resnet and uni."""
+    from sequoia_tpu.models import uni_vit
+    from sequoia_tpu.parallel import sharding as sh
+    from sequoia_tpu.pipeline.features import FeatureExtractor
+
+    rng = np.random.default_rng(0)
+    patches = rng.integers(0, 256, size=(20, 64, 64, 3), dtype=np.uint8)
+    mesh = sh.make_mesh(n_data=8, n_model=1)
+
+    rparams = resnet.random_params(jax.random.PRNGKey(0))
+    ref = FeatureExtractor("resnet", rparams, batch_size=16, patch_size=64)(
+        patches)
+    got = FeatureExtractor("resnet", rparams, batch_size=16, patch_size=64,
+                           mesh=mesh)(patches)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-2)
+
+    ucfg = uni_vit.UniViTConfig(img_size=32, patch_size=16, dim=24, depth=1,
+                                heads=2, mlp_dim=32)
+    uparams = uni_vit.random_params(ucfg, jax.random.PRNGKey(1))
+    small = rng.integers(0, 256, size=(20, 32, 32, 3), dtype=np.uint8)
+    uref = FeatureExtractor("uni", uparams, batch_size=16, patch_size=32,
+                            cfg=ucfg)(small)
+    ugot = FeatureExtractor("uni", uparams, batch_size=16, patch_size=32,
+                            cfg=ucfg, mesh=mesh)(small)
+    np.testing.assert_allclose(ugot, uref, rtol=2e-3, atol=1e-2)
+
+    with pytest.raises(ValueError, match="divisible"):
+        FeatureExtractor("resnet", rparams, batch_size=12, mesh=mesh)
