@@ -93,7 +93,12 @@ def resolve_panel(arg: str, genes: list[str]) -> tuple[list[int], list[str]]:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="WSI -> gene panel serving")
-    p.add_argument("--wsi", type=str, nargs="+", required=True)
+    p.add_argument("--wsi", type=str, nargs="+", default=None,
+                   help="slides for a one-shot run (omit with --http)")
+    p.add_argument("--http", type=str, default=None, metavar="[HOST:]PORT",
+                   help="stay resident and serve over HTTP instead of a "
+                        "one-shot run: POST /predict {'wsi': path|[paths]}, "
+                        "GET /genes, GET /healthz")
     p.add_argument("--checkpoints", type=str, required=True,
                    help="CV dir, .pt file, or HF-layout dir")
     p.add_argument("--feat_type", default="resnet",
@@ -123,6 +128,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if not args.wsi and not args.http:
+        raise SystemExit("need --wsi (one-shot) or --http (resident server)")
     extractor = load_extractor(args.feat_type, args.weights, args.batch_size,
                                args.compute_dtype,
                                data_parallel=args.data_parallel)
@@ -151,6 +158,19 @@ def main(argv=None) -> None:
     pred = SlidePredictor(extractor, models, n_clusters=args.num_clusters,
                           max_patches=args.max_patches,
                           patch_size=args.patch_size)
+
+    if args.http:
+        from sequoia_tpu import http_serve
+
+        host, _, port = args.http.rpartition(":")
+        try:
+            port_n = int(port)
+        except ValueError:
+            raise SystemExit(f"--http expects [HOST:]PORT, got {args.http!r}")
+        http_serve.run(http_serve.PredictorService(pred, genes),
+                       host or "127.0.0.1", port_n)
+        return
+
     names = [os.path.basename(p) for p in args.wsi]
     if len(set(names)) != len(names):  # disambiguate duplicate basenames
         names = list(args.wsi)

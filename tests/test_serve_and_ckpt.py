@@ -609,3 +609,70 @@ def test_cli_serve_end_to_end(tmp_path, monkeypatch):
                         "--batch_size", "16", "--compute_dtype", "float32",
                         "--max_patches", "48", "--patch_size", "64",
                         "--num_clusters", "8", "--out", "preds3.csv"])
+
+
+def test_http_serving_end_to_end(tmp_path):
+    """Resident HTTP server: /healthz, /genes, /predict against a synthetic
+    WSI match the in-process predictor; bad requests and unreadable slides
+    degrade to structured errors without killing the server."""
+    import json
+    import threading
+    import urllib.request
+
+    from sequoia_tpu import http_serve
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+
+    slide = synthetic_wsi()
+    wsi_path = str(tmp_path / "s1.tiff")
+    native.write_tiled_tiff(wsi_path, [slide.levels[0], slide.levels[1]],
+                            tile=(128, 128))
+
+    pred = make_predictor()
+    genes = [f"G{i}" for i in range(5)]
+    direct = pred.predict_wsi(wsi_path)
+
+    srv = http_serve.make_server(http_serve.PredictorService(pred, genes),
+                                 port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = "http://127.0.0.1:%d" % srv.server_address[1]
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h == {"status": "ok", "folds": 2, "feat_type": "resnet",
+                     "genes": 5}
+        with urllib.request.urlopen(base + "/genes", timeout=30) as r:
+            assert json.loads(r.read())["genes"] == genes
+
+        def post(path, obj):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, out = post("/predict", {"wsi": wsi_path})
+        assert code == 200 and list(out["predictions"]) == [wsi_path]
+        np.testing.assert_allclose(
+            [out["predictions"][wsi_path][g] for g in genes],
+            direct[0], rtol=1e-5, atol=1e-6)
+        assert out["failed"] == {}
+
+        code, out = post("/predict", {"nope": 1})
+        assert code == 400 and "error" in out
+        code, out = post("/predict", {"wsi": str(tmp_path / "missing.tiff")})
+        assert code == 502 and out["predictions"] == {} and len(out["failed"]) == 1
+
+        # server survives the failures: healthz still answers
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+    finally:
+        srv.shutdown()
+        srv.server_close()
