@@ -676,3 +676,55 @@ def test_http_serving_end_to_end(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_serving_concurrent_requests(tmp_path):
+    """Two simultaneous /predict requests serialize behind the predictor
+    lock and both return correct results (ThreadingHTTPServer handles each
+    request on its own thread)."""
+    import json
+    import threading
+    import urllib.request
+
+    from sequoia_tpu import http_serve
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+
+    slide = synthetic_wsi()
+    wsi_path = str(tmp_path / "s1.tiff")
+    native.write_tiled_tiff(wsi_path, [slide.levels[0], slide.levels[1]],
+                            tile=(128, 128))
+
+    pred = make_predictor()
+    genes = [f"G{i}" for i in range(5)]
+    direct = pred.predict_wsi(wsi_path)
+    srv = http_serve.make_server(http_serve.PredictorService(pred, genes),
+                                 port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = "http://127.0.0.1:%d" % srv.server_address[1]
+
+    results = [None, None]
+
+    def hit(i):
+        req = urllib.request.Request(
+            base + "/predict",
+            data=json.dumps({"wsi": wsi_path}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            results[i] = json.loads(r.read())
+
+    try:
+        ts = [threading.Thread(target=hit, args=(i,)) for i in range(2)]
+        [t.start() for t in ts]
+        [t.join(timeout=600) for t in ts]
+        for out in results:
+            assert out is not None and out["failed"] == {}
+            np.testing.assert_allclose(
+                [out["predictions"][wsi_path][g] for g in genes],
+                direct[0], rtol=1e-5, atol=1e-6)
+    finally:
+        srv.shutdown()
+        srv.server_close()
