@@ -42,6 +42,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -181,9 +183,13 @@ def slice_head(cfg: ViSConfig, params: Params,
     P-gene panel cuts the dominant read by ``G/P`` — a linear head commutes
     with output selection, so kept-gene predictions equal slicing the full
     output (up to XLA matmul reduction order)."""
-    idx = jnp.asarray(indices, jnp.int32)
+    idx = np.asarray(indices, np.int32)
     if idx.ndim != 1 or idx.shape[0] == 0:
         raise ValueError("slice_head needs a non-empty 1-D index list")
+    if (idx < 0).any() or (idx >= cfg.num_outputs).any():
+        # eager check: XLA gather CLAMPS out-of-range indices silently
+        raise ValueError(f"slice_head indices out of range for "
+                         f"num_outputs={cfg.num_outputs}")
     new = dict(params)
     new["head_w"] = params["head_w"][:, idx]
     new["head_b"] = params["head_b"][idx]

@@ -728,3 +728,13 @@ def test_http_serving_concurrent_requests(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_slice_head_rejects_out_of_range():
+    cfg = vis.ViSConfig(num_outputs=5, input_dim=16, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=4)
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="out of range"):
+        vis.slice_head(cfg, params, [0, 5])
+    with pytest.raises(ValueError, match="out of range"):
+        vis.slice_head(cfg, params, [-1])
