@@ -33,18 +33,28 @@ from sequoia_tpu.serve import SlidePredictor
 from sequoia_tpu.train import checkpoint
 
 
-def load_fold_models(path: str) -> list[tuple[vis.ViSConfig, dict]]:
+def load_fold_models(path: str,
+                     model_type: str = "vis") -> list[tuple[object, dict]]:
     """CV dir / single .pt / HF-layout dir -> [(cfg, params), ...]."""
+    from_torch = {"vis": convert.vis_from_torch,
+                  "vit": convert.vit_from_torch,
+                  "he2rna": convert.he2rna_from_torch}[model_type]
     if os.path.isdir(path):
         if os.path.exists(os.path.join(path, "config.json")):  # HF layout
+            if model_type != "vis":
+                raise SystemExit(
+                    f"HF-layout loading is vis-only (got {model_type})")
             sd = checkpoint.load_hf_vis_state_dict(path)
             return [convert.vis_from_torch(sd)]
-        pts = sorted(glob.glob(os.path.join(path, "model_best*.pt")))
+        # vis/vit CV dirs hold model_best_{i}.pt; he2rna CV holds
+        # model_{i}.pt (reference he2rna.py whole-module saves)
+        pts = (sorted(glob.glob(os.path.join(path, "model_best*.pt")))
+               or sorted(glob.glob(os.path.join(path, "model_*.pt"))))
         if not pts:
-            raise SystemExit(f"no model_best*.pt under {path}")
-        return [convert.vis_from_torch(checkpoint.load_torch_checkpoint(p))
+            raise SystemExit(f"no model_best*.pt / model_*.pt under {path}")
+        return [from_torch(checkpoint.load_torch_checkpoint(p))
                 for p in pts]
-    return [convert.vis_from_torch(checkpoint.load_torch_checkpoint(path))]
+    return [from_torch(checkpoint.load_torch_checkpoint(path))]
 
 
 def load_gene_names(arg: str | None, ckpt_path: str, n: int) -> list[str]:
@@ -103,6 +113,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CV dir, .pt file, or HF-layout dir")
     p.add_argument("--feat_type", default="resnet",
                    choices=["resnet", "uni"])
+    p.add_argument("--model_type", default="vis",
+                   choices=["vis", "vit", "he2rna"],
+                   help="aggregator family the checkpoints belong to")
     p.add_argument("--weights", type=str, required=True,
                    help='backbone weights (.pt/.bin) or "random"')
     p.add_argument("--gene_names", type=str, default=None,
@@ -133,29 +146,41 @@ def main(argv=None) -> None:
     extractor = load_extractor(args.feat_type, args.weights, args.batch_size,
                                args.compute_dtype,
                                data_parallel=args.data_parallel)
-    models = load_fold_models(args.checkpoints)
+    models = load_fold_models(args.checkpoints, args.model_type)
+
+    def n_out(cfg):  # he2rna names the head width differently
+        return getattr(cfg, "num_outputs", None) or cfg.output_dim
+
     genes = load_gene_names(args.gene_names, args.checkpoints,
-                            models[0][0].num_outputs)
-    if len(genes) != models[0][0].num_outputs:
+                            n_out(models[0][0]))
+    if len(genes) != n_out(models[0][0]):
         raise SystemExit(f"{len(genes)} gene names vs model head "
-                         f"{models[0][0].num_outputs}")
+                         f"{n_out(models[0][0])}")
 
     if args.panel:
+        from sequoia_tpu.models import he2rna as he_mod
+        from sequoia_tpu.models import vit as vit_mod
+
+        slicer = {"vis": vis.slice_head, "vit": vit_mod.slice_head,
+                  "he2rna": he_mod.slice_head}[args.model_type]
         idx, genes = resolve_panel(args.panel, genes)
-        models = [vis.slice_head(cfg, params, idx) for cfg, params in models]
+        models = [slicer(cfg, params, idx) for cfg, params in models]
 
     cfg0 = models[0][0]
-    if cfg0.num_clusters != args.num_clusters:
+    if (getattr(cfg0, "num_clusters", args.num_clusters) != args.num_clusters):
+        # he2rna has no positional embedding -> any token count works
         raise SystemExit(
             f"--num_clusters {args.num_clusters} != checkpoint "
             f"num_clusters {cfg0.num_clusters} (inferred from pos_emb)")
-    if cfg0.input_dim != extractor.feature_dim:
+    in_dim = getattr(cfg0, "input_dim", None) or cfg0.dim  # vit: tokens=dim
+    if in_dim != extractor.feature_dim:
         raise SystemExit(
             f"--feat_type {args.feat_type} produces "
             f"{extractor.feature_dim}-d features but the checkpoint expects "
-            f"input_dim {cfg0.input_dim}")
+            f"input_dim {in_dim}")
 
-    pred = SlidePredictor(extractor, models, n_clusters=args.num_clusters,
+    pred = SlidePredictor(extractor, models, model_type=args.model_type,
+                          n_clusters=args.num_clusters,
                           max_patches=args.max_patches,
                           patch_size=args.patch_size)
 

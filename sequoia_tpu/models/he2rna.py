@@ -164,6 +164,26 @@ def scores_dtype(x: jax.Array):
     return jnp.float32 if x.dtype == jnp.float32 else x.dtype
 
 
+def slice_head(cfg: HE2RNAConfig, params: Params,
+               indices) -> tuple[HE2RNAConfig, Params]:
+    """Restrict the final 1x1-conv layer to a gene panel.  Sound because
+    the top-k masked mean is per-gene independent (``_topk_core`` top-ks
+    over the tile axis for each gene separately), so output selection
+    commutes with the whole eval forward."""
+    import numpy as np
+
+    idx = np.asarray(indices, np.int32)
+    if idx.ndim != 1 or idx.shape[0] == 0:
+        raise ValueError("slice_head needs a non-empty 1-D index list")
+    if (idx < 0).any() or (idx >= cfg.output_dim).any():
+        raise ValueError(f"slice_head indices out of range for "
+                         f"output_dim={cfg.output_dim}")
+    new = {"w": list(params["w"]), "b": list(params["b"])}
+    new["w"][-1] = params["w"][-1][:, idx]
+    new["b"][-1] = params["b"][-1][idx]
+    return dataclasses.replace(cfg, output_dim=int(idx.shape[0])), new
+
+
 def replace_head(cfg: HE2RNAConfig, params: Params, num_outputs: int,
                  key: jax.Array) -> tuple[HE2RNAConfig, Params]:
     """Swap the final layer (GTEx->TCGA transfer, reference he2rna.py:403-409)."""

@@ -29,34 +29,69 @@ from sequoia_tpu.pipeline import patch_gen
 from sequoia_tpu.pipeline.features import FeatureExtractor
 
 
+def _aggregator_apply(model_type: str, cfg):
+    """(params, (B, N, D) cluster features) -> (B, G) for one fold.
+    he2rna gets the reference's predict-time ReLU (``he2rna.py:175-190``
+    applies it per model before fold averaging)."""
+    if model_type == "vis":
+        return lambda p, x: vis.apply(cfg, p, x)
+    if model_type == "vit":
+        from sequoia_tpu.models import vit as vit_mod
+
+        return lambda p, x: vit_mod.apply(cfg, p, x)
+    if model_type == "he2rna":
+        from sequoia_tpu.models import he2rna as he_mod
+
+        return lambda p, x: jax.nn.relu(he_mod.apply(cfg, p, x, train=False))
+    raise ValueError(f"unknown model_type {model_type!r}")
+
+
 class SlidePredictor:
     def __init__(self, extractor: FeatureExtractor,
                  vis_models: list[tuple[vis.ViSConfig, dict]], *,
+                 model_type: str = "vis",
                  n_clusters: int = 100, max_patches: int = 4000,
                  patch_size: int = 256, kmeans_seed: int = 0,
                  use_pallas_kmeans: bool = False):
         self.extractor = extractor
+        self.model_type = model_type
         self.n_clusters = n_clusters
         self.max_patches = max_patches
         self.patch_size = patch_size
         self.kmeans_seed = kmeans_seed
         self.use_pallas = use_pallas_kmeans
-        self.vis_models = list(vis_models)
+        if model_type == "he2rna":
+            # the k-sweep average (reference he2rna.py:83-91) needs
+            # k <= tokens; a converted state dict carries the training-time
+            # ks (clusters=100) which can exceed a smaller serving
+            # n_clusters — clamp and say so
+            import dataclasses as _dc
+            import sys as _sys
+
+            clamped = []
+            for cfg, params in vis_models:
+                ks = tuple(k for k in cfg.ks if k <= n_clusters)
+                if ks != tuple(cfg.ks):
+                    print(f"he2rna: clamping ks {tuple(cfg.ks)} -> {ks} "
+                          f"(n_clusters={n_clusters})", file=_sys.stderr)
+                    cfg = _dc.replace(cfg, ks=ks)
+                clamped.append((cfg, params))
+            vis_models = clamped
+        self.vis_models = list(vis_models)  # (cfg, params) per fold, any type
         cfgs = [cfg for cfg, _ in vis_models]
         if len(vis_models) > 1 and all(c == cfgs[0] for c in cfgs):
             # homogeneous folds: one vmapped forward over stacked params
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
                                    *[p for _, p in vis_models])
-            fwd = jax.jit(jax.vmap(
-                lambda p, x, c=cfgs[0]: vis.apply(c, p, x),
-                in_axes=(0, None)))
+            apply0 = _aggregator_apply(model_type, cfgs[0])
+            fwd = jax.jit(jax.vmap(apply0, in_axes=(0, None)))
             self._ensemble_fwd = lambda x: jnp.mean(fwd(stacked, x), axis=0)
             self._models = []
         else:
             self._ensemble_fwd = None
-            self._models = [(cfg, params,
-                             jax.jit(lambda p, x, c=cfg: vis.apply(c, p, x)))
-                            for cfg, params in vis_models]
+            self._models = [
+                (cfg, params, jax.jit(_aggregator_apply(model_type, cfg)))
+                for cfg, params in vis_models]
         self.genes = None  # caller may attach the gene-name list
 
     # -- stages -----------------------------------------------------------

@@ -738,3 +738,155 @@ def test_slice_head_rejects_out_of_range():
         vis.slice_head(cfg, params, [0, 5])
     with pytest.raises(ValueError, match="out of range"):
         vis.slice_head(cfg, params, [-1])
+
+
+def test_multi_model_serving_vit_and_he2rna():
+    """SlidePredictor(model_type=...) serves ViT and HE2RNA fold ensembles:
+    vmapped-stacked fold mean == hand-computed per-fold mean, with the
+    reference's predict-time ReLU for he2rna (he2rna.py:175-190)."""
+    from sequoia_tpu.models import vit as vit_mod
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(30, 64)).astype(np.float32)
+
+    extractor = FeatureExtractor(
+        "resnet", resnet.random_params(jax.random.PRNGKey(0)),
+        batch_size=16, patch_size=64)
+
+    vcfg = vit_mod.ViTConfig(num_outputs=5, dim=64, depth=1,
+                             heads=2, dim_head=4, mlp_dim=8, num_clusters=8)
+    vmodels = [(vcfg, vit_mod.init(vcfg, jax.random.PRNGKey(i)))
+               for i in range(2)]
+    pred = SlidePredictor(extractor, vmodels, model_type="vit",
+                          n_clusters=8, max_patches=48, patch_size=64)
+    got = pred.predict_features(feats)
+    cf = pred.cluster(feats)[None]
+    want = np.mean([np.asarray(vit_mod.apply(c, p, cf))
+                    for c, p in vmodels], axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    hcfg = he2rna.HE2RNAConfig(input_dim=64, output_dim=5, layers=(8,),
+                               ks=(1, 2, 5))
+    hmodels = [(hcfg, he2rna.init(hcfg, jax.random.PRNGKey(i)))
+               for i in range(2)]
+    hpred = SlidePredictor(extractor, hmodels, model_type="he2rna",
+                           n_clusters=8, max_patches=48, patch_size=64)
+    hgot = hpred.predict_features(feats)
+    hwant = np.mean([np.maximum(np.asarray(
+        he2rna.apply(c, p, cf, train=False)), 0) for c, p in hmodels], axis=0)
+    np.testing.assert_allclose(hgot, hwant, rtol=1e-5, atol=1e-5)
+    assert (hgot >= 0).all()  # predict-time ReLU applied
+
+    # heterogeneous-config fold list exercises the per-model path
+    hcfg2, hp2 = he2rna.replace_head(hcfg, hmodels[0][1], 5,
+                                     jax.random.PRNGKey(9))
+    hpred2 = SlidePredictor(extractor, [hmodels[0], (hcfg, hmodels[1][1]),
+                                        (hcfg2, hp2)],
+                            model_type="he2rna", n_clusters=8,
+                            max_patches=48, patch_size=64)
+    assert hpred2.predict_features(feats).shape == (1, 5)
+
+
+def test_he2rna_and_vit_slice_head_match_full_columns():
+    from sequoia_tpu.models import vit as vit_mod
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 24)), jnp.float32)
+
+    vcfg = vit_mod.ViTConfig(num_outputs=9, dim=24, depth=1,
+                             heads=2, dim_head=4, mlp_dim=8, num_clusters=8)
+    vp = vit_mod.init(vcfg, jax.random.PRNGKey(0))
+    full = np.asarray(vit_mod.apply(vcfg, vp, x))
+    scfg, sp = vit_mod.slice_head(vcfg, vp, [8, 2])
+    np.testing.assert_allclose(full[:, [8, 2]],
+                               np.asarray(vit_mod.apply(scfg, sp, x)),
+                               rtol=1e-6, atol=1e-6)
+
+    hcfg = he2rna.HE2RNAConfig(input_dim=24, output_dim=9, layers=(8,),
+                               ks=(1, 2, 5))
+    hp = he2rna.init(hcfg, jax.random.PRNGKey(1))
+    hfull = np.asarray(he2rna.apply(hcfg, hp, x, train=False))
+    hscfg, hsp = he2rna.slice_head(hcfg, hp, [8, 2])
+    np.testing.assert_allclose(hfull[:, [8, 2]],
+                               np.asarray(he2rna.apply(hscfg, hsp, x,
+                                                       train=False)),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_cli_serve_he2rna_end_to_end(tmp_path, monkeypatch):
+    """serve CLI with --model_type he2rna: CV-dir model_{i}.pt state dicts
+    (the reference's he2rna fold layout), predict-time ReLU, panel slicing."""
+    from sequoia_tpu.cli import serve as cli_serve
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+
+    monkeypatch.chdir(tmp_path)
+    slide = synthetic_wsi()
+    native.write_tiled_tiff("slide1.tiff", [slide.levels[0], slide.levels[1]],
+                            tile=(128, 128))
+
+    genes = [f"G{i}" for i in range(4)]
+    ckpt_dir = tmp_path / "exp_he2rna"
+    ckpt_dir.mkdir()
+    hcfg = he2rna.HE2RNAConfig(input_dim=2048, output_dim=4, layers=(8,),
+                               ks=(1, 2, 5))
+    for i in range(2):
+        checkpoint.save_torch_state_dict(
+            convert.he2rna_to_torch(hcfg, he2rna.init(hcfg,
+                                                      jax.random.PRNGKey(i))),
+            str(ckpt_dir / f"model_{i}.pt"))
+
+    base = ["--wsi", "slide1.tiff", "--checkpoints", str(ckpt_dir),
+            "--model_type", "he2rna", "--weights", "random",
+            "--batch_size", "16", "--compute_dtype", "float32",
+            "--max_patches", "48", "--patch_size", "64",
+            "--num_clusters", "8", "--gene_names", ",".join(genes)]
+    cli_serve.main(base + ["--out", "he.csv"])
+    out = pd.read_csv("he.csv", index_col=0)
+    assert list(out.columns) == genes and out.shape == (1, 4)
+    assert (out.to_numpy() >= 0).all()  # predict-time ReLU
+
+    cli_serve.main(base + ["--panel", "G2,G0", "--out", "hep.csv"])
+    panel = pd.read_csv("hep.csv", index_col=0)
+    assert list(panel.columns) == ["G2", "G0"]
+    np.testing.assert_allclose(panel.to_numpy(),
+                               out[["G2", "G0"]].to_numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cli_serve_vit_end_to_end(tmp_path, monkeypatch):
+    """serve CLI with --model_type vit (token dim == feature dim check,
+    model_best_{i}.pt discovery shared with vis)."""
+    from sequoia_tpu.cli import serve as cli_serve
+    from sequoia_tpu.models import vit as vit_mod
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+
+    monkeypatch.chdir(tmp_path)
+    slide = synthetic_wsi()
+    native.write_tiled_tiff("slide1.tiff", [slide.levels[0], slide.levels[1]],
+                            tile=(128, 128))
+
+    ckpt_dir = tmp_path / "exp_vit"
+    ckpt_dir.mkdir()
+    vcfg = vit_mod.ViTConfig(num_outputs=3, dim=2048, depth=1, heads=2,
+                             dim_head=4, mlp_dim=8, num_clusters=8)
+    checkpoint.save_torch_state_dict(
+        convert.vit_to_torch(vcfg, vit_mod.init(vcfg, jax.random.PRNGKey(0))),
+        str(ckpt_dir / "model_best_0.pt"))
+
+    cli_serve.main(["--wsi", "slide1.tiff", "--checkpoints", str(ckpt_dir),
+                    "--model_type", "vit", "--weights", "random",
+                    "--batch_size", "16", "--compute_dtype", "float32",
+                    "--max_patches", "48", "--patch_size", "64",
+                    "--num_clusters", "8", "--gene_names", "A,B,C",
+                    "--out", "vit.csv"])
+    out = pd.read_csv("vit.csv", index_col=0)
+    assert list(out.columns) == ["A", "B", "C"]
+    assert np.isfinite(out.to_numpy()).all()
