@@ -136,6 +136,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", action="store_true",
                    help="shard backbone patch batches over all local "
                         "devices (ICI data parallelism)")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the one-shot run "
+                        "into DIR (inspect with tensorboard/xprof)")
     return p
 
 
@@ -208,10 +211,13 @@ def main(argv=None) -> None:
         failed += 1
         print(f"{name_of[path]}: {e}", file=sys.stderr)
 
+    from sequoia_tpu.utils.profiling import device_trace
+
     # cross-slide pipelining: slide i+1 decodes while slide i computes
-    for path, out in pred.predict_slides(args.wsi, on_error=quarantine):
-        rows[name_of[path]] = out[0]
-        print(f"{name_of[path]}: ok ({len(models)}-fold ensemble)")
+    with device_trace(args.profile):
+        for path, out in pred.predict_slides(args.wsi, on_error=quarantine):
+            rows[name_of[path]] = out[0]
+            print(f"{name_of[path]}: ok ({len(models)}-fold ensemble)")
     if rows:
         df = pd.DataFrame(rows, index=genes).T
         df.index.name = "wsi_file_name"
