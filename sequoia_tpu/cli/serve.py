@@ -139,6 +139,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the one-shot run "
                         "into DIR (inspect with tensorboard/xprof)")
+    from sequoia_tpu.parallel import multihost
+    multihost.add_fleet_args(p)
     return p
 
 
@@ -146,6 +148,22 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     if not args.wsi and not args.http:
         raise SystemExit("need --wsi (one-shot) or --http (resident server)")
+    if args.multihost:
+        # bulk scoring across a fleet: each process serves its deterministic
+        # shard of the slide list and writes {out}.part{i}
+        if args.http:
+            raise SystemExit("--multihost shards one-shot bulk scoring; "
+                             "run one --http server per host instead")
+        import jax
+
+        from sequoia_tpu.parallel import multihost
+
+        args.wsi = list(multihost.fleet_shard_rows(args.wsi, args))
+        root, ext = os.path.splitext(args.out)
+        args.out = f"{root}.part{jax.process_index()}{ext}"
+        if not args.wsi:
+            print("[multihost] empty shard; nothing to do")
+            return
     extractor = load_extractor(args.feat_type, args.weights, args.batch_size,
                                args.compute_dtype,
                                data_parallel=args.data_parallel)

@@ -196,3 +196,73 @@ def test_fleet_shard_rows_noop_without_flag():
     df = pd.DataFrame({"a": range(5)})
     out = multihost.fleet_shard_rows(df, args)
     assert out is df
+
+
+def test_two_process_serve_fleet_cli(tmp_path):
+    """Bulk scoring's job-array replacement: TWO OS processes run
+    ``cli.serve --multihost`` over one slide list; each writes its
+    deterministic shard to {out}.part{i} and the union covers every
+    slide exactly once."""
+    import pandas as pd
+
+    from sequoia_tpu.models import convert, vis
+    from sequoia_tpu.train import checkpoint
+
+    pytest.importorskip("sequoia_tpu.native")
+    from sequoia_tpu import native
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+
+    slide = synthetic_wsi()
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"s{i}.tiff")
+        native.write_tiled_tiff(p, [slide.levels[0], slide.levels[1]],
+                                tile=(128, 128))
+        paths.append(p)
+
+    ckpt = tmp_path / "exp"
+    ckpt.mkdir()
+    cfg = vis.ViSConfig(num_outputs=3, input_dim=2048, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=8)
+    checkpoint.save_torch_state_dict(
+        convert.vis_to_torch(cfg, vis.init(cfg, jax.random.PRNGKey(0))),
+        str(ckpt / "model_best_0.pt"))
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    out_csv = str(tmp_path / "preds.csv")
+    argv = ["--wsi", *paths, "--checkpoints", str(ckpt),
+            "--weights", "random", "--batch_size", "16",
+            "--compute_dtype", "float32", "--max_patches", "48",
+            "--patch_size", "64", "--num_clusters", "8",
+            "--gene_names", "A,B,C", "--out", out_csv,
+            "--multihost", "--coordinator", f"127.0.0.1:{port}",
+            "--num_processes", "2"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "serve_fleet_worker.py"),
+             *argv, "--process_id", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, f"serve fleet worker failed:\n{out}"
+    assert "rows [0:2) of 3" in outs[0], outs[0]
+    assert "rows [2:3) of 3" in outs[1], outs[1]
+
+    part0 = pd.read_csv(str(tmp_path / "preds.part0.csv"), index_col=0)
+    part1 = pd.read_csv(str(tmp_path / "preds.part1.csv"), index_col=0)
+    assert sorted(list(part0.index) + list(part1.index)) == \
+        sorted(os.path.basename(p) for p in paths)
+    assert len(part0) == 2 and len(part1) == 1
+    for part in (part0, part1):
+        assert list(part.columns) == ["A", "B", "C"]
+        assert np.isfinite(part.to_numpy()).all()
