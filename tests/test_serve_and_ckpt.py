@@ -921,3 +921,35 @@ def test_cli_serve_profile_writes_trace(tmp_path, monkeypatch):
     traces = [f for _, _, fs in os.walk(tmp_path / "tr") for f in fs
               if f.endswith((".pb", ".json.gz"))]
     assert traces, "no trace artifacts under --profile dir"
+
+
+def test_cli_serve_compilation_cache_populates(tmp_path, monkeypatch):
+    """--compilation_cache DIR persists XLA executables (restart skips the
+    backbone first-jit)."""
+    from sequoia_tpu.cli import serve as cli_serve
+    from tests.test_pipeline_e2e import synthetic_wsi
+
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+
+    monkeypatch.chdir(tmp_path)
+    slide = synthetic_wsi()
+    native.write_tiled_tiff("s.tiff", [slide.levels[0], slide.levels[1]],
+                            tile=(128, 128))
+    ckpt = tmp_path / "exp"
+    ckpt.mkdir()
+    cfg = vis.ViSConfig(num_outputs=3, input_dim=2048, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=8)
+    checkpoint.save_torch_state_dict(
+        convert.vis_to_torch(cfg, vis.init(cfg, jax.random.PRNGKey(0))),
+        str(ckpt / "model_best_0.pt"))
+    cli_serve.main(["--wsi", "s.tiff", "--checkpoints", str(ckpt),
+                    "--weights", "random", "--batch_size", "16",
+                    "--compute_dtype", "float32", "--max_patches", "48",
+                    "--patch_size", "64", "--num_clusters", "8",
+                    "--gene_names", "A,B,C",
+                    "--compilation_cache", str(tmp_path / "cc"),
+                    "--out", "p.csv"])
+    n = sum(len(fs) for _, _, fs in os.walk(tmp_path / "cc"))
+    assert n > 0, "compilation cache not populated"
