@@ -36,9 +36,15 @@ class PredictorService:
         self.predictor = predictor
         self.genes = list(genes)
         self._lock = threading.Lock()
+        self.requests = 0
+        self.slides_ok = 0
+        self.slides_failed = 0
+        self.last_slide_seconds: float | None = None
 
     def predict(self, paths: list[str]) -> tuple[dict, dict]:
         """paths -> ({name: {gene: float}}, {name: error})."""
+        import time
+
         failed: dict[str, str] = {}
 
         def on_error(path, e):
@@ -46,10 +52,17 @@ class PredictorService:
 
         results: dict[str, dict] = {}
         with self._lock:
+            self.requests += 1
+            t0 = time.perf_counter()
             for path, out in self.predictor.predict_slides(
                     paths, on_error=on_error):
                 results[path] = {g: float(v)
                                  for g, v in zip(self.genes, out[0])}
+            dt = time.perf_counter() - t0
+            self.slides_ok += len(results)
+            self.slides_failed += len(failed)
+            if results:
+                self.last_slide_seconds = round(dt / len(results), 3)
         return results, failed
 
     def health(self) -> dict:
@@ -58,7 +71,11 @@ class PredictorService:
                    len(p._models))
         return {"status": "ok", "folds": n_folds,
                 "feat_type": p.extractor.feat_type,
-                "genes": len(self.genes)}
+                "genes": len(self.genes),
+                "requests": self.requests,
+                "slides_ok": self.slides_ok,
+                "slides_failed": self.slides_failed,
+                "last_slide_seconds": self.last_slide_seconds}
 
 
 class _Handler(BaseHTTPRequestHandler):

@@ -643,8 +643,10 @@ def test_http_serving_end_to_end(tmp_path):
     try:
         with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
             h = json.loads(r.read())
-        assert h == {"status": "ok", "folds": 2, "feat_type": "resnet",
-                     "genes": 5}
+        assert {k: h[k] for k in ("status", "folds", "feat_type",
+                                  "genes")} == {
+            "status": "ok", "folds": 2, "feat_type": "resnet", "genes": 5}
+        assert h["requests"] == 0 and h["slides_ok"] == 0
         with urllib.request.urlopen(base + "/genes", timeout=30) as r:
             assert json.loads(r.read())["genes"] == genes
 
@@ -670,9 +672,14 @@ def test_http_serving_end_to_end(tmp_path):
         code, out = post("/predict", {"wsi": str(tmp_path / "missing.tiff")})
         assert code == 502 and out["predictions"] == {} and len(out["failed"]) == 1
 
-        # server survives the failures: healthz still answers
+        # server survives the failures: healthz still answers, and the
+        # counters reflect the /predict calls above
         with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
-            assert json.loads(r.read())["status"] == "ok"
+            h = json.loads(r.read())
+        assert h["status"] == "ok"
+        assert h["requests"] == 2  # the 400 never reached the predictor
+        assert h["slides_ok"] == 1 and h["slides_failed"] == 1
+        assert h["last_slide_seconds"] > 0
     finally:
         srv.shutdown()
         srv.server_close()
