@@ -77,6 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard patch batches over all local devices "
                         "(ICI data parallelism; batch_size must divide "
                         "evenly by the device count)")
+    from sequoia_tpu.cli import add_compile_cache_arg
+    add_compile_cache_arg(p)
     from sequoia_tpu.parallel import multihost
     multihost.add_fleet_args(p)
     return p
@@ -84,6 +86,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from sequoia_tpu.cli import apply_compile_cache
+    apply_compile_cache(args)
     df = pd.read_csv(args.ref_file)
     if args.tcga_projects:
         df = df[df["tcga_project"].isin(args.tcga_projects)]

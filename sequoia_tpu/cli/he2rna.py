@@ -34,11 +34,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hf_export", action="store_true",
                    help="also write per-fold PyTorchModelHubMixin layout "
                         "dirs (hf_fold_{i}/) for hub publishing")
+    from sequoia_tpu.cli import add_compile_cache_arg
+    add_compile_cache_arg(p)
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from sequoia_tpu.cli import apply_compile_cache
+    apply_compile_cache(args)
     np.random.seed(args.seed)
     save_dir = os.path.join(args.destfolder, args.subfolder, args.exp_name)
     os.makedirs(save_dir, exist_ok=True)

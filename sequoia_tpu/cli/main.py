@@ -61,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=str, default=None,
                    help='device mesh for the training step, e.g. "data=8" or '
                         '"data=4,model=2" (gene-head TP); default single-device')
+    from sequoia_tpu.cli import add_compile_cache_arg
+    add_compile_cache_arg(p)
     from sequoia_tpu.parallel import multihost
     multihost.add_fleet_args(p)
     return p
@@ -84,6 +86,8 @@ def resolve_mesh(args):
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from sequoia_tpu.cli import apply_compile_cache
+    apply_compile_cache(args)
     np.random.seed(args.seed)
 
     save_dir = os.path.join(args.src_path, args.save_dir, args.cohort, args.exp_name)

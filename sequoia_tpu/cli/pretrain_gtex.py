@@ -34,11 +34,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(accepted for compatibility)")
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--quick", type=int, default=0)
+    from sequoia_tpu.cli import add_compile_cache_arg
+    add_compile_cache_arg(p)
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from sequoia_tpu.cli import apply_compile_cache
+    apply_compile_cache(args)
     np.random.seed(args.seed)
 
     stamp = "{date:%Y-%m-%d}".format(date=datetime.datetime.now())

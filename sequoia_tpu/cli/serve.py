@@ -139,10 +139,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the one-shot run "
                         "into DIR (inspect with tensorboard/xprof)")
-    p.add_argument("--compilation_cache", type=str, default=None,
-                   metavar="DIR",
-                   help="persistent XLA compilation cache: restarts skip "
-                        "the ~25-40s first-jit of the backbone")
+    from sequoia_tpu.cli import add_compile_cache_arg
+    add_compile_cache_arg(p)
     from sequoia_tpu.parallel import multihost
     multihost.add_fleet_args(p)
     return p
@@ -152,14 +150,8 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     if not args.wsi and not args.http:
         raise SystemExit("need --wsi (one-shot) or --http (resident server)")
-    if args.compilation_cache:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
-        # cache every program (the default min-compile-time gate would skip
-        # the small aggregation programs)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from sequoia_tpu.cli import apply_compile_cache
+    apply_compile_cache(args)
     if args.multihost:
         # bulk scoring across a fleet: each process serves its deterministic
         # shard of the slide list and writes {out}.part{i}
