@@ -212,6 +212,9 @@ def main(argv=None) -> None:
     if args.http:
         from sequoia_tpu import http_serve
 
+        if args.profile:
+            print("--profile applies to one-shot runs only; ignored under "
+                  "--http", file=sys.stderr)
         host, _, port = args.http.rpartition(":")
         try:
             port_n = int(port)
