@@ -30,7 +30,10 @@ def load_extractor(feat_type: str, weights: str, batch_size: int,
     if data_parallel:
         from sequoia_tpu.parallel import sharding as sh
 
-        mesh = sh.make_mesh(n_data=len(jax.devices()), n_model=1)
+        # local devices only: under --multihost jax.devices() is the fleet-
+        # global list and device_put to non-addressable devices would fail
+        local = jax.local_devices()
+        mesh = sh.make_mesh(n_data=len(local), n_model=1, devices=local)
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
     cfg = None

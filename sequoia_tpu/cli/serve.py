@@ -57,16 +57,31 @@ def load_fold_models(path: str,
     return [from_torch(checkpoint.load_torch_checkpoint(path))]
 
 
+def read_gene_list_file(path: str) -> list[str]:
+    """Gene-list file -> names: .npy array, .csv last column (WITH a header
+    row, like ``examples/gene_list.csv``), or one-name-per-line text."""
+    if path.endswith(".npy"):
+        return [str(g) for g in np.load(path, allow_pickle=True)]
+    if path.endswith(".csv"):
+        df = pd.read_csv(path)
+        return df[df.columns[-1]].astype(str).tolist()
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def _gene_list_arg(arg: str, flag: str) -> list[str]:
+    """Shared --gene_names/--panel value parsing: existing file, or a
+    comma list; a file-looking value that doesn't exist errors loudly."""
+    if os.path.exists(arg):
+        return read_gene_list_file(arg)
+    if arg.endswith((".csv", ".npy", ".txt")) or os.sep in arg:
+        raise SystemExit(f"{flag} file not found: {arg}")
+    return arg.split(",")  # sibling-CLI comma-list convention
+
+
 def load_gene_names(arg: str | None, ckpt_path: str, n: int) -> list[str]:
     if arg:
-        if arg.endswith(".npy"):
-            return [str(g) for g in np.load(arg, allow_pickle=True)]
-        if os.path.exists(arg):
-            df = pd.read_csv(arg)
-            return df[df.columns[-1]].astype(str).tolist()
-        if arg.endswith(".csv") or os.sep in arg:  # meant a file: be loud
-            raise SystemExit(f"--gene_names file not found: {arg}")
-        return arg.split(",")  # sibling-CLI comma-list convention
+        return _gene_list_arg(arg, "--gene_names")
     tr = os.path.join(ckpt_path, "test_results.pkl")
     if os.path.isdir(ckpt_path) and os.path.exists(tr):
         import pickle
@@ -78,19 +93,7 @@ def load_gene_names(arg: str | None, ckpt_path: str, n: int) -> list[str]:
 
 def resolve_panel(arg: str, genes: list[str]) -> tuple[list[int], list[str]]:
     """--panel value -> (head column indices, panel gene names)."""
-    if os.path.exists(arg):
-        if arg.endswith(".npy"):
-            wanted = [str(g) for g in np.load(arg, allow_pickle=True)]
-        elif arg.endswith(".csv"):
-            df = pd.read_csv(arg)
-            wanted = df[df.columns[-1]].astype(str).tolist()
-        else:  # one gene name per line
-            with open(arg) as f:
-                wanted = [ln.strip() for ln in f if ln.strip()]
-    elif arg.endswith((".csv", ".npy", ".txt")) or os.sep in arg:
-        raise SystemExit(f"--panel file not found: {arg}")
-    else:
-        wanted = arg.split(",")
+    wanted = _gene_list_arg(arg, "--panel")
     pos = {g: i for i, g in enumerate(genes)}
     missing = [g for g in wanted if g not in pos]
     if missing:
@@ -123,9 +126,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "dir's test_results.pkl")
     p.add_argument("--panel", type=str, default=None,
                    help="restrict output to a gene panel: comma list of "
-                        "gene names, or a file (.csv last column / .npy / "
-                        "one-per-line .txt); slices the ViS head so serving "
-                        "reads only the panel's head columns")
+                        "gene names, or a file (.csv last column WITH a "
+                        "header row / .npy / one-per-line .txt); slices "
+                        "the model head so serving reads only the panel's "
+                        "head columns")
     p.add_argument("--out", type=str, default="predictions.csv")
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--compute_dtype", default="bfloat16",
@@ -150,6 +154,9 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     if not args.wsi and not args.http:
         raise SystemExit("need --wsi (one-shot) or --http (resident server)")
+    if args.wsi and args.http:
+        raise SystemExit("--wsi and --http are mutually exclusive (the "
+                         "resident server takes slides via POST /predict)")
     from sequoia_tpu.cli import apply_compile_cache
     apply_compile_cache(args)
     if args.multihost:

@@ -67,9 +67,7 @@ class PredictorService:
 
     def health(self) -> dict:
         p = self.predictor
-        n_folds = (len(p.vis_models) if p.vis_models else
-                   len(p._models))
-        return {"status": "ok", "folds": n_folds,
+        return {"status": "ok", "folds": len(p.vis_models),
                 "feat_type": p.extractor.feat_type,
                 "genes": len(self.genes),
                 "requests": self.requests,
@@ -106,7 +104,7 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n) or b"{}")
-            wsi = req.get("wsi")
+            wsi = req.get("wsi") if isinstance(req, dict) else None
             if isinstance(wsi, str):
                 wsi = [wsi]
             if not wsi or not isinstance(wsi, list):

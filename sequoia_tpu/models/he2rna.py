@@ -170,18 +170,12 @@ def slice_head(cfg: HE2RNAConfig, params: Params,
     the top-k masked mean is per-gene independent (``_topk_core`` top-ks
     over the tile axis for each gene separately), so output selection
     commutes with the whole eval forward."""
-    import numpy as np
+    from sequoia_tpu.ops.nn import slice_linear_outputs
 
-    idx = np.asarray(indices, np.int32)
-    if idx.ndim != 1 or idx.shape[0] == 0:
-        raise ValueError("slice_head needs a non-empty 1-D index list")
-    if (idx < 0).any() or (idx >= cfg.output_dim).any():
-        raise ValueError(f"slice_head indices out of range for "
-                         f"output_dim={cfg.output_dim}")
     new = {"w": list(params["w"]), "b": list(params["b"])}
-    new["w"][-1] = params["w"][-1][:, idx]
-    new["b"][-1] = params["b"][-1][idx]
-    return dataclasses.replace(cfg, output_dim=int(idx.shape[0])), new
+    new["w"][-1], new["b"][-1], n = slice_linear_outputs(
+        params["w"][-1], params["b"][-1], indices, cfg.output_dim)
+    return dataclasses.replace(cfg, output_dim=n), new
 
 
 def replace_head(cfg: HE2RNAConfig, params: Params, num_outputs: int,

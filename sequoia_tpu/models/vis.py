@@ -42,12 +42,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
-from sequoia_tpu.ops.nn import einsum, gelu, layer_norm, linear
+from sequoia_tpu.ops.nn import (einsum, gelu, layer_norm, linear,
+                                slice_linear_outputs)
 from sequoia_tpu.utils import torch_init
 
 Params = dict[str, Any]
@@ -183,17 +182,10 @@ def slice_head(cfg: ViSConfig, params: Params,
     P-gene panel cuts the dominant read by ``G/P`` — a linear head commutes
     with output selection, so kept-gene predictions equal slicing the full
     output (up to XLA matmul reduction order)."""
-    idx = np.asarray(indices, np.int32)
-    if idx.ndim != 1 or idx.shape[0] == 0:
-        raise ValueError("slice_head needs a non-empty 1-D index list")
-    if (idx < 0).any() or (idx >= cfg.num_outputs).any():
-        # eager check: XLA gather CLAMPS out-of-range indices silently
-        raise ValueError(f"slice_head indices out of range for "
-                         f"num_outputs={cfg.num_outputs}")
     new = dict(params)
-    new["head_w"] = params["head_w"][:, idx]
-    new["head_b"] = params["head_b"][idx]
-    return dataclasses.replace(cfg, num_outputs=int(idx.shape[0])), new
+    new["head_w"], new["head_b"], n = slice_linear_outputs(
+        params["head_w"], params["head_b"], indices, cfg.num_outputs)
+    return dataclasses.replace(cfg, num_outputs=n), new
 
 
 def replace_head(cfg: ViSConfig, params: Params, num_outputs: int,

@@ -124,18 +124,12 @@ def apply(cfg: ViTConfig, params: Params, x: jax.Array) -> jax.Array:
 def slice_head(cfg: ViTConfig, params: Params,
                indices) -> tuple[ViTConfig, Params]:
     """Restrict the output head to a gene panel (see ``vis.slice_head``)."""
-    import numpy as np
+    from sequoia_tpu.ops.nn import slice_linear_outputs
 
-    idx = np.asarray(indices, np.int32)
-    if idx.ndim != 1 or idx.shape[0] == 0:
-        raise ValueError("slice_head needs a non-empty 1-D index list")
-    if (idx < 0).any() or (idx >= cfg.num_outputs).any():
-        raise ValueError(f"slice_head indices out of range for "
-                         f"num_outputs={cfg.num_outputs}")
     new = dict(params)
-    new["head_w"] = params["head_w"][:, idx]
-    new["head_b"] = params["head_b"][idx]
-    return dataclasses.replace(cfg, num_outputs=int(idx.shape[0])), new
+    new["head_w"], new["head_b"], n = slice_linear_outputs(
+        params["head_w"], params["head_b"], indices, cfg.num_outputs)
+    return dataclasses.replace(cfg, num_outputs=n), new
 
 
 def replace_head(cfg: ViTConfig, params: Params, num_outputs: int,

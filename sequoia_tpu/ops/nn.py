@@ -74,3 +74,20 @@ def einsum(spec: str, *ops: jax.Array) -> jax.Array:
     ops = tuple(o.astype(dt) for o in ops)
     return jnp.einsum(spec, *ops, precision=matmul_precision(ops[0]),
                       preferred_element_type=accum_type(ops[0]))
+
+
+def slice_linear_outputs(w: jax.Array, b: jax.Array, indices,
+                         num_outputs: int):
+    """Gather output columns of a ``(fan_in, out)`` linear head for gene-
+    panel serving: ``(w', b', n_panel)``.  Bounds are validated eagerly —
+    XLA's gather CLAMPS out-of-range indices silently, which would return
+    wrong genes without an error."""
+    import numpy as np
+
+    idx = np.asarray(indices, np.int32)
+    if idx.ndim != 1 or idx.shape[0] == 0:
+        raise ValueError("slice_head needs a non-empty 1-D index list")
+    if (idx < 0).any() or (idx >= num_outputs).any():
+        raise ValueError(f"slice_head indices out of range for "
+                         f"num_outputs={num_outputs}")
+    return w[:, idx], b[idx], int(idx.shape[0])

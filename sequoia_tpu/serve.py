@@ -71,6 +71,13 @@ class SlidePredictor:
             clamped = []
             for cfg, params in vis_models:
                 ks = tuple(k for k in cfg.ks if k <= n_clusters)
+                if not ks:
+                    # an empty sweep would make the eval forward return
+                    # all-zero predictions silently (he2rna.apply sums
+                    # over cfg.ks)
+                    raise ValueError(
+                        f"he2rna ks {tuple(cfg.ks)} all exceed "
+                        f"n_clusters={n_clusters}; nothing to average")
                 if ks != tuple(cfg.ks):
                     print(f"he2rna: clamping ks {tuple(cfg.ks)} -> {ks} "
                           f"(n_clusters={n_clusters})", file=_sys.stderr)

@@ -496,6 +496,7 @@ def test_predict_wsi_consumer_failure_does_not_strand_producer():
         feature_dim = pred.extractor.feature_dim
         params = None
         raw_fwd = staticmethod(_boom)  # fused path traces this
+        upload = staticmethod(jnp.asarray)  # host->device layout hook
         __call__ = _boom  # screened path calls this
 
     pred.extractor = FailingExtractor()
@@ -970,3 +971,47 @@ def test_cli_serve_compilation_cache_populates(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", old_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           old_min)
+
+
+def test_he2rna_empty_ks_clamp_raises():
+    """ks all above the serving token count must error, not silently
+    predict zeros (he2rna.apply sums over cfg.ks)."""
+    extractor = FeatureExtractor(
+        "resnet", resnet.random_params(jax.random.PRNGKey(0)),
+        batch_size=16, patch_size=64)
+    hcfg = he2rna.HE2RNAConfig(input_dim=2048, output_dim=3, layers=(8,),
+                               ks=(50, 100))
+    with pytest.raises(ValueError, match="exceed n_clusters"):
+        SlidePredictor(extractor,
+                       [(hcfg, he2rna.init(hcfg, jax.random.PRNGKey(0)))],
+                       model_type="he2rna", n_clusters=8)
+
+
+def test_http_predict_rejects_non_object_bodies():
+    """Valid-JSON non-dict bodies (list/str/number/null) get a 400, not a
+    dropped connection from an uncaught AttributeError."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from sequoia_tpu import http_serve
+
+    pred = make_predictor()
+    srv = http_serve.make_server(
+        http_serve.PredictorService(pred, [f"G{i}" for i in range(5)]),
+        port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = "http://127.0.0.1:%d" % srv.server_address[1]
+    try:
+        for body in ('["x.svs"]', '"x.svs"', "123", "null"):
+            req = urllib.request.Request(
+                base + "/predict", data=body.encode(),
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=30)
+            assert e.value.code == 400
+            assert "error" in json.loads(e.value.read())
+    finally:
+        srv.shutdown()
+        srv.server_close()
