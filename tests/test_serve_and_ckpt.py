@@ -1015,3 +1015,18 @@ def test_http_predict_rejects_non_object_bodies():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_tools_bench_serving_smoke(capsys):
+    """tools/bench_serving.py prints one valid JSON line with both legs."""
+    import json
+
+    sys.path.insert(0, "tools")
+    import bench_serving
+
+    bench_serving.main(["--genes", "64", "--panel", "8", "--reps", "2",
+                        "--input_dim", "32", "--folds", "2"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["full_head"]["genes"] == 64 and out["panel"]["genes"] == 8
+    assert out["full_head"]["ms"] > 0 and out["panel"]["ms"] > 0
