@@ -231,6 +231,11 @@ def main(argv=None) -> None:
                        host or "127.0.0.1", port_n)
         return
 
+    if len(set(args.wsi)) != len(args.wsi):
+        # a duplicated path would run the full pipeline twice and then
+        # silently collapse to one CSV row
+        print("serve: dropping duplicate --wsi paths", file=sys.stderr)
+        args.wsi = list(dict.fromkeys(args.wsi))
     names = [os.path.basename(p) for p in args.wsi]
     if len(set(names)) != len(names):  # disambiguate duplicate basenames
         names = list(args.wsi)

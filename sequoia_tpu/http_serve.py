@@ -50,13 +50,21 @@ class PredictorService:
         def on_error(path, e):
             failed[path] = f"{type(e).__name__}: {e}"
 
+        import math
+
+        def jsonable(v) -> float | None:
+            # json.dumps would emit a literal NaN/Infinity token (invalid
+            # RFC-8259) and strict parsers would reject the WHOLE response
+            f = float(v)
+            return f if math.isfinite(f) else None
+
         results: dict[str, dict] = {}
         with self._lock:
             self.requests += 1
             t0 = time.perf_counter()
             for path, out in self.predictor.predict_slides(
                     paths, on_error=on_error):
-                results[path] = {g: float(v)
+                results[path] = {g: jsonable(v)
                                  for g, v in zip(self.genes, out[0])}
             dt = time.perf_counter() - t0
             self.slides_ok += len(results)
@@ -103,6 +111,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(404, {"error": f"unknown path {self.path}"})
         try:
             n = int(self.headers.get("Content-Length", 0))
+            if n < 0 or n > 1 << 20:  # paths, not payloads: 1 MiB is ample
+                return self._reply(413, {"error": f"bad Content-Length {n}"})
             req = json.loads(self.rfile.read(n) or b"{}")
             wsi = req.get("wsi") if isinstance(req, dict) else None
             if isinstance(wsi, str):

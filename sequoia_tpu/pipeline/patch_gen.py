@@ -59,6 +59,33 @@ def candidate_grid(xmax: int, ymax: int, step: int, seed: int = 5):
     return indices
 
 
+def resize_factor(slide) -> float:
+    """AppMag -> level-0 resize factor (reference ``patch_gen_hdf5.py:86-89``:
+    patches are read at AppMag/20 x the target size, then resized down)."""
+    return float(slide.properties.get("aperio.AppMag", 20) or 20) / 20.0
+
+
+def masked_candidates(slide, mask: np.ndarray, mask_level,
+                      patch_size: int):
+    """Level-0 candidate coords passing the slide-level tissue mask ->
+    ``(coords, patch_size_resized, resize_factor)``.
+
+    The coarse-screen enumeration shared by the tiling stage and serving —
+    one implementation so the grid/mask-ratio/AppMag semantics cannot
+    drift between offline features and served predictions."""
+    ratio_x = slide.level_dimensions[0][0] / slide.level_dimensions[mask_level][0]
+    ratio_y = slide.level_dimensions[0][1] / slide.level_dimensions[mask_level][1]
+    xmax, ymax = slide.level_dimensions[0]
+    rf = resize_factor(slide)
+    psr = int(rf * patch_size)
+    coords = []
+    for x, y in candidate_grid(xmax, ymax, psr):
+        xm, ym = int(x / ratio_x), int(y / ratio_y)
+        if xm < mask.shape[0] and ym < mask.shape[1] and mask[xm, ym]:
+            coords.append((x, y))
+    return coords, psr, rf
+
+
 def extract_patches(slide_path, patches_output_dir: str, mask_path: str,
                     slide_id: str, patch_size: tuple[int, int] = (256, 256),
                     max_patches_per_slide: int | None = None,
@@ -87,16 +114,11 @@ def extract_patches(slide_path, patches_output_dir: str, mask_path: str,
     mask, mask_level = compute_slide_mask(slide)
     np.save(os.path.join(patch_folder_mask, "mask.npy"), mask)
 
-    ratio_x = slide.level_dimensions[0][0] / slide.level_dimensions[mask_level][0]
-    ratio_y = slide.level_dimensions[0][1] / slide.level_dimensions[mask_level][1]
-    xmax, ymax = slide.level_dimensions[0]
-
-    resize_factor = float(slide.properties.get("aperio.AppMag", 20) or 20) / 20.0
-    psr = (int(resize_factor * patch_size[0]), int(resize_factor * patch_size[1]))
+    indices, _, rf = masked_candidates(slide, mask, mask_level, patch_size[0])
+    psr = (int(rf * patch_size[0]), int(rf * patch_size[1]))
     if verbose:
         print(f"patch size for {slide_id}: {psr}")
 
-    indices = candidate_grid(xmax, ymax, psr[0])
     if max_patches_per_slide is None:
         max_patches_per_slide = len(indices)
 
@@ -142,7 +164,7 @@ def extract_patches(slide_path, patches_output_dir: str, mask_path: str,
                     break
                 if not k:
                     continue
-                if resize_factor != 1.0:
+                if rf != 1.0:
                     from PIL import Image
 
                     img = np.asarray(Image.fromarray(img).resize(patch_size))
@@ -167,14 +189,9 @@ def extract_patches(slide_path, patches_output_dir: str, mask_path: str,
                 pend_coords.clear()
             flush()
 
-        for x, y in indices:
+        for x, y in indices:  # already slide-mask screened
             if n_written >= max_patches_per_slide:
                 break
-            x_mask, y_mask = int(x / ratio_x), int(y / ratio_y)
-            if x_mask >= mask.shape[0] or y_mask >= mask.shape[1]:
-                continue
-            if not mask[x_mask, y_mask]:
-                continue
             pend_coords.append((x, y))
             if len(pend_coords) == screen_batch:
                 decode_and_flush()

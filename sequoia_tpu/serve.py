@@ -105,28 +105,20 @@ class SlidePredictor:
 
     @staticmethod
     def _resize_factor(slide) -> float:
-        """AppMag -> level-0 resize factor (reference `patch_gen_hdf5.py`
-        semantics: patches are read at AppMag/20 x the target size, then
-        resized down).  The raw/screened routing in `_start_producer` and
-        the psr math in `_candidates` must agree, so both call this."""
-        return float(slide.properties.get("aperio.AppMag", 20) or 20) / 20.0
+        """The raw/screened routing in `_start_producer` and the psr math
+        in `_candidates` must agree — both delegate to the tiling stage's
+        canonical AppMag helper."""
+        return patch_gen.resize_factor(slide)
 
     def _candidates(self, wsi_path):
         """Open + coarse-screen a slide: (slide, level-0 coords passing the
-        slide-level tissue mask, patch_size_resized, resize_factor)."""
+        slide-level tissue mask, patch_size_resized, resize_factor) — the
+        SAME enumeration the tiling stage uses (patch_gen.masked_candidates),
+        so served predictions cannot drift from offline features."""
         slide = open_slide(wsi_path)
         mask, mask_level = patch_gen.compute_slide_mask(slide)
-        ratio_x = slide.level_dimensions[0][0] / slide.level_dimensions[mask_level][0]
-        ratio_y = slide.level_dimensions[0][1] / slide.level_dimensions[mask_level][1]
-        xmax, ymax = slide.level_dimensions[0]
-        rf = self._resize_factor(slide)
-        psr = int(rf * self.patch_size)
-
-        coords = []
-        for x, y in patch_gen.candidate_grid(xmax, ymax, psr):
-            xm, ym = int(x / ratio_x), int(y / ratio_y)
-            if xm < mask.shape[0] and ym < mask.shape[1] and mask[xm, ym]:
-                coords.append((x, y))
+        coords, psr, rf = patch_gen.masked_candidates(
+            slide, mask, mask_level, self.patch_size)
         return slide, coords, psr, rf
 
     def iter_patch_chunks(self, wsi_path, decode_chunk: int = 64):
@@ -141,7 +133,9 @@ class SlidePredictor:
         for s in range(0, len(coords), decode_chunk):
             chunk = coords[s:s + decode_chunk]
             imgs = read_regions(slide, chunk, 0, (psr, psr))
-            flags = np.asarray(masking.patch_keep_flags(jnp.asarray(imgs)))
+            flags = np.asarray(masking.patch_keep_flags(
+                jnp.asarray(imgs),
+                background_threshold=patch_gen.BACKGROUND_THRESHOLD))
             kept = []
             for img, ok in zip(imgs, flags):
                 if ok:
@@ -188,7 +182,8 @@ class SlidePredictor:
             raw = self.extractor.raw_fwd
 
             def both(params, u8):
-                return raw(params, u8), masking.patch_keep_flags(u8)
+                return raw(params, u8), masking.patch_keep_flags(
+                    u8, background_threshold=patch_gen.BACKGROUND_THRESHOLD)
 
             self._fused_fwd = jax.jit(both)
         return self._fused_fwd
@@ -200,12 +195,30 @@ class SlidePredictor:
             (0, self.patch_size, self.patch_size, 3), np.uint8)
 
     def cluster(self, feats: np.ndarray) -> jax.Array:
+        if feats.shape[0] == 0:
+            # fail before kmeans++ (argmax over 0 candidates traces to a
+            # ValueError deep inside the init) with an actionable message;
+            # predict_slides quarantines this per slide
+            raise ValueError("no tissue patches survived screening")
         xj = jnp.asarray(feats)
         mask = jnp.ones((feats.shape[0],), bool)
         _, labels, _, _ = km.kmeans_fit(
             xj, mask, jax.random.PRNGKey(self.kmeans_seed),
             n_clusters=self.n_clusters, use_pallas=self.use_pallas)
-        return km.cluster_means(xj, labels, mask, n_clusters=self.n_clusters)
+        cf = km.cluster_means(xj, labels, mask, n_clusters=self.n_clusters)
+        if feats.shape[0] < self.n_clusters:
+            # small slide (biopsy/TMA core): some clusters are necessarily
+            # empty and cluster_means marks them NaN — zero-pad instead,
+            # matching the reference's <100-token window semantics
+            # (visualize.py:71-75); NaN would otherwise propagate through
+            # the ViS/ViT token mean to every gene
+            import sys
+
+            print(f"serve: {feats.shape[0]} patches < n_clusters="
+                  f"{self.n_clusters}; empty clusters zero-padded",
+                  file=sys.stderr)
+            cf = jnp.nan_to_num(cf)
+        return cf
 
     # -- entry points -------------------------------------------------------
 

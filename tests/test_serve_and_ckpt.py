@@ -576,6 +576,16 @@ def test_cli_serve_end_to_end(tmp_path, monkeypatch):
                     "--gene_names", ",".join(genes), "--out", "preds2.csv"])
     assert list(pd.read_csv("preds2.csv", index_col=0).columns) == genes
 
+    # duplicate --wsi paths dedup (would silently collapse to one row
+    # after running the pipeline twice)
+    cli_serve.main(["--wsi", "slide1.tiff", "slide1.tiff",
+                    "--checkpoints", str(ckpt_dir),
+                    "--weights", "random", "--batch_size", "16",
+                    "--compute_dtype", "float32", "--max_patches", "48",
+                    "--patch_size", "64", "--num_clusters", "8",
+                    "--out", "dup.csv"])
+    assert len(pd.read_csv("dup.csv", index_col=0)) == 1
+
     # gene-panel serving: head sliced to the panel; values match the
     # corresponding columns of the full run
     cli_serve.main(["--wsi", "slide1.tiff", "--checkpoints", str(ckpt_dir),
@@ -1030,3 +1040,70 @@ def test_tools_bench_serving_smoke(capsys):
     out = json.loads(line)
     assert out["full_head"]["genes"] == 64 and out["panel"]["genes"] == 8
     assert out["full_head"]["ms"] > 0 and out["panel"]["ms"] > 0
+
+
+def test_small_slide_fewer_patches_than_clusters_is_finite(capsys):
+    """A biopsy-scale slide (kept patches < n_clusters) must produce FINITE
+    predictions: empty clusters zero-pad (the reference's <100-token window
+    semantics) instead of leaking NaN through the token mean."""
+    rng = np.random.default_rng(0)
+    pred = make_predictor(n_clusters=8)
+    feats = rng.normal(size=(5, 2048)).astype(np.float32)  # 5 < 8
+    out = pred.predict_features(feats)
+    assert out.shape == (1, 5) and np.isfinite(out).all()
+
+
+def test_zero_patch_slide_raises_clear_error():
+    pred = make_predictor(n_clusters=8)
+    with pytest.raises(ValueError, match="no tissue patches"):
+        pred.predict_features(np.zeros((0, 2048), np.float32))
+
+
+def test_http_nan_predictions_serialize_as_null():
+    """Non-finite gene values become JSON null (json.dumps would emit a
+    literal NaN token that strict parsers reject wholesale)."""
+    import json
+    import threading
+    import urllib.request
+
+    from sequoia_tpu import http_serve
+
+    class FakePredictor:
+        vis_models = [None]
+
+        class extractor:
+            feat_type = "resnet"
+
+        @staticmethod
+        def predict_slides(paths, on_error=None):
+            for p in paths:
+                yield p, np.asarray([[1.0, np.nan, np.inf]])
+
+    svc = http_serve.PredictorService(FakePredictor(), ["A", "B", "C"])
+    srv = http_serve.make_server(svc, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = "http://127.0.0.1:%d" % srv.server_address[1]
+    try:
+        req = urllib.request.Request(
+            base + "/predict", data=json.dumps({"wsi": "x"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            body = r.read().decode()
+        assert "NaN" not in body and "Infinity" not in body
+        out = json.loads(body)  # strict parse succeeds
+        assert out["predictions"]["x"] == {"A": 1.0, "B": None, "C": None}
+
+        # bad Content-Length -> 413, not a hung read
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1",
+                                          srv.server_address[1], timeout=30)
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Length", "-1")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        conn.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
