@@ -53,8 +53,10 @@ NUM_GENES = 20820
 FEAT_DIM = 2048
 TIMED_SLIDES = 3
 IO_SLIDE = "/tmp/sequoia_bench_slide_8192.tiff"  # 32x32 tiles of 256px
-E2E_SLIDES = [f"/tmp/sequoia_bench_e2e_{i}.tiff" for i in range(2)]
 E2E_GRID = 72  # 72x72 tiles of 256px -> 18432^2 level 0, ~4.4k tissue tiles
+# grid size in the filename: a recipe change must not silently reuse stale
+# /tmp fixtures fabricated by an older revision
+E2E_SLIDES = [f"/tmp/sequoia_bench_e2e_g{E2E_GRID}_{i}.tiff" for i in range(2)]
 
 LEG_TIMEOUTS = {"probe": 240, "resnet": 360, "uni": 480, "decode": 150,
                 "e2e": int(os.environ.get("SEQUOIA_BENCH_E2E_TIMEOUT", "900"))}
@@ -62,12 +64,6 @@ LEG_TIMEOUTS = {"probe": 240, "resnet": 360, "uni": 480, "decode": 150,
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
-
-
-class LegTimeout(BaseException):
-    # BaseException so legs' own retry/except-Exception blocks can never
-    # swallow the watchdog (the probe leg did exactly that in testing)
-    pass
 
 
 def run_leg(name: str, fn, results: dict, failures: dict):
@@ -163,12 +159,12 @@ def measure_probe():
     last = None
     for attempt in range(3):
         try:
-            # warm-up: 64KB put + sum compiles the sync program and pays
-            # the first-dispatch cost OUTSIDE the timed window, so the
-            # measured rate approximates bulk throughput (it feeds the
-            # e2e leg's bandwidth gate — an understated rate would skip
-            # live e2e runs that would actually fit the watchdog)
-            warm = jax.device_put(np.zeros((64 * 1024,), np.uint8))
+            # warm-up: SAME-SHAPE put + sum compiles the transfer and sync
+            # programs and pays the first-dispatch cost OUTSIDE the timed
+            # window (a different warm-up shape would recompile the slice
+            # inside the timed region and understate the rate, which feeds
+            # the e2e leg's bandwidth gate)
+            warm = jax.device_put(np.zeros((512 * 1024,), np.uint8))
             _ = float(jnp.sum(warm[:8].astype(jnp.int32)))
             probe = np.zeros((512 * 1024,), np.uint8)
             t0 = time.perf_counter()
@@ -218,7 +214,7 @@ def measure_device_pipeline(backbone: str):
     import jax.numpy as jnp
 
     from sequoia_tpu.models import resnet, uni_vit
-    from sequoia_tpu.ops import pil_resize
+    from sequoia_tpu.pipeline.features import FeatureExtractor
 
     bs = FEAT_BATCH if backbone == "resnet" else UNI_FEAT_BATCH
     n_batches = PATCHES_PER_SLIDE // bs
@@ -227,27 +223,19 @@ def measure_device_pipeline(backbone: str):
                                   jnp.uint8)
 
     if backbone == "resnet":
-        rcfg = resnet.ResNetConfig(compute_dtype=jnp.bfloat16)
+        cfg = resnet.ResNetConfig(compute_dtype=jnp.bfloat16)
         params = resnet.random_params(jax.random.PRNGKey(0))
-
-        def one_batch(p, u8):
-            return resnet.extract_from_uint8(rcfg, p, u8)
-
-        feat_dim, timed = FEAT_DIM, TIMED_SLIDES
+        timed = TIMED_SLIDES
     else:
-        ucfg = uni_vit.UniViTConfig(compute_dtype=jnp.bfloat16)
+        cfg = uni_vit.UniViTConfig(compute_dtype=jnp.bfloat16)
         # params materialize ON DEVICE (per-tensor RNG ops) — a host-side
         # ViT-L pytree would trip the sandbox relay's upload limits
-        params = uni_vit.random_params(ucfg, jax.random.PRNGKey(0))
-
-        def one_batch(p, u8):
-            u8 = pil_resize.resize_u8(u8, ucfg.img_size, ucfg.img_size)
-            x = u8.astype(jnp.float32) / 255.0
-            mean = jnp.asarray(resnet.IMAGENET_MEAN, jnp.float32)
-            std = jnp.asarray(resnet.IMAGENET_STD, jnp.float32)
-            return uni_vit.forward(ucfg, p, (x - mean) / std)
-
-        feat_dim, timed = ucfg.dim, max(2, TIMED_SLIDES - 1)
+        params = uni_vit.random_params(cfg, jax.random.PRNGKey(0))
+        timed = max(2, TIMED_SLIDES - 1)
+    # time the EXACT program serving runs (preprocessing fused the same
+    # way), not a hand-rolled copy that could drift from the product path
+    extractor = FeatureExtractor(backbone, params, batch_size=bs, cfg=cfg)
+    one_batch, feat_dim = extractor.raw_fwd, extractor.feature_dim
 
     @jax.jit
     def features(p, base_u8, key):
@@ -267,7 +255,9 @@ def measure_device_pipeline(backbone: str):
     log(f"[{backbone}] features compiled+ran in {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     pred = aggregate(feats, jax.random.PRNGKey(0))
-    _ = float(pred[0])
+    # warm the SAME sync the timed loop uses (a pred[0] warm-up would leave
+    # the jnp.sum program to compile inside the timed window)
+    _ = float(jnp.sum(pred))
     log(f"[{backbone}] aggregate compiled+ran in {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
@@ -320,10 +310,12 @@ def measure_decode():
     return rate
 
 
-#: the e2e leg uploads ~0.9 GB of candidate patches per slide; below this
-#: relay rate it cannot finish inside its watchdog, so it degrades early
-#: (saving the 900s burn) with an explicit reason
-MIN_E2E_RELAY_MBPS = 2.5
+#: the e2e leg uploads ~0.9 GB of candidate patches per slide PASS — the
+#: warmup slide plus the 2-slide timed loop is ~2.7 GB total; below this
+#: relay rate it cannot finish inside its watchdog (2.7 GB / 900 s = 3.0
+#: MB/s for h2d alone, before TIFF fabrication and compiles), so it
+#: degrades early with an explicit reason instead of burning the 900 s
+MIN_E2E_RELAY_MBPS = 4.0
 
 
 def measure_e2e_serving(relay_rate: float | None = None):
@@ -333,7 +325,7 @@ def measure_e2e_serving(relay_rate: float | None = None):
     if relay_rate is not None and relay_rate < MIN_E2E_RELAY_MBPS:
         raise RuntimeError(
             f"relay too slow for the e2e leg ({relay_rate:.2f} MB/s < "
-            f"{MIN_E2E_RELAY_MBPS}; needs ~1.8 GB of h2d inside the "
+            f"{MIN_E2E_RELAY_MBPS}; needs ~2.7 GB of h2d inside the "
             f"watchdog)")
     import jax
     import jax.numpy as jnp
@@ -346,7 +338,6 @@ def measure_e2e_serving(relay_rate: float | None = None):
         make_e2e_slide(path, seed=100 + i)
 
     from sequoia_tpu.models import vis
-    from sequoia_tpu.ops import kmeans as km  # noqa: F401 (compile cache)
 
     rparams = resnet.random_params(jax.random.PRNGKey(0))
     extractor = FeatureExtractor(
@@ -399,12 +390,30 @@ def main() -> None:
         return
     relay_rate = results["probe"]
 
+    def timed_out(leg: str) -> bool:
+        return failures.get(leg, "").startswith("LegTimeout")
+
     run_leg("resnet", lambda: measure_device_pipeline("resnet"),
             results, failures)
-    run_leg("uni", lambda: measure_device_pipeline("uni"), results, failures)
-    run_leg("decode", measure_decode, results, failures)
-    run_leg("e2e", lambda: measure_e2e_serving(relay_rate),
-            results, failures)
+    # a TIMED-OUT device leg leaves its daemon thread dispatching device
+    # work (a join timeout cannot cancel a C-blocked thread); running more
+    # device legs would contend with it and record inflated-but-"fresh"
+    # numbers into the cache — skip them and degrade to cache instead
+    if timed_out("resnet"):
+        failures["uni"] = ("skipped: resnet leg timed out; its abandoned "
+                           "thread may still hold the device")
+        log(f"[leg uni] {failures['uni']}")
+    else:
+        run_leg("uni", lambda: measure_device_pipeline("uni"),
+                results, failures)
+    run_leg("decode", measure_decode, results, failures)  # host-only: safe
+    if timed_out("resnet") or timed_out("uni"):
+        failures["e2e"] = ("skipped: a device leg timed out; its abandoned "
+                           "thread may still hold the device")
+        log(f"[leg e2e] {failures['e2e']}")
+    else:
+        run_leg("e2e", lambda: measure_e2e_serving(relay_rate),
+                results, failures)
 
     out: dict = {}
     if "resnet" in results:
@@ -470,36 +479,60 @@ def main() -> None:
 
     if failures:
         out["leg_failures"] = failures
-    if not out.get("metric"):
-        _emit_fallback("; ".join(f"{k}: {v}" for k, v in failures.items()),
-                       cached)
-        return
-
     to_cache = {k: ({kk: vv for kk, vv in v.items()
                      if kk not in ("cached", "cache_reason")}
                     if isinstance(v, dict) else v)
                 for k, v in out.items()
                 if k not in ("leg_failures", "cached", "cache_reason")}
-    with open(CACHE, "w") as f:
-        json.dump(to_cache, f)
+    if not out.get("metric"):
+        # headline missing AND no cached headline — but any fresh partial
+        # legs (uni/with_io) must be persisted and emitted, not discarded
+        fresh = {}
+        if "uni" in results and "uni" in to_cache:
+            fresh["uni"] = to_cache["uni"]
+        if "e2e" in results and "with_io" in to_cache:
+            fresh["with_io"] = to_cache["with_io"]
+        merged = {**cached, **fresh}
+        if merged:
+            _write_cache(merged)
+        _emit_fallback("; ".join(f"{k}: {v}" for k, v in failures.items()),
+                       merged)
+        return
+
+    _write_cache(to_cache)
     print(json.dumps(out))
+
+
+def _write_cache(obj: dict) -> None:
+    """Atomic cache write: a crash mid-write must not corrupt the last good
+    result (the fallback path depends on it)."""
+    tmp = CACHE + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, CACHE)
 
 
 def _emit_fallback(reason: str, cached: dict | None = None) -> None:
     """Nothing fresh measured: emit the last good result, flagged."""
     log(f"bench falling back to cache: {reason}")
     if cached is None and os.path.exists(CACHE):
-        with open(CACHE) as f:
-            cached = json.load(f)
+        try:
+            with open(CACHE) as f:
+                cached = json.load(f)
+        except Exception:  # noqa: BLE001 — corrupt cache: emit the zero row
+            cached = None
     if cached and cached.get("metric"):
         result = dict(cached)
         result["cached"] = True
         result["cache_reason"] = reason
         print(json.dumps(result))
     else:
-        print(json.dumps({"metric": "slides_per_hour_e2e_1chip", "value": 0,
-                          "unit": "bench failed: " + reason,
-                          "vs_baseline": 0}))
+        row = {"metric": "slides_per_hour_e2e_1chip", "value": 0,
+               "unit": "bench failed: " + reason, "vs_baseline": 0}
+        if cached:  # no headline, but don't hide partial legs we do have
+            row.update({k: cached[k] for k in ("uni", "with_io")
+                        if k in cached})
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -72,13 +72,6 @@ def test_run_leg_degrades_leg_errors(bench):
     assert results == {}
 
 
-def test_leg_timeout_is_base_exception(bench):
-    """LegTimeout must not be swallowable by a leg's `except Exception`
-    retry loop (the probe leg did exactly that in testing)."""
-    assert issubclass(bench.LegTimeout, BaseException)
-    assert not issubclass(bench.LegTimeout, Exception)
-
-
 def test_run_leg_times_out_hung_leg(bench, monkeypatch):
     """A leg that never returns (e.g. backend init blocked inside a C call
     — SIGALRM cannot interrupt that; observed live) must be reported as a
@@ -94,3 +87,80 @@ def test_run_leg_times_out_hung_leg(bench, monkeypatch):
     assert _time.perf_counter() - t0 < 10
     assert "LegTimeout" in failures["probe"]
     assert results == {}
+
+
+def test_device_leg_timeout_quarantines_later_device_legs(bench, tmp_path,
+                                                          monkeypatch):
+    """A TIMED-OUT device leg leaves a live daemon thread on the device;
+    main() must skip the remaining device legs (their 'fresh' numbers
+    would be contended/inflated and poison the cache) while the host-only
+    decode leg still runs."""
+    import time as _time
+
+    cache = tmp_path / "cache.json"
+    cache.write_text(json.dumps({
+        "metric": "slides_per_hour_e2e_1chip", "value": 111.0,
+        "unit": "u", "vs_baseline": 1.5,
+        "uni": {"metric": "uni_slides_per_hour_1chip", "value": 22.0}}))
+    monkeypatch.setattr(bench, "CACHE", str(cache))
+    monkeypatch.setitem(bench.LEG_TIMEOUTS, "resnet", 1)
+    monkeypatch.setattr(bench, "measure_probe", lambda: 10.0)
+    monkeypatch.setattr(bench, "measure_device_pipeline",
+                        lambda backbone: _time.sleep(60))
+    monkeypatch.setattr(bench, "measure_decode", lambda: 5000.0)
+    monkeypatch.setattr(
+        bench, "measure_e2e_serving",
+        lambda relay_rate=None: (_ for _ in ()).throw(
+            AssertionError("e2e must not run after a device-leg timeout")))
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench.main()
+    out = json.loads(buf.getvalue().strip())
+    assert out["cached"] is True and out["value"] == 111.0
+    assert out["uni"]["value"] == 22.0
+    fails = out["leg_failures"]
+    assert fails["resnet"].startswith("LegTimeout")
+    assert "skipped" in fails["uni"] and "skipped" in fails["e2e"]
+
+
+def test_partial_fresh_legs_survive_headline_failure(bench, tmp_path,
+                                                     monkeypatch):
+    """resnet fails fast with NO cache: fresh uni/decode/e2e results must
+    still reach stdout AND the cache (was: discarded, value-0 row only)."""
+    cache = tmp_path / "cache.json"  # does not exist yet
+    monkeypatch.setattr(bench, "CACHE", str(cache))
+    monkeypatch.setattr(bench, "measure_probe", lambda: 10.0)
+
+    def device(backbone):
+        if backbone == "resnet":
+            raise RuntimeError("resnet exploded")
+        return 4.0  # uni: 4 s/slide -> 900/h
+
+    monkeypatch.setattr(bench, "measure_device_pipeline", device)
+    monkeypatch.setattr(bench, "measure_decode", lambda: 5000.0)
+    monkeypatch.setattr(bench, "measure_e2e_serving",
+                        lambda relay_rate=None: 10.0)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench.main()
+    out = json.loads(buf.getvalue().strip())
+    assert out["value"] == 0  # headline genuinely unavailable
+    assert out["uni"]["value"] == 900.0  # fresh legs not discarded
+    assert out["with_io"]["value"] == 360.0
+    persisted = json.loads(cache.read_text())
+    assert persisted["uni"]["value"] == 900.0
+    assert persisted["with_io"]["value"] == 360.0
+
+
+def test_corrupt_cache_still_emits_one_json_line(bench, tmp_path,
+                                                 monkeypatch):
+    cache = tmp_path / "cache.json"
+    cache.write_text("{not json")
+    monkeypatch.setattr(bench, "CACHE", str(cache))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench._emit_fallback("boom")
+    out = json.loads(buf.getvalue().strip())
+    assert out["value"] == 0 and "boom" in out["unit"]
