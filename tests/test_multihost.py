@@ -150,9 +150,13 @@ def test_two_process_feature_fleet_cli(tmp_path):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # --data_parallel under --multihost pins the regression where the mesh
+    # was built from fleet-GLOBAL jax.devices() (device_put to another
+    # process's non-addressable devices raised); it must use local devices
     argv = ["--feat_type", "resnet", "--weights", "random",
             "--ref_file", str(ref_csv), "--patch_data_path", str(patch_root),
             "--feature_path", str(feat_root), "--batch_size", "8",
+            "--data_parallel",
             "--multihost", "--coordinator", f"127.0.0.1:{port}",
             "--num_processes", "2"]
     procs = [
