@@ -19,10 +19,21 @@ _lib = None
 _build_failed = False
 
 
+def _stale() -> bool:
+    """True when the .so predates a source edit (mtime check: the exists()
+    shortcut alone would keep loading a stale binary after a cpp change)."""
+    try:
+        so = os.path.getmtime(_LIB_PATH)
+        return any(os.path.getmtime(os.path.join(_DIR, src)) > so
+                   for src in ("tiffreader.cpp", "Makefile"))
+    except OSError:
+        return True
+
+
 def build(quiet: bool = True) -> bool:
     """Compile the native library if needed.  Returns availability."""
     global _build_failed
-    if os.path.exists(_LIB_PATH):
+    if os.path.exists(_LIB_PATH) and not _stale():
         return True
     if _build_failed:
         return False
@@ -38,12 +49,19 @@ def build(quiet: bool = True) -> bool:
 
 def get_lib():
     """Load (building if necessary) the native library, or None."""
-    global _lib
+    global _lib, _build_failed
     if _lib is not None:
         return _lib
     if not build():
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        # .so exists but cannot load (missing libtiff, wrong arch):
+        # degrade gracefully like a failed build — available() must
+        # return False, not raise
+        _build_failed = True
+        return None
     lib.str_open.restype = ctypes.c_void_p
     lib.str_open.argtypes = [ctypes.c_char_p]
     lib.str_num_levels.restype = ctypes.c_int
@@ -156,7 +174,7 @@ class NativeTiffReader:
     def read_region(self, location, level, size) -> np.ndarray:
         x, y = self._to_level(location[0], location[1], level)
         w, h = size
-        out = np.zeros((h, w, 3), np.uint8)
+        out = np.empty((h, w, 3), np.uint8)  # C memsets it (or rc!=0 raises)
         rc = self._lib.str_read_region(
             self._h, level, x, y, w, h,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
@@ -173,13 +191,19 @@ class NativeTiffReader:
         ys = np.empty(n, np.int64)
         for i, (x0, y0) in enumerate(locations):
             xs[i], ys[i] = self._to_level(x0, y0, level)
-        out = np.zeros((n, h, w, 3), np.uint8)
-        self._lib.str_read_regions(
+        # np.empty: the C side memsets every region it touches; regions it
+        # does NOT touch are whole-region failures, which raise below
+        out = np.empty((n, h, w, 3), np.uint8)
+        ok = self._lib.str_read_regions(
             self._h, level,
             xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             n, w, h,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nthreads)
+        if ok != n:
+            # silently returning black tiles would feed the model wrong
+            # pixels; the per-slide quarantine upstream handles the raise
+            raise OSError(f"read_regions decoded {ok}/{n} regions")
         return out
 
     def close(self):

@@ -23,6 +23,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <mutex>
@@ -103,11 +104,16 @@ void blit_rgb_topdown(const uint8_t* tilebuf, uint32_t bw, int64_t bx,
 // JPEG-compressed YCbCr (Aperio SVS) via libtiff's JPEGCOLORMODE_RGB.
 bool direct_rgb8_tiles(TIFF* tif) {
   uint16_t photometric = 0, spp = 0, bps = 0, planar = 0, compression = 0;
+  uint16_t orient = ORIENTATION_TOPLEFT;
   TIFFGetFieldDefaulted(tif, TIFFTAG_PHOTOMETRIC, &photometric);
   TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLESPERPIXEL, &spp);
   TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bps);
   TIFFGetFieldDefaulted(tif, TIFFTAG_PLANARCONFIG, &planar);
   TIFFGetFieldDefaulted(tif, TIFFTAG_COMPRESSION, &compression);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_ORIENTATION, &orient);
+  // non-TOPLEFT images must take the RGBA path (which honors the tag);
+  // the raw memcpy blit would render them flipped
+  if (orient != ORIENTATION_TOPLEFT) return false;
   if (spp != 3 || bps != 8 || planar != PLANARCONFIG_CONTIG) return false;
   if (photometric == PHOTOMETRIC_RGB) return true;
   if (photometric == PHOTOMETRIC_YCBCR && compression == COMPRESSION_JPEG) {
@@ -117,7 +123,7 @@ bool direct_rgb8_tiles(TIFF* tif) {
   return false;
 }
 
-int read_region_with(TIFF* tif, const LevelInfo& lv, int64_t rx, int64_t ry,
+int read_region_impl(TIFF* tif, const LevelInfo& lv, int64_t rx, int64_t ry,
                      int64_t rw, int64_t rh, uint8_t* out) {
   if (!TIFFSetDirectory(tif, lv.dir)) return -1;
   std::memset(out, 0, static_cast<size_t>(rw) * rh * 3);
@@ -127,6 +133,8 @@ int read_region_with(TIFF* tif, const LevelInfo& lv, int64_t rx, int64_t ry,
     TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
     TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
     if (!tw || !th) return -2;
+    // sanity-cap hostile/corrupt tile dims before they size allocations
+    if ((uint64_t)tw * th > (1ull << 28)) return -2;
     const bool fast = direct_rgb8_tiles(tif);
     std::vector<uint8_t> rgb;
     if (fast) rgb.resize(static_cast<size_t>(tw) * th * 3);
@@ -141,7 +149,9 @@ int read_region_with(TIFF* tif, const LevelInfo& lv, int64_t rx, int64_t ry,
           tmsize_t n = TIFFReadEncodedTile(
               tif, TIFFComputeTile(tif, (uint32_t)tx, (uint32_t)ty, 0, 0),
               rgb.data(), rgb.size());
-          if (n >= 0) {
+          // require the FULL tile: a short decode (truncated file) would
+          // blit the previous tile's stale bytes from the reused buffer
+          if (n == (tmsize_t)rgb.size()) {
             // edge tiles decode the full tw x th block with garbage beyond
             // the image edge; clamp the blit to level AND request bounds.
             int64_t x0 = std::max(tx, rx);
@@ -153,7 +163,7 @@ int read_region_with(TIFF* tif, const LevelInfo& lv, int64_t rx, int64_t ry,
                                rw, out);
             continue;
           }
-          // decode failure -> fall through to the tolerant RGBA path
+          // decode failure or short read -> tolerant RGBA path
         }
         if (raster.empty()) raster.resize(static_cast<size_t>(tw) * th);
         if (!TIFFReadRGBATile(tif, (uint32_t)tx, (uint32_t)ty, raster.data()))
@@ -170,7 +180,9 @@ int read_region_with(TIFF* tif, const LevelInfo& lv, int64_t rx, int64_t ry,
   // Stripped image: decode intersecting strips.
   uint32_t rows_per_strip = 0;
   TIFFGetFieldDefaulted(tif, TIFFTAG_ROWSPERSTRIP, &rows_per_strip);
-  if (!rows_per_strip) rows_per_strip = lv.h;
+  // missing tag defaults to 0xFFFFFFFF ("infinity" = single strip), which
+  // would size the raster at w * 4G pixels — clamp to the image height
+  if (!rows_per_strip || rows_per_strip > lv.h) rows_per_strip = lv.h;
   std::vector<uint32_t> raster(static_cast<size_t>(lv.w) * rows_per_strip);
   int64_t s0 = (ry / rows_per_strip) * rows_per_strip;
   for (int64_t sy = s0; sy < ry + rh && sy < (int64_t)lv.h;
@@ -180,6 +192,18 @@ int read_region_with(TIFF* tif, const LevelInfo& lv, int64_t rx, int64_t ry,
     blit_rgba_bottomup(raster.data(), lv.w, nrows, 0, sy, rx, ry, rw, rh, out);
   }
   return 0;
+}
+
+// Exception barrier: nothing may cross the extern "C" boundary (a
+// std::bad_alloc from a corrupt file would std::terminate the Python
+// process through ctypes).
+int read_region_with(TIFF* tif, const LevelInfo& lv, int64_t rx, int64_t ry,
+                     int64_t rw, int64_t rh, uint8_t* out) {
+  try {
+    return read_region_impl(tif, lv, rx, ry, rw, rh, out);
+  } catch (...) {
+    return -4;
+  }
 }
 
 }  // namespace
@@ -194,11 +218,25 @@ void* str_open(const char* path) {
   auto* s = new Slide();
   s->path = path;
   int dir = 0;
+  double aspect0 = 0.0;
   do {
     uint32_t w = 0, h = 0;
     TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w);
     TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &h);
-    if (w && h) s->levels.push_back({dir, w, h});
+    if (w && h) {
+      // SVS files carry associated images (label/macro/thumbnail) as extra
+      // directories; treating them as pyramid levels would hand the tissue
+      // masker a photo of the slide label.  Pyramid levels in SVS (and our
+      // own writer) are TILED and share level 0's aspect ratio; associated
+      // images are stripped and/or differently shaped — keep dir 0 always,
+      // later dirs only when tiled with a matching aspect (5% tolerance).
+      double aspect = (double)w / (double)h;
+      bool keep = s->levels.empty() ||
+                  (TIFFIsTiled(tif) &&
+                   std::abs(aspect - aspect0) / aspect0 < 0.05);
+      if (s->levels.empty()) aspect0 = aspect;
+      if (keep) s->levels.push_back({dir, w, h});
+    }
     ++dir;
   } while (TIFFReadDirectory(tif));
   std::sort(s->levels.begin(), s->levels.end(),
@@ -271,6 +309,7 @@ void str_close(void* handle) { delete static_cast<Slide*>(handle); }
 // Copy the level-0 ImageDescription (Aperio SVS metadata like
 // "...|AppMag = 40|...") into `buf`; returns the string length or 0.
 int str_description(void* handle, char* buf, int buflen) {
+  if (buflen <= 0) return 0;  // (size_t)buflen - 1 would wrap to SIZE_MAX
   auto* s = static_cast<Slide*>(handle);
   TIFF* tif = s->acquire();
   if (!tif) return 0;

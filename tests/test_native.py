@@ -120,3 +120,35 @@ def test_patch_gen_with_native_reader(tmp_path):
                                   "NATIVE-1", (64, 64),
                                   max_patches_per_slide=30, verbose=False)
     assert n > 10
+
+
+def test_associated_images_not_pyramid_levels(tmp_path):
+    """SVS-style associated images (stripped label/macro directories after
+    the pyramid) must NOT appear in level_dimensions — the tissue masker
+    takes the smallest 'level' and would otherwise mask the label photo."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    main = rng.integers(0, 255, size=(160, 240, 3), dtype=np.uint8)
+    label = rng.integers(0, 255, size=(60, 60, 3), dtype=np.uint8)  # square
+    p = str(tmp_path / "with_label.tiff")
+    # PIL writes stripped pages: page 0 = main image, page 1 = label.
+    # dir 0 is always kept (even stripped); later stripped dirs are not.
+    Image.fromarray(main).save(
+        p, save_all=True, append_images=[Image.fromarray(label)])
+    r = native.NativeTiffReader(p)
+    assert r.level_dimensions == [(240, 160)]
+    r.close()
+
+
+def test_unloadable_library_degrades_to_unavailable(tmp_path, monkeypatch):
+    """A present-but-unloadable .so (wrong arch / missing libtiff) must make
+    available() return False, not raise out of get_lib()."""
+    bad = tmp_path / "libsequoia_native.so"
+    bad.write_bytes(b"not an ELF file")
+    monkeypatch.setattr(native, "_LIB_PATH", str(bad))
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_build_failed", False)
+    # make the staleness check accept the bogus .so so CDLL is reached
+    monkeypatch.setattr(native, "_stale", lambda: False)
+    assert native.available() is False
