@@ -132,7 +132,12 @@ def main(argv=None) -> None:
 
     save_path = os.path.join("visualizations", args.project, args.save_folder,
                              args.wsi_file_name)
-    resize_to = 224 if args.feat_type == "uni" else None
+    # the reference resizes EVERY tile before the backbone: Resize(224) for
+    # uni, Resize((256,265)) for resnet (the 265 is its waived typo —
+    # PARITY_NOTES — intent is the square patch size).  Without this, a
+    # non-20x slide would feed mag-sized tiles to a 256px-compiled
+    # extractor: crash at 40x, silently-wrong features below 20x.
+    resize_to = 224 if args.feat_type == "uni" else args.patch_size
     spatial.run_visualize(slide, mask, list(gene_ids), fold_models, extractor,
                           gene_names=gene_names, patch_size=args.patch_size,
                           resize_factor=manual_resize, stride=args.stride,

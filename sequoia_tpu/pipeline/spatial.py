@@ -50,6 +50,10 @@ def build_valid_tiles(mask_xy: np.ndarray, slide_dims: tuple[int, int],
             rd, cd = int(row / downsample), int(col / downsample)
             sub = mask_rc[rd:rd + ps_in_mask, cd:cd + ps_in_mask]
             if sub.size == 0:
+                # truncated downsample factor can map edge tiles past the
+                # mask; the reference COUNTS these as valid (its
+                # `sum() >= 0.5 * 0` check is true on an empty crop)
+                valid.append((col, row))
                 continue
             sub = _sp_dilate(sub, iterations=3)
             if sub.sum() >= BACKGROUND_THRESHOLD * sub.size:
@@ -131,15 +135,15 @@ def sliding_window_predict_arrays(tile_feats: np.ndarray, df: pd.DataFrame,
     one segment-sum per chunk instead of the reference's per-window-per-gene
     Python scatter (``spatial_vis/visualize.py:87-100``).
     """
-    import jax.numpy as jnp
-
     n, dim = tile_feats.shape
     windows = collect_windows(df, stride=stride, window=window)
     gene_indices = np.asarray(list(gene_indices), np.int64)
 
     if callable(predict_fns):
         multi_fn = predict_fns
-        fold_keys = None  # discovered from the first chunk
+        # stacked predictors advertise their folds; otherwise discovered
+        # from the first chunk
+        fold_keys = list(getattr(predict_fns, "fold_keys", [])) or None
     else:
         def multi_fn(feats_dev):
             return {f: np.asarray(fn(feats_dev))
@@ -147,7 +151,11 @@ def sliding_window_predict_arrays(tile_feats: np.ndarray, df: pd.DataFrame,
 
         fold_keys = list(predict_fns)
 
-    sums: dict = {}
+    # pre-init when folds are known so ZERO qualifying windows (sparse
+    # biopsy: no 10x10 window holds >50 tiles) yields all-NaN tables like
+    # the reference, instead of a KeyError on the empty sums dict
+    sums: dict = ({f: np.zeros((n, len(gene_indices))) for f in fold_keys}
+                  if fold_keys else {})
     counts = np.zeros(n, np.int64)
 
     for start in range(0, len(windows), batch_windows):
@@ -234,7 +242,9 @@ def run_visualize(slide, mask_xy: np.ndarray, gene_ids: list[str],
     res_df = df.copy(deep=True)
 
     gene_names = list(gene_names) if gene_names is not None else list(gene_ids)
-    gene_pos = {g: i for i, g in enumerate(gene_ids)}  # O(1) lookups
+    gene_pos: dict = {}  # O(1) list.index equivalent: FIRST occurrence wins
+    for i, g in enumerate(gene_ids):
+        gene_pos.setdefault(g, i)
     inds = []
     for gname in gene_names:
         if gname in gene_pos:
@@ -255,8 +265,10 @@ def run_visualize(slide, mask_xy: np.ndarray, gene_ids: list[str],
                            columns=[f"{gene_ids[g]}_{fold}" for g in inds],
                            index=res_df.index)
               for fold in folds]
+    # no folds resolved (zero qualifying windows on a bare-callable
+    # predictor): the reference still writes the mean gene columns, NaN
     fold_mean = np.nanmean(np.stack([means[f] for f in folds]), axis=0) \
-        if folds else np.zeros((len(res_df), 0))
+        if folds else np.full((len(res_df), len(inds)), np.nan)
     blocks.append(pd.DataFrame(fold_mean, columns=[gene_ids[g] for g in inds],
                                index=res_df.index))
     res_df = pd.concat([res_df] + blocks, axis=1)
@@ -290,6 +302,8 @@ def make_vis_stacked_predict_fn(cfg, fold_params: dict):
         out = np.asarray(fwd(stacked, jnp.asarray(feats)))  # (F, W, G)
         return {f: out[i] for i, f in enumerate(folds)}
 
+    multi.fold_keys = folds  # known up front: zero-window slides still
+    # get per-fold (all-NaN) columns like the reference
     return multi
 
 

@@ -124,3 +124,46 @@ def test_stacked_fold_predictor_matches_per_fold():
             assert set(a[f][g]) == set(b[f][g])
             for k in a[f][g]:
                 assert abs(a[f][g][k] - b[f][g][k]) < 1e-4
+
+
+def test_zero_qualifying_windows_yield_nan_tables():
+    """Sparse slide (no 10x10 window holds >50 tiles) must return all-NaN
+    per-fold tables, not crash (dict path: KeyError on empty sums; stacked
+    path: fold list discovered from the predictor's fold_keys attr)."""
+    # 5 tiles: far below the >50-tiles-per-window rule
+    df = pd.DataFrame({"xcoord": np.arange(5) * 10, "ycoord": np.zeros(5),
+                       "xcoord_tf": np.arange(5), "ycoord_tf": np.zeros(5, int)})
+    feats = np.random.default_rng(0).normal(size=(5, 8)).astype(np.float32)
+
+    fold_keys, means, seen = spatial.sliding_window_predict_arrays(
+        feats, df, {0: lambda x: np.zeros((x.shape[0], 3)),
+                    1: lambda x: np.zeros((x.shape[0], 3))},
+        gene_indices=[0, 2], num_tokens=100)
+    assert fold_keys == [0, 1] and not seen.any()
+    for f in fold_keys:
+        assert means[f].shape == (5, 2) and np.isnan(means[f]).all()
+
+    cfg = vis.ViSConfig(num_outputs=3, input_dim=8, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    stacked = spatial.make_vis_stacked_predict_fn(
+        cfg, {0: vis.init(cfg, jax.random.PRNGKey(0)),
+              1: vis.init(cfg, jax.random.PRNGKey(1))})
+    fold_keys, means, _ = spatial.sliding_window_predict_arrays(
+        feats, df, stacked, gene_indices=[1], num_tokens=100)
+    assert fold_keys == [0, 1]
+    assert all(np.isnan(means[f]).all() for f in fold_keys)
+
+    # bare callable without fold_keys: empty result, no crash
+    fold_keys, means, _ = spatial.sliding_window_predict_arrays(
+        feats, df, lambda x: {0: np.zeros((x.shape[0], 3))},
+        gene_indices=[0], num_tokens=100)
+    assert fold_keys == [] and means == {}
+
+
+def test_build_valid_tiles_counts_past_mask_tiles_like_reference():
+    """Edge tiles whose mask crop is EMPTY (truncated downsample factor)
+    count as valid — the reference's `sum() >= 0.5 * 0` is True there."""
+    mask_xy = np.ones((10, 5), bool)  # x=10, y=5 -> downsample int(35/10)=3
+    df = spatial.build_valid_tiles(mask_xy, (35, 35), patch_size_resized=7)
+    # rows 15..28 map to rd>=5 (past the 5-row mask): empty crop -> valid
+    assert ((df["ycoord"] >= 15).sum() > 0), df
