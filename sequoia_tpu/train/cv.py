@@ -110,8 +110,21 @@ def run_cross_validation(
                 model_type, num_outputs, feature_dim, kinit, depth, num_heads,
                 num_clusters)
             if checkpoint_path:
-                suff = f"_{i}" if i > 0 else ""
-                path = os.path.join(checkpoint_path, f"model_best{suff}.pt")
+                # our CV writes model_best_{i}.pt for every fold; the
+                # reference writes model_best.pt for fold 0 (its falsy
+                # `if split:` at vit.py:124-127) — accept both layouts so
+                # continued training works against either producer
+                candidates = [f"model_best_{i}.pt"]
+                if i == 0:
+                    candidates.append("model_best.pt")
+                for name in candidates:
+                    path = os.path.join(checkpoint_path, name)
+                    if os.path.exists(path):
+                        break
+                else:
+                    raise FileNotFoundError(
+                        f"no {' / '.join(candidates)} under "
+                        f"{checkpoint_path}")
                 sd = checkpoint.load_torch_checkpoint(path)
                 cfg, params = from_torch(sd, cfg)
 
@@ -203,7 +216,11 @@ def run_he2rna_cross_validation(
         params = he2rna.init(cfg, kinit)
         if checkpoint_path:
             sd = checkpoint.load_torch_checkpoint(checkpoint_path)
-            cfg, params = convert.he2rna_from_torch(sd, cfg)
+            # infer the architecture FROM the state dict (the local cfg's
+            # hard-coded layers/output width may disagree with the loaded
+            # checkpoint, surfacing later as an opaque shape error); the
+            # config default supplies the reference ks sweep
+            cfg, params = convert.he2rna_from_torch(sd)
         if change_num_genes:
             cfg, params = he2rna.replace_head(cfg, params, train_ds.num_genes, khead)
 

@@ -50,10 +50,15 @@ def make_he2rna_step_fns(cfg: he2rna.HE2RNAConfig,
     return train_step, eval_step
 
 
-def he2rna_evaluate(cfg, params, loader: BatchLoader):
-    """(valid_loss, mean_corr) — reference ``he2rna.evaluate`` epoch metrics."""
-    _, eval_step = make_he2rna_step_fns(cfg, make_adam(1e-3))
-    losses, preds, labels, valids = [], [], [], []
+def he2rna_evaluate(cfg, params, loader: BatchLoader, eval_step=None):
+    """(valid_loss, mean_corr) — reference ``he2rna.evaluate`` epoch metrics.
+
+    Pass ``eval_step`` (from :func:`make_he2rna_step_fns`) when calling in
+    a loop — a fresh closure per call would retrace/recompile the identical
+    forward every epoch."""
+    if eval_step is None:
+        _, eval_step = make_he2rna_step_fns(cfg, make_adam(1e-3))
+    losses, preds, labels = [], [], []
     for batch in loader:
         if batch.n_valid == 0:
             continue
@@ -62,7 +67,6 @@ def he2rna_evaluate(cfg, params, loader: BatchLoader):
         losses.append(float(m["loss"]))
         preds.append(np.asarray(p)[batch.valid])
         labels.append(batch.rna[batch.valid])
-        valids.append(batch.valid)
     if not losses:
         return np.nan, np.nan
     preds = np.concatenate(preds)
@@ -85,9 +89,10 @@ def host_compute_correlations(labels: np.ndarray, preds: np.ndarray) -> float:
     return float(np.mean(rs)) if rs.size else np.nan
 
 
-def he2rna_predict(cfg, params, loader: BatchLoader):
+def he2rna_predict(cfg, params, loader: BatchLoader, eval_step=None):
     """(relu_preds, labels, wsis, projs) — reference ``he2rna_predict``."""
-    _, eval_step = make_he2rna_step_fns(cfg, make_adam(1e-3))
+    if eval_step is None:
+        _, eval_step = make_he2rna_step_fns(cfg, make_adam(1e-3))
     preds, labels, wsis, projs = [], [], [], []
     for batch in loader:
         if batch.n_valid == 0:
@@ -98,6 +103,11 @@ def he2rna_predict(cfg, params, loader: BatchLoader):
         labels.append(batch.rna[batch.valid])
         wsis.extend([w for w, v in zip(batch.wsi, batch.valid) if v])
         projs.extend([p_ for p_, v in zip(batch.project, batch.valid) if v])
+    if not preds:  # every batch empty/unreadable: empty arrays, not a
+        # ValueError from np.concatenate (mirrors loop._gather)
+        g = getattr(loader.ds, "num_genes", 0)
+        return (np.zeros((0, g), np.float32), np.zeros((0, g), np.float32),
+                np.asarray([], str), np.asarray([], str))
     return (np.concatenate(preds), np.concatenate(labels),
             np.asarray(wsis), np.asarray(projs))
 
@@ -108,12 +118,13 @@ def fit(cfg, params, lr, train_loader, valid_loader, test_loader, *,
     """Reference ``he2rna.fit``: returns (preds, labels, wsis, projs) when a
     test loader is given, else the best params."""
     optimizer = make_adam(lr)
-    train_step, _ = make_he2rna_step_fns(cfg, optimizer)
+    train_step, eval_step = make_he2rna_step_fns(cfg, optimizer)
     opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(seed)
 
     if valid_loader is not None:
-        _, best = he2rna_evaluate(cfg, params, valid_loader)
+        _, best = he2rna_evaluate(cfg, params, valid_loader,
+                                  eval_step)
         if np.isnan(best):
             best = 0.0
         if verbose:
@@ -138,7 +149,8 @@ def fit(cfg, params, lr, train_loader, valid_loader, test_loader, *,
         train_loss = float(np.mean(tlosses)) if tlosses else np.nan
 
         if valid_loader is not None:
-            valid_loss, score = he2rna_evaluate(cfg, params, valid_loader)
+            valid_loss, score = he2rna_evaluate(
+                cfg, params, valid_loader, eval_step)
             if log_fn:
                 log_fn(e, "val", {"loss": valid_loss, "corr": score,
                                   "train_loss": train_loss})
@@ -167,5 +179,6 @@ def fit(cfg, params, lr, train_loader, valid_loader, test_loader, *,
             save_fn(best_params)
 
     if test_loader is not None:
-        return he2rna_predict(cfg, best_params, test_loader)
+        return he2rna_predict(cfg, best_params, test_loader,
+                              eval_step)
     return best_params

@@ -43,6 +43,24 @@ def make_adam(lr: float) -> optax.GradientTransformation:
     return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
 
 
+def make_eval_step(apply_fn: Callable):
+    """Jitted eval step (no optimizer needed — evaluate() uses this
+    directly instead of building a throwaway AdamW)."""
+
+    @jax.jit
+    def eval_step(params, feats, rna, valid):
+        pred = apply_fn(params, feats)
+        metrics = {
+            "loss": stats.masked_mse(pred, rna, valid),
+            "mae": stats.masked_mae(pred, rna, valid),
+            "corr": stats.mean_correlation(pred, rna, valid),
+            "smape": stats.masked_smape(pred, rna, valid),
+        }
+        return pred, metrics
+
+    return eval_step
+
+
 def make_step_fns(apply_fn: Callable, optimizer: optax.GradientTransformation):
     """Build jitted (train_step, eval_step) for a ``pred = apply_fn(params, x)``
     model (ViS/ViT).  HE2RNA has its own steps (dropout rng + k sampling)."""
@@ -64,18 +82,7 @@ def make_step_fns(apply_fn: Callable, optimizer: optax.GradientTransformation):
         }
         return params, opt_state, metrics
 
-    @jax.jit
-    def eval_step(params, feats, rna, valid):
-        pred = apply_fn(params, feats)
-        metrics = {
-            "loss": stats.masked_mse(pred, rna, valid),
-            "mae": stats.masked_mae(pred, rna, valid),
-            "corr": stats.mean_correlation(pred, rna, valid),
-            "smape": stats.masked_smape(pred, rna, valid),
-        }
-        return pred, metrics
-
-    return train_step, eval_step
+    return train_step, make_eval_step(apply_fn)
 
 
 @dataclasses.dataclass
@@ -144,6 +151,18 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
             meta["epoch_since_best_score"], meta["epoch_since_ok_loss"],
             meta["early_stop_on_loss_triggered"])
         history = meta.get("history", [])
+        if meta.get("stopped"):
+            # the fold had already early-stopped: resuming must not train
+            # further (the == patience trip point is behind us)
+            start_epoch = num_epochs
+        if mesh is not None:
+            # the npz holds host arrays; without re-sharding, training
+            # would silently continue with the gene head + AdamW moments
+            # fully replicated on every chip
+            from sequoia_tpu.parallel import sharding as _sh
+
+            params = _sh.shard_params(mesh, params)
+            opt_state = _sh.shard_opt_state(mesh, opt_state, params)
         if verbose:
             print(f"resumed training state from {state_path} at epoch "
                   f"{start_epoch}")
@@ -229,6 +248,33 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
 
         history.append(epoch_metrics)
 
+        # reference == comparisons kept verbatim (vit.py:229-242; >= would
+        # change reachable loss+corr semantics where a counter is already
+        # past patience when the trigger fires)
+        stop_now = False
+        if epoch_since_best == patience:
+            early_stop_on_loss_triggered = 1
+            if stop_on == "loss":
+                if verbose:
+                    print(f"Early stopping at epoch {epoch}!")
+                stop_now = True
+
+        if not stop_now and stop_on == "loss+corr":
+            if early_stop_on_loss_triggered == 1 and epoch_since_best_score == patience:
+                if verbose:
+                    print(f"Early stopping at epoch {epoch}: neither loss nor "
+                          "score improving")
+                stop_now = True
+            elif early_stop_on_loss_triggered == 1 and epoch_since_ok_loss == patience:
+                if verbose:
+                    print(f"Early stopping at epoch {epoch}: loss left the "
+                          f"{delta} band around the best loss")
+                stop_now = True
+
+        # state is saved AFTER the stop/trigger decisions so a resumed run
+        # sees the post-decision flags: a pre-decision snapshot made a
+        # tripped fold resume past its == patience check and train to
+        # num_epochs with the loss+corr saving phase never activating
         if state_path:
             ckpt_io.save_train_state(
                 state_path,
@@ -241,26 +287,11 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
                  "epoch_since_best_score": epoch_since_best_score,
                  "epoch_since_ok_loss": epoch_since_ok_loss,
                  "early_stop_on_loss_triggered": early_stop_on_loss_triggered,
+                 "stopped": int(stop_now),
                  "history": history})
 
-        if epoch_since_best == patience:
-            early_stop_on_loss_triggered = 1
-            if stop_on == "loss":
-                if verbose:
-                    print(f"Early stopping at epoch {epoch}!")
-                break
-
-        if stop_on == "loss+corr":
-            if early_stop_on_loss_triggered == 1 and epoch_since_best_score == patience:
-                if verbose:
-                    print(f"Early stopping at epoch {epoch}: neither loss nor "
-                          "score improving")
-                break
-            if early_stop_on_loss_triggered == 1 and epoch_since_ok_loss == patience:
-                if verbose:
-                    print(f"Early stopping at epoch {epoch}: loss left the "
-                          f"{delta} band around the best loss")
-                break
+        if stop_now:
+            break
 
     final_params = jax.tree.map(lambda x: np.asarray(x), params)
     if best_epoch < 0:  # never saved (e.g. 0 epochs): return current params
@@ -293,7 +324,7 @@ def _gather(loader, fn):
 def evaluate(apply_fn, params, loader: BatchLoader, *, verbose: bool = True,
              log_fn: Callable | None = None, suffix: str = ""):
     """Reference ``vit.evaluate``: returns (preds, real, wsis, projs)."""
-    _, eval_step = make_step_fns(apply_fn, make_adamw())
+    eval_step = make_eval_step(apply_fn)
 
     preds, real, wsis, projs, means = _gather(
         loader, lambda f, r, v: eval_step(params, f, r, v))

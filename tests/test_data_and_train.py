@@ -294,3 +294,32 @@ def test_orbax_sharded_roundtrip(tmp_path):
                                   np.asarray(tree["head_w"]))
     np.testing.assert_array_equal(np.asarray(restored["body"]),
                                   np.asarray(tree["body"]))
+
+
+def test_resume_after_early_stop_does_not_continue(tmp_path):
+    """A fold that already early-stopped must not train further on resume:
+    the state snapshot carries the post-decision stop flag (a pre-decision
+    snapshot let resumed runs sail past the == patience trip point)."""
+    df = make_store(str(tmp_path / "f"), n_slides=8, n_genes=3, dim=8)
+    d = ds.FeatureDataset(df, str(tmp_path / "f"))
+    cfg = vis.ViSConfig(num_outputs=3, input_dim=8, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    apply_fn = lambda p, x: vis.apply(cfg, p, x)
+    state = str(tmp_path / "state.npz")
+
+    def loaders():
+        return {"train": ds.BatchLoader(d, 4, shuffle=True, seed=0),
+                "val": ds.BatchLoader(d, 4)}
+
+    # lr=0: no param ever improves -> epoch_since_best trips patience=2
+    # at epoch 2 and training stops early
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+    r1 = loop.train(apply_fn, params, loop.make_adamw(0.0), loaders(),
+                    num_epochs=50, patience=2, verbose=False,
+                    state_path=state)
+    assert len(r1.history) < 50  # early-stopped
+
+    r2 = loop.train(apply_fn, vis.init(cfg, jax.random.PRNGKey(0)),
+                    loop.make_adamw(0.0), loaders(), num_epochs=50,
+                    patience=2, verbose=False, state_path=state)
+    assert len(r2.history) == len(r1.history)  # resumed run adds NOTHING
