@@ -105,6 +105,11 @@ def _lloyd(x, mask, centers, max_iter: int, tol_abs, use_pallas: bool = False,
                        preferred_element_type=jnp.float32)
         return sums, jnp.sum(onehot, axis=0), best
 
+    # with fewer valid points than clusters, at least k - n_valid clusters
+    # can NEVER fill — only un-expected empties should keep the loop alive
+    # (jnp.any(empty) made degenerate slides burn all max_iter iterations)
+    min_empty = jnp.maximum(0, k - jnp.sum(mask))
+
     def step(state):
         centers, _, it, _ = state
         sums, counts, best = stats(centers)
@@ -112,14 +117,17 @@ def _lloyd(x, mask, centers, max_iter: int, tol_abs, use_pallas: bool = False,
                                 sums / jnp.maximum(counts[:, None], 1.0),
                                 centers)
         # empty-cluster relocation: farthest valid points become centers
+        # (top_k, not a full N-row argsort — only k candidates are ever
+        # used, and ties keep index order in both)
         empty = counts == 0
-        order = jnp.argsort(-best)  # masked rows have best=0 -> sorted last
+        kk = min(k, n)  # top_k needs k <= n; n < k repeats the farthest
+        _, far = jax.lax.top_k(best, kk)  # masked rows have best=0 -> last
         pos = jnp.cumsum(empty.astype(jnp.int32)) - 1
-        candidates = x[order[jnp.clip(pos, 0, n - 1)]]
+        candidates = x[far[jnp.clip(pos, 0, kk - 1)]]
         new_centers = jnp.where(empty[:, None], candidates, new_centers)
 
         shift = jnp.sum((new_centers - centers) ** 2)
-        return new_centers, shift, it + 1, jnp.any(empty)
+        return new_centers, shift, it + 1, jnp.sum(empty) > min_empty
 
     def cond(state):
         _, shift, it, had_empty = state
@@ -179,6 +187,8 @@ def kmeans_fit(x: jax.Array, mask: jax.Array, key: jax.Array,
     ``use_pallas=True`` runs the Lloyd inner step through the fused Pallas
     kernel (ops/pallas_kmeans.py) when shapes allow; identical math.
     """
+    x = x.astype(jnp.float32)  # mixed-precision input would mismatch the
+    # while_loop carry dtype (sums accumulate in f32) — an opaque trace error
     maskf = mask.astype(x.dtype)
     n_valid = jnp.maximum(jnp.sum(maskf), 1.0)
     mean = jnp.sum(x * maskf[:, None], axis=0) / n_valid
@@ -213,9 +223,12 @@ def kmeans_cluster_features(features: np.ndarray, n_clusters: int = 100,
 
     backend='tpu': this module's kmeans++/Lloyd (fast path).
     backend='hybrid': sklearn-exact kmeans++ seeding on host + Lloyd on TPU
-    (near-bit-parity at TPU speed).
+    (near-bit-parity at TPU speed; the seeding stream matches sklearn
+    >= 1.8 — older sklearns used a float64 stable_cumsum (<1.8) and a
+    randint first draw (<1.3), so artifacts produced by those versions
+    need backend='sklearn' for exactness).
     backend='sklearn': exact reference implementation (bit-parity with
-    artifacts produced by the reference pipeline).
+    artifacts produced by the reference pipeline, any sklearn version).
     """
     features = np.asarray(features, np.float32)
     if backend == "hybrid":
@@ -233,6 +246,11 @@ def kmeans_cluster_features(features: np.ndarray, n_clusters: int = 100,
                  for pos in range(n_clusters)]
         return np.asarray(means, dtype=np.float32)
 
+    if backend != "tpu":
+        # a typo'd backend silently running the non-parity path would write
+        # wrong cluster_features that the skip-if-present rule makes sticky
+        raise ValueError(f"backend must be 'tpu', 'hybrid', or 'sklearn'; "
+                         f"got {backend!r}")
     x = jnp.asarray(features)
     mask = jnp.ones((features.shape[0],), bool)
     _, labels, _, _ = kmeans_fit(x, mask, jax.random.PRNGKey(seed),
@@ -246,6 +264,8 @@ def kmeans_lloyd(x: jax.Array, mask: jax.Array, init_centers: jax.Array,
                  use_pallas: bool = False):
     """Lloyd iterations from explicit initial centers (for host-side
     seeding).  Same return contract as :func:`kmeans_fit`."""
+    x = x.astype(jnp.float32)
+    init_centers = init_centers.astype(jnp.float32)
     maskf = mask.astype(x.dtype)
     n_valid = jnp.maximum(jnp.sum(maskf), 1.0)
     mean = jnp.sum(x * maskf[:, None], axis=0) / n_valid

@@ -62,12 +62,46 @@ def _binned_histogram(idx: jax.Array, nbins: int, chunk: int = 4096) -> jax.Arra
     return hist[..., :nbins]
 
 
+def _otsu_best_center(hist: jax.Array, centers: jax.Array) -> jax.Array:
+    """Inter-class-variance argmax -> bin-center threshold (skimage
+    ``threshold_otsu`` core; index alignment verified against its
+    ``weight1[:-1] * weight2[1:] * (mean1[:-1] - mean2[1:])**2``)."""
+    w1 = jnp.cumsum(hist, axis=-1)
+    w2 = w1[..., -1:] - w1
+    cm = jnp.cumsum(hist * centers, axis=-1)
+    total = cm[..., -1:]
+    mean1 = cm / jnp.maximum(w1, 1e-30)
+    mean2 = (total - cm) / jnp.maximum(w2, 1e-30)
+    var12 = (w1 * w2 * (mean1 - mean2) ** 2)[..., :-1]
+    best = jnp.argmax(var12, axis=-1)
+    return jnp.take_along_axis(jnp.broadcast_to(centers, hist.shape),
+                               best[..., None], axis=-1)[..., 0]
+
+
 def otsu_threshold(values: jax.Array, nbins: int = 256) -> jax.Array:
-    """skimage ``threshold_otsu``: 256 bins over [min, max]; returns the
-    bin-center threshold maximizing inter-class variance.
+    """skimage ``threshold_otsu``.
+
+    Float input: ``nbins`` even bins over [min, max], fractional
+    bin-center threshold.  uint8 input: skimage IGNORES nbins for integer
+    images and uses one bincount bin per integer value — the threshold is
+    an integer (the reference thresholds raw R/G/B channels this way; the
+    float path only sees the HSV saturation channel).
 
     ``values``: (..., P) — batched over leading axes, thresholds per sample.
     """
+    if values.dtype == jnp.uint8:
+        idx = values.astype(jnp.int32)
+        hist = _binned_histogram(idx, 256)
+        # full 0..255 range: bins outside [min, max] have zero counts, so
+        # their inter-class variance is 0 and the argmax matches skimage's
+        # min..max-restricted bincount exactly
+        centers = jnp.arange(256, dtype=jnp.float32)
+        thr = _otsu_best_center(hist, centers)
+        vmin = jnp.min(idx, axis=-1).astype(jnp.float32)
+        vmax = jnp.max(idx, axis=-1).astype(jnp.float32)
+        # degenerate (constant) input: skimage raises; return the value
+        return jnp.where(vmax > vmin, thr, vmin)
+
     v = values.astype(jnp.float32)
     vmin = jnp.min(v, axis=-1, keepdims=True)
     vmax = jnp.max(v, axis=-1, keepdims=True)
@@ -76,17 +110,7 @@ def otsu_threshold(values: jax.Array, nbins: int = 256) -> jax.Array:
     idx = jnp.clip(((v - vmin) / safe_w).astype(jnp.int32), 0, nbins - 1)
     hist = _binned_histogram(idx, nbins)  # (..., nbins)
     centers = vmin + (jnp.arange(nbins, dtype=jnp.float32) + 0.5) * safe_w
-
-    w1 = jnp.cumsum(hist, axis=-1)
-    w2 = w1[..., -1:] - w1
-    cm = jnp.cumsum(hist * centers, axis=-1)
-    total = cm[..., -1:]
-    mean1 = cm / jnp.maximum(w1, 1e-30)
-    mean2 = (total - cm) / jnp.maximum(w2, 1e-30)
-    # inter-class variance over thresholds between bin i and i+1
-    var12 = (w1 * w2 * (mean1 - mean2) ** 2)[..., :-1]
-    best = jnp.argmax(var12, axis=-1)
-    thr = jnp.take_along_axis(centers, best[..., None], axis=-1)[..., 0]
+    thr = _otsu_best_center(hist, centers)
     # degenerate (constant) input: skimage raises; we return the value itself
     return jnp.where(width[..., 0] > 0, thr, vmin[..., 0])
 
@@ -95,7 +119,10 @@ def tissue_mask(img: jax.Array, rgb_min: int = 50) -> jax.Array:
     """Reference ``get_mask_image`` on one (H, W, 3) uint8/float image."""
     x = img.astype(jnp.float32)
     h, w, _ = x.shape
-    flat = x.reshape(h * w, 3)
+    # keep the ORIGINAL dtype for the channel thresholds: skimage's Otsu
+    # uses per-integer-value bins for uint8 images (the reference
+    # thresholds raw channels), not the 256-even-bin float path
+    flat = img.reshape(h * w, 3)
     r_thr = otsu_threshold(flat[:, 0])
     g_thr = otsu_threshold(flat[:, 1])
     b_thr = otsu_threshold(flat[:, 2])

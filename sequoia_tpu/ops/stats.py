@@ -61,4 +61,8 @@ def mean_correlation(pred, target, valid):
     r = pearson_per_gene(pred, target, valid)
     ok = (vt > 0) & ~jnp.isnan(r)
     denom = jnp.maximum(jnp.sum(ok), 1)
-    return jnp.sum(jnp.where(ok, r, 0.0)) / denom
+    mean_r = jnp.sum(jnp.where(ok, r, 0.0)) / denom
+    # every gene skipped -> NaN, matching the reference's np.mean over an
+    # empty list (a fabricated 0.0 would count as a real score in the
+    # epoch mean that drives best-model selection)
+    return jnp.where(jnp.sum(ok) > 0, mean_r, jnp.nan)

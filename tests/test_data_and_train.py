@@ -323,3 +323,17 @@ def test_resume_after_early_stop_does_not_continue(tmp_path):
                     loop.make_adamw(0.0), loaders(), num_epochs=50,
                     patience=2, verbose=False, state_path=state)
     assert len(r2.history) == len(r1.history)  # resumed run adds NOTHING
+
+
+def test_mean_correlation_all_skipped_is_nan():
+    """Every gene constant-in-batch -> NaN like the reference's np.mean of
+    an empty list, not a fabricated 0.0 entering best-model selection."""
+    import jax.numpy as jnp
+
+    from sequoia_tpu.ops import stats
+
+    pred = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3)),
+                       jnp.float32)
+    real = jnp.ones((4, 3), jnp.float32)  # constant targets: all skipped
+    valid = jnp.ones((4,), bool)
+    assert np.isnan(float(stats.mean_correlation(pred, real, valid)))

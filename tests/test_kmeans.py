@@ -193,3 +193,22 @@ def test_empty_cluster_repair_on_degenerate_features():
         assert filled == want_filled, (name, filled)
         counts = np.bincount(np.asarray(labels), minlength=k)
         assert (counts > 0).sum() == want_filled, (name, counts)
+
+
+def test_unknown_backend_raises():
+    import pytest
+
+    feats = np.random.default_rng(0).normal(size=(20, 4)).astype(np.float32)
+    with pytest.raises(ValueError, match="backend"):
+        km.kmeans_cluster_features(feats, n_clusters=4, backend="sklean")
+
+
+def test_fewer_points_than_clusters_converges_quickly():
+    """n_valid < k: the un-fillable empty clusters must not keep the Lloyd
+    while_loop alive for all 300 iterations."""
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(5, 4)), jnp.float32)
+    mask = jnp.ones((5,), bool)
+    _, labels, _, n_iter = km.kmeans_fit(x, mask, jax.random.PRNGKey(0),
+                                         n_clusters=8)
+    assert int(n_iter) < 20, int(n_iter)
+    assert np.isfinite(np.asarray(labels)).all()

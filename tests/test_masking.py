@@ -11,11 +11,20 @@ from sequoia_tpu.ops import masking
 
 
 def np_otsu(values, nbins=256):
-    """skimage threshold_otsu reference implementation."""
-    v = np.asarray(values, np.float64)
-    hist, edges = np.histogram(v, bins=nbins, range=(v.min(), v.max()))
-    centers = (edges[:-1] + edges[1:]) / 2
-    hist = hist.astype(float)
+    """skimage threshold_otsu reference implementation: integer images get
+    one bincount bin per value (nbins ignored — skimage
+    ``_bincount_histogram``); float images get ``nbins`` even bins."""
+    v = np.asarray(values)
+    if v.dtype.kind in "iu":
+        vmin, vmax = int(v.min()), int(v.max())
+        hist = np.bincount((v.ravel() - vmin).astype(np.int64),
+                           minlength=vmax - vmin + 1).astype(float)
+        centers = np.arange(vmin, vmax + 1, dtype=float)
+    else:
+        v = v.astype(np.float64)
+        hist, edges = np.histogram(v, bins=nbins, range=(v.min(), v.max()))
+        centers = (edges[:-1] + edges[1:]) / 2
+        hist = hist.astype(float)
     w1 = np.cumsum(hist)
     w2 = np.cumsum(hist[::-1])[::-1]
     m1 = np.cumsum(hist * centers) / np.maximum(w1, 1e-30)
@@ -96,3 +105,18 @@ def test_patch_keep_flags_batch():
     flags = np.asarray(masking.patch_keep_flags(jnp.asarray(tissue)))
     assert flags.shape == (2,)
     assert not flags[0]
+
+
+def test_otsu_uint8_matches_skimage_integer_bins():
+    """uint8 inputs take skimage's integer path (one bincount bin per
+    value, nbins ignored) — the float 256-even-bin path can land on a
+    different threshold for the same pixels."""
+    rng = np.random.default_rng(4)
+    for _ in range(5):
+        v = np.concatenate([
+            rng.integers(10, 90, 700), rng.integers(140, 250, 500),
+        ]).astype(np.uint8)
+        got = float(masking.otsu_threshold(jnp.asarray(v)))
+        want = float(np_otsu(v))
+        assert got == want, (got, want)
+        assert float(got).is_integer()  # integer-valued bin center
