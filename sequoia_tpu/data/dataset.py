@@ -43,6 +43,10 @@ def gene_names(df: pd.DataFrame) -> list[str]:
 
 def slide_h5_path(features_path: str, project: str, wsi: str) -> str:
     path = os.path.join(features_path, str(project), str(wsi), str(wsi) + ".h5")
+    # deliberate reference-quirk preservation (read_data.py:45-46): the
+    # GTEX check and the .svs strip operate on the WHOLE joined path —
+    # including the store root — exactly as the reference does; stores
+    # written by either pipeline must resolve to the same file
     if "GTEX" not in path:
         path = path.replace(".svs", "")
     return path
@@ -144,6 +148,13 @@ class BatchLoader:
     Bad samples (unreadable ``.h5``) are dropped before batching, like the
     reference's collate filter.  With ``shuffle=True`` order is drawn from a
     ``numpy.random.Generator`` seeded per epoch.
+
+    ``num_tokens``: pad/truncate every batch to this token count.  Default
+    None pads to the per-batch max — for ``cluster_features`` (the
+    reference training contract) every slide has exactly ``num_clusters``
+    tokens so shapes are already fixed; for RAGGED raw-feature stores pass
+    an explicit value, otherwise each distinct batch shape retraces the
+    jitted step.
     """
 
     def __init__(self, dataset: FeatureDataset, batch_size: int = 16,
@@ -242,10 +253,12 @@ class PrefetchIterator:
         return self
 
     def __next__(self):
-        if self._stop.is_set():
-            raise StopIteration
+        if self._stop.is_set() or getattr(self, "_done", False):
+            raise StopIteration  # exhausted iterators must KEEP raising —
+            # another q.get() here would block forever (worker exited)
         item = self._q.get()
         if item is self._SENTINEL:
+            self._done = True
             if self._err is not None:
                 raise self._err
             raise StopIteration

@@ -32,8 +32,12 @@ def patient_kfold(patient_ids, n_splits: int = 5, random_state: int = 0,
 
         test_idx.append(indices[np.isin(patient_ids, patients_test)])
         if valid_size > 0:
+            # same seed as KFold (the reference hardcodes 0 for both; a
+            # caller-supplied seed must apply to BOTH draws or
+            # different-seed runs share their validation carve-out)
             patients_train, patients_valid = train_test_split(
-                patients_train, test_size=valid_size, random_state=0)
+                patients_train, test_size=valid_size,
+                random_state=random_state)
             valid_idx.append(indices[np.isin(patient_ids, patients_valid)])
         train_idx.append(indices[np.isin(patient_ids, patients_train)])
 
@@ -107,9 +111,16 @@ def load_shipped_patient_splits(path):
     ``patient_splits.zip``) into match_patient_kfold's input format."""
     ensure_legacy_pandas_unpickle()
     obj = np.load(path, allow_pickle=True).item()
+    # iterate the fold keys actually present (len(obj) would misalign on
+    # 1-indexed folds or extra metadata keys)
+    fold_keys = sorted((k for k in obj
+                        if isinstance(k, str) and k.startswith("fold_")),
+                       key=lambda k: int(k.split("_")[1]))
+    if not fold_keys:  # integer-keyed artifact
+        fold_keys = sorted(k for k in obj if isinstance(k, int))
     splits = []
-    for i in range(len(obj)):
-        fold = obj[f"fold_{i}"] if f"fold_{i}" in obj else obj[i]
+    for k in fold_keys:
+        fold = obj[k]
         splits.append((np.asarray(fold["train"]), np.asarray(fold["val"]),
                        np.asarray(fold["test"])))
     return splits
@@ -127,7 +138,6 @@ def load_test_wsis(path):
 def filter_by_test_wsis(df, test_wsis, cancer: str, split: int | str):
     """Rows of ``df`` whose wsi_file_name is in the artifact's
     {cancer}/{split} test list."""
-    import numpy as np
 
     key = split if split in test_wsis.get(cancer, {}) else f"split_{split}"
     wanted = set(map(str, test_wsis[cancer][key]))

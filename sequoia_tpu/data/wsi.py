@@ -118,7 +118,9 @@ class PILReader:
         ds = self.level_dimensions[0][0] / self.level_dimensions[level][0]
         lx, ly = int(x0 / ds), int(y0 / ds)
         self._img.seek(self._pages[level])
-        region = self._img.convert("RGB").crop((lx, ly, lx + w, ly + h))
+        # crop FIRST: convert("RGB") on the full page would materialize a
+        # whole-slide RGB copy per region read (gigabytes on real WSIs)
+        region = self._img.crop((lx, ly, lx + w, ly + h)).convert("RGB")
         return np.asarray(region)
 
 
@@ -135,7 +137,12 @@ def open_slide(path_or_reader) -> SlideReader:
         # stub openslide to import the reference's visualize.py; a leaked
         # stub must not shadow the native/PIL backends)
         if hasattr(openslide, "OpenSlide"):
-            return OpenSlideReader(path)
+            try:
+                return OpenSlideReader(path)
+            except Exception:
+                # formats OpenSlide rejects (flat PNG/JPEG fixtures) fall
+                # through to the native/PIL backends as documented
+                pass
     except ImportError:
         pass
     try:

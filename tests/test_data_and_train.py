@@ -337,3 +337,24 @@ def test_mean_correlation_all_skipped_is_nan():
     real = jnp.ones((4, 3), jnp.float32)  # constant targets: all skipped
     valid = jnp.ones((4,), bool)
     assert np.isnan(float(stats.mean_correlation(pred, real, valid)))
+
+
+def test_prefetch_iterator_exhaustion_keeps_raising():
+    """Exhausted PrefetchIterator must keep raising StopIteration (iterator
+    protocol) instead of blocking forever on an empty queue."""
+    it = ds.prefetch(iter([1, 2]), depth=2)
+    assert list(it) == [1, 2]
+    import pytest
+
+    for _ in range(3):
+        with pytest.raises(StopIteration):
+            next(it)
+
+
+def test_patient_kfold_seed_threads_to_valid_split():
+    ids = np.asarray([f"p{i}" for i in range(30)])
+    tr0, va0, te0 = splits.patient_kfold(ids, n_splits=3, random_state=0)
+    tr1, va1, te1 = splits.patient_kfold(ids, n_splits=3, random_state=7)
+    # different seed changes BOTH the test folds and the valid carve-out
+    assert not all(np.array_equal(a, b) for a, b in zip(te0, te1))
+    assert not all(np.array_equal(a, b) for a, b in zip(va0, va1))
