@@ -14,7 +14,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory holding {cancer}/test_results.pkl")
     p.add_argument("--cancers", type=str, nargs="*",
                    default=list(em.DEFAULT_CANCERS))
-    p.add_argument("--folds", type=int, default=5)
+    p.add_argument("--folds", type=int, default=None,
+                   help="split count; default auto-detects per cancer")
     p.add_argument("--save_path", type=str, default=None)
     return p
 

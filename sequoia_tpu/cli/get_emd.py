@@ -75,11 +75,14 @@ def main(argv=None) -> None:
         genes = args.gene_names.split(",")
 
     pred_df = pd.read_csv(args.pred_csv)
+    # preprocess the AnnData ONCE (normalize/log1p/scale are gene-
+    # independent; reloading per gene turns minutes into hours)
+    adata = sm.load_ground_truth_adata(args.h5ad) if args.h5ad else None
     rows = []
     for gene in genes:
         try:
-            if args.h5ad:
-                gt = sm.load_ground_truth_h5ad(args.h5ad, gene)
+            if adata is not None:
+                gt = sm.ground_truth_gene_df(adata, gene)
             elif args.gt_csv_template:
                 gt = pd.read_csv(args.gt_csv_template.format(gene=gene))
             else:

@@ -44,6 +44,10 @@ def main(argv=None) -> None:
 
     template = args.checkpoint_template
     if template is None:
+        if not args.tcga_project:
+            raise SystemExit(
+                "need --checkpoint_template or --tcga_project (to resolve "
+                "the gevaertlab/sequoia-{cancer} HF checkpoints)")
         cancer = args.tcga_project.split("-")[-1].lower()
         template = f"gevaertlab/sequoia-{cancer}"
 

@@ -67,13 +67,12 @@ def evaluate_split_results(test_res: dict, folds: int | None = None) -> pd.DataF
     if folds is None:
         folds = sum(1 for k in test_res if str(k).startswith("split_"))
 
-    real_l, pred_l, rand_l, wsi_l = [], [], [], []
+    real_l, pred_l, rand_l = [], [], []
     for k in range(folds):
         data = test_res[f"split_{k}"]
         real_l.append(np.asarray(data["real"]))
         pred_l.append(np.asarray(data["preds"]))
         rand_l.append(np.asarray(data["random"]))
-        wsi_l.extend(list(data["wsi_file_name"]))
     real = np.concatenate(real_l)
     pred = np.concatenate(pred_l)
     rand = np.concatenate(rand_l)
@@ -133,7 +132,8 @@ def significant_genes(all_res: pd.DataFrame) -> pd.DataFrame:
 
 
 def evaluate_model_dir(model_dir: str, cancers=DEFAULT_CANCERS,
-                       folds: int = 5, save_path: str | None = None):
+                       folds: int | None = None,
+                       save_path: str | None = None):
     """Reference __main__ flow: per-cancer ``{model_dir}/{cancer}/
     test_results.pkl`` -> combined all/sig/num CSVs."""
     save_path = save_path or os.path.join(model_dir, "results")
@@ -145,12 +145,24 @@ def evaluate_model_dir(model_dir: str, cancers=DEFAULT_CANCERS,
         if not os.path.exists(pkl):
             print(f"no data for {cancer}")
             continue
-        with open(pkl, "rb") as f:
-            test_res = pickle.load(f)
-        res = evaluate_split_results(test_res, folds=folds)
+        try:
+            with open(pkl, "rb") as f:
+                test_res = pickle.load(f)
+            # folds=None auto-detects the split count per cancer (forcing
+            # 5 raised KeyError on 3-fold runs and silently truncated
+            # 10-fold ones); the reference's per-cancer try/except keeps
+            # one bad cancer from killing the other 15
+            res = evaluate_split_results(test_res, folds=folds)
+        except Exception as e:  # noqa: BLE001 — reference behavior
+            print(f"no data for {cancer} ({type(e).__name__}: {e})")
+            continue
         res["cancer"] = cancer
         df_list.append(res)
 
+    if not df_list:
+        raise FileNotFoundError(
+            f"no readable test_results.pkl under {model_dir} for any of "
+            f"{list(cancers)}")
     all_res = pd.concat(df_list)
     sig_res = significant_genes(all_res)
 

@@ -15,7 +15,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from scipy.stats import percentileofscore
+from scipy.stats import rankdata
 
 DEFAULT_MODULES = ("AC", "G1S", "G2M", "MES1", "MES2", "NPC1", "NPC2", "OPC")
 
@@ -42,7 +42,10 @@ def correlation_matrix(pred_df: pd.DataFrame, modules: dict[str, list[str]],
     """Gene-gene correlation over tiles, genes ordered by module."""
     cols = [g for genes in module_gene_columns(pred_df, modules).values()
             for g in genes]
-    return pred_df[cols].corr(method=method)
+    # reference listwise deletion (gbm_celltype_analysis.py:72 dropna before
+    # .corr()): pandas pairwise deletion would silently change every value
+    # when NaN tiles exist (routine border tiles in stride-1.csv)
+    return pred_df[cols].dropna(axis=0, how="any").corr(method=method)
 
 
 MERGED_CATEGORIES = {
@@ -68,22 +71,37 @@ def percentile_scores(pred_df: pd.DataFrame,
     percentile-transformed within the slide (the reference's order of
     operations: mean first, then ``percentileofscore``)."""
     present = module_gene_columns(pred_df, modules)
-    out = pd.DataFrame(index=pred_df.index)
+    all_genes = [g for genes in present.values() for g in genes]
+    # reference listwise dropna FIRST (gbm_celltype_analysis.py:97): a
+    # single NaN tile would otherwise poison percentileofscore (scipy>=1.9
+    # NaN propagation) into an all-NaN module column
+    clean = pred_df[all_genes].dropna(axis=0, how="any")
+    out = pd.DataFrame(index=pred_df.index)  # dropped tiles stay NaN
     for m, genes in present.items():
         if not genes:
             continue
-        vals = pred_df[genes].mean(axis=1).to_numpy()
-        out[m] = [percentileofscore(vals, v) if not np.isnan(v) else np.nan
-                  for v in vals]
+        vals = clean[genes].mean(axis=1).to_numpy()
+        if len(vals):
+            # rankdata == percentileofscore kind='rank' per element (to
+            # float rounding), O(n log n) instead of O(n^2) over the slide
+            out.loc[clean.index, m] = (rankdata(vals, method="average")
+                                       / len(vals) * 100.0)
+        else:
+            out[m] = np.nan
     return out
 
 
 def assign_modules(pred_df: pd.DataFrame,
                    modules: dict[str, list[str]]) -> pd.Series:
     """Per-tile argmax module/category (the reference's spatial coloring
-    rule: highest percentile of the category mean)."""
+    rule: highest percentile of the category mean).  NaN-dropped tiles get
+    NaN assignments."""
     scores = percentile_scores(pred_df, modules)
-    return scores.idxmax(axis=1)
+    valid = scores.dropna(how="all")
+    out = pd.Series(np.nan, index=scores.index, dtype=object)
+    if len(valid):
+        out.loc[valid.index] = valid.idxmax(axis=1)
+    return out
 
 
 def average_correlation(corr_dfs: list[pd.DataFrame]) -> pd.DataFrame:

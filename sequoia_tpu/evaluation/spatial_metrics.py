@@ -118,16 +118,29 @@ def emd_for_gene(pred_df: pd.DataFrame, gt_df: pd.DataFrame, gene: str,
     return out
 
 
-def load_ground_truth_h5ad(path: str, gene: str) -> pd.DataFrame:
-    """Visium h5ad -> (x, y, gene_expr) via scanpy normalize+log1p+scale
-    (reference preprocessing); requires scanpy."""
+def load_ground_truth_adata(path: str):
+    """Visium h5ad -> preprocessed AnnData (scanpy normalize+log1p+scale,
+    the reference preprocessing).  Gene-independent: load ONCE, then slice
+    per gene with :func:`ground_truth_gene_df` — re-running this per gene
+    re-scales the whole matrix hundreds of times."""
     import scanpy as sc
 
     adata = sc.read_h5ad(path)
     sc.pp.normalize_total(adata, inplace=True)
     sc.pp.log1p(adata)
     sc.pp.scale(adata)
+    return adata
+
+
+def ground_truth_gene_df(adata, gene: str) -> pd.DataFrame:
+    """(x, y, gene_expr) slice of a preprocessed AnnData for one gene."""
     sub = adata[:, gene]
     df = pd.DataFrame(sub.obs[["x", "y"]].values, columns=["x", "y"])
     df["gene_expr"] = np.asarray(sub.X).flatten()
     return df
+
+
+def load_ground_truth_h5ad(path: str, gene: str) -> pd.DataFrame:
+    """One-shot convenience: load + preprocess + slice one gene (for many
+    genes use load_ground_truth_adata once + ground_truth_gene_df)."""
+    return ground_truth_gene_df(load_ground_truth_adata(path), gene)

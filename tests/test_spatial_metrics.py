@@ -193,3 +193,29 @@ def test_percentile_scores_mean_then_percentile():
     means = df[["g1", "g2"]].mean(axis=1).to_numpy()
     want = [percentileofscore(means, v) for v in means]
     np.testing.assert_allclose(scores["M"].to_numpy(), want)
+
+
+def test_gbm_modules_nan_tiles_dropped_like_reference():
+    """A NaN tile (routine stride-1.csv border row) must not poison the
+    module scores (reference dropna, gbm_celltype_analysis.py:72/97):
+    scores on clean tiles stay finite, NaN tiles get NaN assignments, and
+    correlations use listwise deletion."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(rng.normal(size=(20, 4)), columns=["A1", "A2", "B1", "B2"])
+    df.loc[3, "A1"] = np.nan  # one bad tile
+    modules = {"ac": ["A1", "A2"], "mes": ["B1", "B2"]}
+
+    scores = gbm_modules.percentile_scores(df, modules)
+    clean = scores.drop(index=3)
+    assert np.isfinite(clean.to_numpy()).all()
+    assert scores.loc[3].isna().all()
+
+    assign = gbm_modules.assign_modules(df, modules)
+    assert pd.isna(assign.loc[3]) and assign.drop(index=3).notna().all()
+
+    corr = gbm_modules.correlation_matrix(df, modules)
+    want = df.drop(index=3)[["A1", "A2", "B1", "B2"]].corr()
+    np.testing.assert_allclose(corr.to_numpy(), want.to_numpy())
