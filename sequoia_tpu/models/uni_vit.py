@@ -206,3 +206,21 @@ def random_params(cfg: UniViTConfig, key) -> Params:
         "norm_scale": jnp.ones((d,)),
         "norm_bias": jnp.zeros((d,)),
     }
+
+
+def extract_from_uint8(cfg: UniViTConfig, params: Params,
+                       u8: "jax.Array") -> "jax.Array":
+    """uint8 patches -> UNI features with the reference preprocessing
+    (``compute_features_hdf5.py:53-56`` order: PIL Resize(224) on the uint8
+    image — bit-exact Pillow BILINEAR on the MXU — THEN ToTensor+Normalize).
+    The ONE implementation shared by the streaming extractor, the fused
+    slide program, and the bench (so preprocessing cannot drift)."""
+    from sequoia_tpu.models import resnet as _resnet
+    from sequoia_tpu.ops import pil_resize as _pil
+
+    if u8.shape[1] != cfg.img_size or u8.shape[2] != cfg.img_size:
+        u8 = _pil.resize_u8(u8, cfg.img_size, cfg.img_size)
+    x = u8.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(_resnet.IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(_resnet.IMAGENET_STD, jnp.float32)
+    return forward(cfg, params, (x - mean) / std)

@@ -52,6 +52,16 @@ def initialize(coordinator_address: str | None = None,
     all three (the test suite drives a real 2-process CPU cluster through
     this path).
     """
+    global _initialized
+    if _initialized:
+        return
+    if coordinator_address is None and (num_processes is not None
+                                        or process_id is not None):
+        # partial spec would silently fall through to auto-detection and
+        # fail with an unrelated coordinator-discovery error
+        raise ValueError("--num_processes/--process_id need --coordinator "
+                         "on CPU/GPU fleets (all three are auto-discovered "
+                         "only on Cloud TPU)")
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,
@@ -59,8 +69,15 @@ def initialize(coordinator_address: str | None = None,
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:  # idempotent: tolerate a live connection
-        if "already" not in str(e).lower():
+        # jax wordings vary: "already initialized" (older) vs
+        # "should only be called once" (jax>=0.9)
+        msg = str(e).lower()
+        if "already" not in msg and "only be called once" not in msg:
             raise
+    _initialized = True
+
+
+_initialized = False
 
 
 def process_shard(n_rows: int, process_index: int | None = None,

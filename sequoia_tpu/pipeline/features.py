@@ -29,7 +29,6 @@ import jax.numpy as jnp
 
 from sequoia_tpu.models import resnet as resnet_mod
 from sequoia_tpu.models import uni_vit
-from sequoia_tpu.ops import pil_resize
 
 
 class FeatureExtractor:
@@ -91,14 +90,9 @@ class FeatureExtractor:
 
             def one_chunk(params, u8):
                 # reference order (compute_features_hdf5.py:53-56): PIL
-                # Resize(224) on the uint8 image, THEN ToTensor+Normalize.
-                # pil_resize is bit-exact Pillow BILINEAR on the MXU.
-                if u8.shape[1] != cfg.img_size or u8.shape[2] != cfg.img_size:
-                    u8 = pil_resize.resize_u8(u8, cfg.img_size, cfg.img_size)
-                x = u8.astype(jnp.float32) / 255.0
-                mean = jnp.asarray(resnet_mod.IMAGENET_MEAN, jnp.float32)
-                std = jnp.asarray(resnet_mod.IMAGENET_STD, jnp.float32)
-                return uni_vit.forward(cfg, params, (x - mean) / std)
+                # Resize(224) then ToTensor+Normalize — the shared
+                # implementation (also used by fused.py and bench.py)
+                return uni_vit.extract_from_uint8(cfg, params, u8)
 
             def fwd(params, u8):
                 n, ck = u8.shape[0], self.UNI_SCAN_CHUNK

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 
 from sequoia_tpu.models import resnet, uni_vit, vis
 from sequoia_tpu.ops import kmeans as km
-from sequoia_tpu.ops import pil_resize
 
 
 def make_slide_program(backbone_params, vis_cfg: vis.ViSConfig, vis_params,
@@ -31,8 +30,8 @@ def make_slide_program(backbone_params, vis_cfg: vis.ViSConfig, vis_params,
                        compute_dtype=jnp.bfloat16, backbone: str = "resnet"):
     """Returns ``run(patch_batches_u8, key) -> (num_genes,)`` jitted.
 
-    ``patch_batches_u8``: (n_batches, B, H, W, 3) uint8, zero-padded rows
-    allowed only as full batches (they'd otherwise contribute fake patches).
+    ``patch_batches_u8``: (n_batches, B, H, W, 3) uint8; all-zero rows are
+    treated as padding and masked out of clustering.
     ``backbone``: 'resnet' (2048-d) or 'uni' (bit-exact PIL 224 resize +
     ViT-L, 1024-d).
     """
@@ -45,22 +44,22 @@ def make_slide_program(backbone_params, vis_cfg: vis.ViSConfig, vis_params,
         ucfg = uni_vit.UniViTConfig(compute_dtype=compute_dtype)
 
         def one_batch(u8):
-            if u8.shape[1] != ucfg.img_size or u8.shape[2] != ucfg.img_size:
-                u8 = pil_resize.resize_u8(u8, ucfg.img_size, ucfg.img_size)
-            x = u8.astype(jnp.float32) / 255.0
-            mean = jnp.asarray(resnet.IMAGENET_MEAN, jnp.float32)
-            std = jnp.asarray(resnet.IMAGENET_STD, jnp.float32)
-            return uni_vit.forward(ucfg, backbone_params, (x - mean) / std)
+            return uni_vit.extract_from_uint8(ucfg, backbone_params, u8)
     else:
         raise ValueError('backbone must be "resnet" or "uni"')
 
     @jax.jit
-    def features(patch_batches_u8: jax.Array) -> jax.Array:
+    def features(patch_batches_u8: jax.Array):
         def step(_, u8):
-            return None, one_batch(u8)
+            # all-zero patches are padding (the docstring permits zero-
+            # padded batches): mask them OUT of clustering rather than
+            # letting backbone-of-zeros rows capture clusters
+            valid = jnp.any(u8 != 0, axis=(1, 2, 3))
+            return None, (one_batch(u8), valid)
 
-        _, feats = jax.lax.scan(step, None, patch_batches_u8)
-        return feats.reshape(-1, feats.shape[-1])  # (N, D) f32, stays in HBM
+        _, (feats, valid) = jax.lax.scan(step, None, patch_batches_u8)
+        # (N, D) f32 + (N,) bool, stays in HBM
+        return feats.reshape(-1, feats.shape[-1]), valid.reshape(-1)
 
     vis_fwd = jax.jit(lambda p, x: vis.apply(vis_cfg, p, x))
 
@@ -68,11 +67,13 @@ def make_slide_program(backbone_params, vis_cfg: vis.ViSConfig, vis_params,
     # more slowly for no runtime win); intermediates never leave the device,
     # so the pipeline is still fully device-resident.
     def run(patch_batches_u8: jax.Array, key: jax.Array) -> jax.Array:
-        feats = features(patch_batches_u8)
-        mask = jnp.ones((feats.shape[0],), bool)
+        feats, mask = features(patch_batches_u8)
         _, labels, _, _ = km.kmeans_fit(feats, mask, key,
                                         n_clusters=n_clusters)
         cf = km.cluster_means(feats, labels, mask, n_clusters=n_clusters)
+        # fewer valid patches than clusters leaves NaN means: zero-pad like
+        # serve.cluster (reference <100-token window semantics)
+        cf = jnp.nan_to_num(cf)
         return vis_fwd(vis_params, cf[None])[0]
 
     return run

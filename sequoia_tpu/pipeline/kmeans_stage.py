@@ -80,18 +80,20 @@ def run_kmeans(df, feature_path: str, *, num_clusters: int = 100,
     """
     df = df.drop_duplicates(["wsi_file_name"])
     done = 0
-    pending: dict[int, list[tuple[str, np.ndarray, int]]] = {}
+    # bucket by (padded-N, feature-dim): mixed-width stores (e.g. 2048-d
+    # 256px slides alongside 8192-d 448px ones) must not share a batch
+    pending: dict[tuple[int, int], list[tuple[str, np.ndarray, int]]] = {}
 
     vfit = jax.vmap(lambda x, m, k: km.kmeans_fit(
         x, m, k, n_clusters=num_clusters, use_pallas=use_pallas))
     vmeans = jax.vmap(lambda x, l, m: km.cluster_means(
         x, l, m, n_clusters=num_clusters))
 
-    def flush_bucket(nb: int) -> int:
-        group = pending.pop(nb, [])
+    def flush_bucket(key_: tuple[int, int]) -> int:
+        group = pending.pop(key_, [])
         if not group:
             return 0
-        d = group[0][1].shape[1]
+        nb, d = key_
         xs = np.zeros((len(group), nb, d), np.float32)
         masks = np.zeros((len(group), nb), bool)
         for i, (_, feats, n) in enumerate(group):
@@ -139,11 +141,12 @@ def run_kmeans(df, feature_path: str, *, num_clusters: int = 100,
             done += int(_write_cluster_features(path, means))
             continue
 
-        nb = _bucket(features.shape[0])
-        pending.setdefault(nb, []).append((path, features, features.shape[0]))
-        if len(pending[nb]) == group_size:
-            done += flush_bucket(nb)
+        key_ = (_bucket(features.shape[0]), features.shape[1])
+        pending.setdefault(key_, []).append(
+            (path, features, features.shape[0]))
+        if len(pending[key_]) == group_size:
+            done += flush_bucket(key_)
 
-    for nb in list(pending):
-        done += flush_bucket(nb)
+    for key_ in list(pending):
+        done += flush_bucket(key_)
     return done

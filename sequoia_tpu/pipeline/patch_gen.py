@@ -114,8 +114,9 @@ def extract_patches(slide_path, patches_output_dir: str, mask_path: str,
     mask, mask_level = compute_slide_mask(slide)
     np.save(os.path.join(patch_folder_mask, "mask.npy"), mask)
 
-    indices, _, rf = masked_candidates(slide, mask, mask_level, patch_size[0])
-    psr = (int(rf * patch_size[0]), int(rf * patch_size[1]))
+    indices, psr_x, rf = masked_candidates(slide, mask, mask_level,
+                                           patch_size[0])
+    psr = (psr_x, int(rf * patch_size[1]))  # x-axis from the shared helper
     if verbose:
         print(f"patch size for {slide_id}: {psr}")
 
@@ -195,7 +196,10 @@ def extract_patches(slide_path, patches_output_dir: str, mask_path: str,
             pend_coords.append((x, y))
             if len(pend_coords) == screen_batch:
                 decode_and_flush()
-        decode_and_flush()
+        if n_written < max_patches_per_slide:
+            # cap already hit: decoding the pending tail (up to
+            # screen_batch-1 full-res regions) would be discarded anyway
+            decode_and_flush()
 
     if n_written == 0:
         if verbose:
