@@ -244,8 +244,13 @@ def he2rna_config_from_state_dict(sd, ks=(1, 2, 5, 10, 20, 50, 100)) -> HE2RNACo
     n = 0
     while f"conv{n}.weight" in sd:
         n += 1
-    dims = [_np(sd["conv0.weight"]).shape[1]]
-    dims += [_np(sd[f"conv{i}.weight"]).shape[0] for i in range(n)]
+    if "__ks__" in sd:
+        # whole-module pickles carry the trained ks sweep (preserved by
+        # checkpoint._to_numpy_sd); a model trained with a non-default
+        # sweep must eval with ITS sweep, not the CLI default
+        ks = tuple(int(k) for k in np.asarray(sd["__ks__"]).tolist())
+    dims = [tuple(sd["conv0.weight"].shape)[1]]
+    dims += [tuple(sd[f"conv{i}.weight"].shape)[0] for i in range(n)]
     return HE2RNAConfig(input_dim=dims[0], output_dim=dims[-1],
                         layers=tuple(dims[1:-1]), ks=tuple(ks))
 

@@ -26,11 +26,18 @@ import numpy as np
 def _to_numpy_sd(obj) -> dict[str, np.ndarray]:
     import torch
 
+    extra = {}
     if isinstance(obj, torch.nn.Module):
+        # whole-module pickles (reference he2rna.py:301) carry non-tensor
+        # hyperparameters the state dict drops; preserve ks so a model
+        # trained with a non-default sweep evals with ITS sweep
+        if hasattr(obj, "ks"):
+            try:
+                extra["__ks__"] = np.asarray([int(k) for k in obj.ks])
+            except (TypeError, ValueError):
+                pass
         obj = obj.state_dict()
-    if hasattr(obj, "state_dict") and not isinstance(obj, dict):
-        obj = obj.state_dict()
-    out = {}
+    out = dict(extra)
     for k, v in obj.items():
         if hasattr(v, "detach"):
             v = v.detach().cpu().numpy()
@@ -108,7 +115,12 @@ def load_hf_vis_state_dict(repo_or_path: str) -> dict[str, np.ndarray]:
         from safetensors.numpy import load_file
 
         return dict(load_file(st))
-    return load_torch_checkpoint(os.path.join(path, "pytorch_model.bin"))
+    bin_ = os.path.join(path, "pytorch_model.bin")
+    if not os.path.exists(bin_):
+        raise FileNotFoundError(
+            f"{path} has neither model.safetensors nor pytorch_model.bin "
+            f"(sharded checkpoints are not supported)")
+    return load_torch_checkpoint(bin_)
 
 
 def _write_hf_dir(out_dir: str, config: dict, sd) -> None:
@@ -173,8 +185,8 @@ def save_hf_he2rna_layout(out_dir: str, cfg, params) -> None:
 # ---------------------------------------------------------------------------
 
 def save_train_state(path: str, params, opt_state, meta: dict) -> None:
-    """Atomic save of a full training state: pytrees as npz leaves + pickled
-    treedefs + JSON-able loop counters."""
+    """Atomic save of a full training state: pytrees as npz leaves + a
+    pickled blob (treedefs + the meta dict of loop counters)."""
     import jax
 
     leaves_p, tree_p = jax.tree_util.tree_flatten(params)
@@ -189,7 +201,8 @@ def save_train_state(path: str, params, opt_state, meta: dict) -> None:
         "n_o": len(leaves_o),
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    tmp = path + ".tmp"
+    tmp = f"{path}.{os.getpid()}.tmp"  # unique per writer: concurrent
+    # savers on a shared filesystem must not interleave into one tmp
     with open(tmp, "wb") as f:
         np.savez(f, __blob__=np.frombuffer(pickle.dumps(blob), np.uint8),
                  **payload)

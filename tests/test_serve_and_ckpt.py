@@ -1107,3 +1107,34 @@ def test_http_nan_predictions_serialize_as_null():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_he2rna_whole_module_pickle_preserves_ks(tmp_path):
+    """The reference's torch.save(model) pickles carry model.ks; a model
+    trained with a non-default sweep must eval with ITS sweep (the state
+    dict alone cannot recover it)."""
+    import torch
+    import torch.nn as nn
+
+    class HE2RNA(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv0 = nn.Conv1d(8, 6, 1)
+            self.conv1 = nn.Conv1d(6, 4, 1)
+            self.ks = [10]  # the reference ctor default, NOT the CLI sweep
+
+    mod = types.ModuleType("he2rna_ks_module")
+    HE2RNA.__module__ = "he2rna_ks_module"
+    HE2RNA.__qualname__ = "HE2RNA"
+    mod.HE2RNA = HE2RNA
+    sys.modules["he2rna_ks_module"] = mod
+    try:
+        m = HE2RNA()
+        path = str(tmp_path / "whole.pt")
+        torch.save(m, path)
+    finally:
+        del sys.modules["he2rna_ks_module"]
+    sd = checkpoint.load_torch_checkpoint(path)
+    cfg, params = convert.he2rna_from_torch(sd)
+    assert cfg.ks == (10,)
+    assert cfg.input_dim == 8 and cfg.output_dim == 4
