@@ -54,10 +54,10 @@ def vis_config_from_state_dict(sd) -> ViSConfig:
     num_clusters, input_dim = pos.shape
     depth = 1 + max(int(k.split(".")[2]) for k in sd if k.startswith("transformer.layers."))
     nheads = 1 + max(int(k.split(".")[5]) for k in sd if ".mixers." in k)
-    dim_f = _np(sd["transformer.layers.0.0.mixers.0.f.weight"]).shape[0]
-    dim_s = _np(sd["transformer.layers.0.0.mixers.0.s.weight"]).shape[0]
-    dim_c = _np(sd["transformer.layers.0.0.mixers.0.c.weight"]).shape[0]
-    num_outputs = _np(sd["linear_head.1.weight"]).shape[0]
+    dim_f = tuple(sd["transformer.layers.0.0.mixers.0.f.weight"].shape)[0]
+    dim_s = tuple(sd["transformer.layers.0.0.mixers.0.s.weight"].shape)[0]
+    dim_c = tuple(sd["transformer.layers.0.0.mixers.0.c.weight"].shape)[0]
+    num_outputs = tuple(sd["linear_head.1.weight"].shape)[0]
     return ViSConfig(num_outputs=num_outputs, input_dim=input_dim, depth=depth,
                      nheads=nheads, dim_f=dim_f, dim_s=dim_s, dim_c=dim_c,
                      num_clusters=num_clusters)
@@ -166,9 +166,9 @@ def vit_config_from_state_dict(sd) -> ViTConfig:
     pos = _np(sd["pos_emb1D"])
     num_clusters, dim = pos.shape
     depth = 1 + max(int(k.split(".")[2]) for k in sd if k.startswith("transformer.layers."))
-    inner3 = _np(sd["transformer.layers.0.0.to_qkv.weight"]).shape[0]
-    mlp_dim = _np(sd["transformer.layers.0.1.net.1.weight"]).shape[0]
-    num_outputs = _np(sd["linear_head.1.weight"]).shape[0]
+    inner3 = tuple(sd["transformer.layers.0.0.to_qkv.weight"].shape)[0]
+    mlp_dim = tuple(sd["transformer.layers.0.1.net.1.weight"].shape)[0]
+    num_outputs = tuple(sd["linear_head.1.weight"].shape)[0]
     inner = inner3 // 3
     # dim_head defaults to 64 in every reference call site; recover heads from it.
     dim_head = 64 if inner % 64 == 0 else inner
