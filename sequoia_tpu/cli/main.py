@@ -50,7 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_epochs", type=int, default=200)
     p.add_argument("--change_num_genes", type=int, default=0,
                    help="gene count of the pretraining checkpoint when fine-tuning")
-    p.add_argument("--num_genes", type=int, default=None)
+    p.add_argument("--num_genes", type=int, default=None,
+                   help="(accepted for compatibility; the reference's "
+                        "main.py never reads it — the pretrained width "
+                        "goes in --change_num_genes, main.py:141-145)")
     p.add_argument("--k", type=int, default=5)
     p.add_argument("--save_on", type=str, default="loss",
                    choices=["loss", "loss+corr"])
@@ -88,6 +91,12 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from sequoia_tpu.cli import apply_compile_cache
     apply_compile_cache(args)
+    if args.num_genes is not None:
+        import sys
+
+        print("--num_genes is ignored (like the reference's main.py); the "
+              "pretrained head width goes in --change_num_genes",
+              file=sys.stderr)
     np.random.seed(args.seed)
 
     save_dir = os.path.join(args.src_path, args.save_dir, args.cohort, args.exp_name)

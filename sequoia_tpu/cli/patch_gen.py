@@ -38,12 +38,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    slide_list = [s for s in os.listdir(args.wsi_path)
-                  if s.endswith(".svs") or s.endswith(".tiff")]
+    # sorted: --start/--end job arrays and --multihost shard by INDEX, so
+    # the ordering must be deterministic across hosts/reruns (raw listdir
+    # order is filesystem-dependent)
+    slide_list = sorted(s for s in os.listdir(args.wsi_path)
+                        if s.endswith(".svs") or s.endswith(".tiff"))
 
     if args.ref_file:
         ref = pd.read_csv(args.ref_file)
-        wanted = {f"{s}.svs" for s in ref["wsi_file_name"]} | set(ref["wsi_file_name"])
+        names = set(ref["wsi_file_name"])
+        # bare ids in the ref file match either slide extension
+        wanted = names | {f"{s}.svs" for s in names} | {f"{s}.tiff" for s in names}
         slide_list = sorted(set(slide_list) & wanted)
 
     slide_list = slide_list[args.start:args.end]
@@ -55,6 +60,10 @@ def main(argv=None) -> None:
 
     print(f"Found {len(slide_list)} slides")
     slides = {s.split(".")[0]: os.path.join(args.wsi_path, s) for s in slide_list}
+    if len(slides) != len(slide_list):
+        print(f"warning: {len(slide_list) - len(slides)} slide(s) share a "
+              "first-dot stem with another file and were dropped "
+              "(slide ids are the stem, reference patch_gen_hdf5 layout)")
     patch_gen.run_patch_gen(slides, args.patch_path, args.mask_path,
                             patch_size=args.patch_size,
                             max_patches_per_slide=args.max_patches_per_slide,

@@ -82,10 +82,14 @@ def main(argv=None) -> None:
         params = he2rna.init(cfg, key)
         if args.checkpoint:
             sd = checkpoint.load_torch_checkpoint(args.checkpoint)
-            cfg, params = convert.he2rna_from_torch(sd, cfg)
+            # infer the architecture from the state dict (a hard-coded cfg
+            # could silently disagree with the loaded weights — same fix
+            # as train/cv.py's he2rna branch)
+            cfg, params = convert.he2rna_from_torch(sd)
         save_path = os.path.join(save_dir, "model.pt")
         he2rna_fit.fit(cfg, params, 3e-3, loader, None, None,
                        max_epochs=args.num_epochs, seed=args.seed,
+                       log_fn=log_fn,
                        save_fn=lambda p: checkpoint.save_torch_state_dict(
                            convert.he2rna_to_torch(cfg, p), save_path))
 

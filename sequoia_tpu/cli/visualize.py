@@ -107,7 +107,10 @@ def main(argv=None) -> None:
                 and not os.path.exists(ckpt):
             ckpt = os.path.join(ckpt_dir, "model_best.pt")
         if args.model_type == "he2rna":
-            ckpt = ckpt.replace("best_", "")
+            # rewrite only the basename (he2rna CV saves model_{i}.pt) — a
+            # checkpoint_dir containing 'best_' must not be mangled
+            d_, b_ = os.path.split(ckpt)
+            ckpt = os.path.join(d_, b_.replace("best_", ""))
         sd = checkpoint.load_torch_checkpoint(ckpt)
         if args.model_type == "vis":
             cfg, params = convert.vis_from_torch(sd)
@@ -120,7 +123,10 @@ def main(argv=None) -> None:
             import jax, jax.numpy as jnp
 
             fwd = jax.jit(lambda p, x, c=cfg: vit_mod.apply(c, p, x))
-            fold_models[fold] = (lambda f, pr=params: fwd(pr, jnp.asarray(f)))
+            # bind fwd as a default too: a closure capture would late-bind
+            # every fold's predictor to the LAST fold's jitted forward/cfg
+            fold_models[fold] = (
+                lambda f, pr=params, fw=fwd: fw(pr, jnp.asarray(f)))
         else:
             cfg, params = convert.he2rna_from_torch(sd)
             fold_models[fold] = spatial.make_he2rna_predict_fn(cfg, params)
