@@ -30,7 +30,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from sequoia_tpu.ops.nn import linear
+from sequoia_tpu.ops.nn import linear, matmul_precision
 from sequoia_tpu.utils import torch_init
 
 Params = dict[str, Any]
@@ -122,7 +122,10 @@ def _topk_core_bwd(k, res, g):
     # ~0.1 G-updates/s here (377 ms at this shape) while XLA fuses the
     # one-hot into a batched GEMM (10 ms, never materialized)
     onehot = jax.nn.one_hot(idx, t, dtype=g.dtype)  # (B, G, k, T)
+    # HIGHEST precision for f32 operands (ops/nn.py policy): the TPU
+    # default would round f32 gradients through bf16 multiplier passes
     dmt = jnp.einsum("bgjt,bgj->bgt", onehot, upd,
+                     precision=matmul_precision(g),
                      preferred_element_type=jnp.float32).astype(g.dtype)
     return dmt, jnp.zeros_like(mask)
 
@@ -148,7 +151,6 @@ def apply(cfg: HE2RNAConfig, params: Params, x: jax.Array, *,
     if train:
         rng, kkey, dkey = jax.random.split(rng, 3)
         scores = tile_scores(cfg, params, x, train=True, rng=dkey)
-        ks = jnp.asarray(cfg.ks)
         idx = jax.random.randint(kkey, (), 0, len(cfg.ks))
         branches = [lambda s=scores, m=mask, k=int(k): _topk_masked_mean(s, m, k)
                     for k in cfg.ks]
@@ -182,7 +184,8 @@ def replace_head(cfg: HE2RNAConfig, params: Params, num_outputs: int,
                  key: jax.Array) -> tuple[HE2RNAConfig, Params]:
     """Swap the final layer (GTEx->TCGA transfer, reference he2rna.py:403-409)."""
     fan_in = cfg.layers[-1] if cfg.layers else cfg.input_dim
-    w, b = torch_init.linear_params(key, fan_in, num_outputs)
+    w, b = torch_init.linear_params(key, fan_in, num_outputs,
+                                    params["w"][-1].dtype)
     new = {"w": list(params["w"]), "b": list(params["b"])}
     new["w"][-1] = w
     new["b"][-1] = b

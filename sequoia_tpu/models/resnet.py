@@ -219,6 +219,8 @@ def forward_extract(cfg: ResNetConfig, params: Params, images: jax.Array) -> jax
     x = images.astype(cfg.compute_dtype)
     start_stage = 0
     if (cfg.early_pallas and cfg.block == "bottleneck"
+            and x.shape[3] == 3  # _early_pallas hardcodes the 12->16 pad;
+            # non-RGB stems (RNfour/RNone) take the general paths below
             and "conv1_s2d" in params and x.shape[1] % 4 == 0
             and x.shape[2] % 4 == 0
             and (x.shape[2] % 256 == 0  # DMA lane alignment (stem16)
@@ -440,7 +442,10 @@ def random_params_channels(key, in_channels: int, dtype=jnp.float32) -> Params:
     fan_in = kh * kw * in_channels
     params["conv1"] = (jax.random.normal(key, (kh, kw, in_channels, cout), dtype)
                        * np.sqrt(2.0 / fan_in))
-    return params
+    # random_params already folded a 3-channel s2d stem; rebuild it for the
+    # new conv1 (the stale kernel crashed the s2d path on even-sized inputs)
+    params.pop("conv1_s2d", None)
+    return enable_s2d_stem(params)
 
 
 def resnet50_4channel(key=None, sd=None) -> Params:

@@ -70,12 +70,16 @@ def _block(cfg: UniViTConfig, x: jax.Array, bp: dict[str, jax.Array]) -> jax.Arr
     out = einsum("bhnm,bhmd->bhnd", attn, v).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
     out = linear(out, bp["w_proj"], bp["b_proj"])
-    x = x + out * bp["ls1"]
+    # cast the LayerScale gammas DOWN: strong-typed f32 params (from
+    # uni_from_torch's numpy arrays) would promote a bf16 activation to
+    # f32 and break the scan carry dtype (random_params' weak-typed ones
+    # masked this — the real-weights bf16 path crashed)
+    x = x + out * bp["ls1"].astype(out.dtype)
 
     y = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])
     y = gelu(linear(y, bp["w_fc1"], bp["b_fc1"]))
     y = linear(y, bp["w_fc2"], bp["b_fc2"])
-    return x + y * bp["ls2"]
+    return x + y * bp["ls2"].astype(y.dtype)
 
 
 def forward(cfg: UniViTConfig, params: Params, images: jax.Array) -> jax.Array:

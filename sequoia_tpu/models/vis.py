@@ -193,9 +193,11 @@ def replace_head(cfg: ViSConfig, params: Params, num_outputs: int,
     """GTEx->TCGA transfer: swap the LN+Linear output head for a fresh one
     (reference ``src/main.py:155-157``)."""
     d = cfg.input_dim
-    head_w, head_b = torch_init.linear_params(key, d, num_outputs)
+    dt = params["head_w"].dtype  # keep the model's param dtype (a bf16
+    # pytree must not silently grow an f32 head)
+    head_w, head_b = torch_init.linear_params(key, d, num_outputs, dt)
     new = dict(params)
-    new["head_ln_scale"] = jnp.ones((d,), head_w.dtype)
-    new["head_ln_bias"] = jnp.zeros((d,), head_w.dtype)
+    new["head_ln_scale"] = jnp.ones((d,), dt)
+    new["head_ln_bias"] = jnp.zeros((d,), dt)
     new["head_w"], new["head_b"] = head_w, head_b
     return dataclasses.replace(cfg, num_outputs=num_outputs), new

@@ -136,10 +136,11 @@ def replace_head(cfg: ViTConfig, params: Params, num_outputs: int,
                  key: jax.Array) -> tuple[ViTConfig, Params]:
     """Swap the LN+Linear output head (GTEx->TCGA transfer)."""
     d = cfg.dim
-    head_w, head_b = torch_init.linear_params(key, d, num_outputs)
+    dt = params["head_w"].dtype
+    head_w, head_b = torch_init.linear_params(key, d, num_outputs, dt)
     new = dict(params)
-    new["head_ln_scale"] = jnp.ones((d,), head_w.dtype)
-    new["head_ln_bias"] = jnp.zeros((d,), head_w.dtype)
+    new["head_ln_scale"] = jnp.ones((d,), dt)
+    new["head_ln_bias"] = jnp.zeros((d,), dt)
     new["head_w"], new["head_b"] = head_w, head_b
     return dataclasses.replace(cfg, num_outputs=num_outputs), new
 

@@ -193,3 +193,35 @@ def test_feature_extractor_dim_tracks_patch_size():
                             patch_size=256).feature_dim == 2048
     assert FeatureExtractor("resnet", params,
                             patch_size=448).feature_dim == 8192
+
+
+def test_uni_bf16_forward_with_torch_loaded_params():
+    """Real-weights bf16 serving config: uni_from_torch yields STRONG-typed
+    f32 LayerScale gammas; an uncast multiply would promote the bf16 scan
+    carry to f32 and crash the forward (masked by random_params' weak
+    types)."""
+    rng = torch.Generator().manual_seed(2)
+    img, patch, dim, depth, heads, mlp = 32, 8, 64, 2, 4, 128
+    sd = tg.uni_sd(rng, img, patch, dim, depth, heads, mlp)
+    cfg = uni_vit.UniViTConfig(img_size=img, patch_size=patch, dim=dim,
+                               depth=depth, heads=heads, mlp_dim=mlp,
+                               compute_dtype=jnp.bfloat16)
+    _, params = uni_vit.uni_from_torch(sd, cfg)
+    x = jnp.asarray(np.random.default_rng(0).random((2, img, img, 3)),
+                    jnp.float32)
+    out = jax.jit(lambda p, im: uni_vit.forward(cfg, p, im))(params, x)
+    assert out.shape == (2, dim) and np.isfinite(np.asarray(out)).all()
+
+
+def test_resnet_channel_variants_random_s2d_stem():
+    """random_params_channels must rebuild the folded s2d stem for the new
+    channel count (the stale 3-channel kernel crashed RNfour/RNone random
+    inits on any even-sized input)."""
+    for chans, maker in ((4, resnet.resnet50_4channel),
+                         (1, resnet.resnet50_1channel)):
+        params = maker(key=jax.random.PRNGKey(0))
+        cfg = resnet.ResNetConfig(pool_stride=1)
+        x = jnp.asarray(np.random.default_rng(1).random((2, 64, 64, chans)),
+                        jnp.float32)
+        out = resnet.forward_extract(cfg, params, x)
+        assert np.isfinite(np.asarray(out)).all()
