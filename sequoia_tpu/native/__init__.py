@@ -92,14 +92,31 @@ def get_lib():
                                     ctypes.POINTER(ctypes.c_int64),
                                     ctypes.POINTER(ctypes.c_int64),
                                     ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.str_write_tiled_ex.restype = ctypes.c_int
+    lib.str_write_tiled_ex.argtypes = [ctypes.c_char_p,
+                                       ctypes.POINTER(ctypes.c_void_p),
+                                       ctypes.POINTER(ctypes.c_int64),
+                                       ctypes.POINTER(ctypes.c_int64),
+                                       ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_char_p]
     _lib = lib
     return _lib
 
 
 def write_tiled_tiff(path: str, levels: list[np.ndarray],
-                     tile: tuple[int, int] = (64, 64)) -> None:
+                     tile: tuple[int, int] = (64, 64),
+                     jpeg_quality: int = 0,
+                     description: str = "") -> None:
     """Write (h, w, 3) uint8 arrays as a tiled pyramidal TIFF (test/dev
-    helper; exercises the tiled decode path)."""
+    helper; exercises the tiled decode path).
+
+    ``jpeg_quality`` > 0 writes JPEG-compressed YCbCr tiles — the on-disk
+    layout of real Aperio SVS slides (tile dims must be multiples of 16) —
+    so fixtures exercise the exact decode path production slides take.
+    ``description`` is stored as level 0's ImageDescription; an
+    Aperio-style string ("...|AppMag = 20|MPP = 0.5") round-trips through
+    ``NativeTiffReader.properties``."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -108,12 +125,15 @@ def write_tiled_tiff(path: str, levels: list[np.ndarray],
         *[lv.ctypes.data_as(ctypes.c_void_p) for lv in levels])
     ws = np.asarray([lv.shape[1] for lv in levels], np.int64)
     hs = np.asarray([lv.shape[0] for lv in levels], np.int64)
-    rc = lib.str_write_tiled(path.encode(), bufs,
-                             ws.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                             hs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                             len(levels), tile[0], tile[1])
+    rc = lib.str_write_tiled_ex(
+        path.encode(), bufs,
+        ws.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        hs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(levels), tile[0], tile[1], jpeg_quality, description.encode())
+    if rc == -4:
+        raise ValueError(f"JPEG tiles need multiple-of-16 dims, got {tile}")
     if rc != 0:
-        raise OSError(f"str_write_tiled failed (rc={rc})")
+        raise OSError(f"str_write_tiled_ex failed (rc={rc})")
 
 
 def available() -> bool:

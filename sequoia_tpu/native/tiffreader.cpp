@@ -326,12 +326,20 @@ int str_description(void* handle, char* buf, int buflen) {
   return out;
 }
 
-// Test helper: write `levels` RGB images as a tiled multi-directory TIFF
-// (tile size tw x th).  Lets the test suite exercise the tiled decode path
-// without an external tiled-TIFF producer.
-int str_write_tiled(const char* path, const uint8_t* const* bufs,
-                    const int64_t* ws, const int64_t* hs, int n_levels,
-                    int tw, int th) {
+// Test/dev helper: write `levels` RGB images as a tiled multi-directory
+// TIFF (tile size tw x th).  `jpeg_quality` > 0 writes JPEG-compressed
+// YCbCr tiles (2x2 subsampling) — the on-disk layout of real Aperio SVS
+// slides (reference pre_processing/patch_gen_hdf5.py reads these through
+// OpenSlide) — so fixtures can exercise the exact decode path production
+// slides take; 0 writes uncompressed RGB.  `description`, when non-empty,
+// is stored as level 0's ImageDescription (Aperio-style
+// "...|AppMag = 20|MPP = 0.5" metadata that str_description parses back).
+int str_write_tiled_ex(const char* path, const uint8_t* const* bufs,
+                       const int64_t* ws, const int64_t* hs, int n_levels,
+                       int tw, int th, int jpeg_quality,
+                       const char* description) {
+  if (jpeg_quality > 0 && (tw % 16 || th % 16))
+    return -4;  // JPEG 2x2-subsampled MCUs need multiple-of-16 tiles
   TIFF* tif = TIFFOpen(path, "w");
   if (!tif) return -1;
   std::vector<uint8_t> tile((size_t)tw * th * 3);
@@ -343,7 +351,18 @@ int str_write_tiled(const char* path, const uint8_t* const* bufs,
     TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
     TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
     TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
-    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+    if (jpeg_quality > 0) {
+      TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_JPEG);
+      TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_YCBCR);
+      TIFFSetField(tif, TIFFTAG_YCBCRSUBSAMPLING, 2, 2);
+      TIFFSetField(tif, TIFFTAG_JPEGQUALITY, jpeg_quality);
+      // hand libtiff RGB rows; it converts to YCbCr for the codec
+      TIFFSetField(tif, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RGB);
+    } else {
+      TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+    }
+    if (lv == 0 && description && description[0])
+      TIFFSetField(tif, TIFFTAG_IMAGEDESCRIPTION, description);
     TIFFSetField(tif, TIFFTAG_TILEWIDTH, (uint32_t)tw);
     TIFFSetField(tif, TIFFTAG_TILELENGTH, (uint32_t)th);
     for (int64_t ty = 0; ty < h; ty += th) {
@@ -368,6 +387,12 @@ int str_write_tiled(const char* path, const uint8_t* const* bufs,
   }
   TIFFClose(tif);
   return 0;
+}
+
+int str_write_tiled(const char* path, const uint8_t* const* bufs,
+                    const int64_t* ws, const int64_t* hs, int n_levels,
+                    int tw, int th) {
+  return str_write_tiled_ex(path, bufs, ws, hs, n_levels, tw, th, 0, "");
 }
 
 }  // extern "C"

@@ -141,6 +141,90 @@ def test_associated_images_not_pyramid_levels(tmp_path):
     r.close()
 
 
+@pytest.fixture()
+def jpeg_svs_pyramid(tmp_path):
+    """Aperio-SVS-style slide: JPEG-compressed YCbCr tiles + '|'-delimited
+    ImageDescription metadata — the on-disk layout of real TCGA slides
+    (reference patch_gen_hdf5.py:68,86-89 reads AppMag through OpenSlide).
+    Smooth gradient content keeps the JPEG round-trip error tiny."""
+    yy, xx = np.mgrid[0:300, 0:400]
+    lv0 = np.stack([xx * 255 // 400, yy * 255 // 300, (xx + yy) * 255 // 700],
+                   axis=-1).astype(np.uint8)
+    lv1 = lv0[::4, ::4].copy()
+    path = str(tmp_path / "pyr_jpeg.svs.tiff")
+    native.write_tiled_tiff(
+        path, [lv0, lv1], tile=(64, 64), jpeg_quality=90,
+        description="Aperio Image Library v12.0.15\n"
+                    "400x300 (64x64) JPEG/RGB Q=90|AppMag = 20|MPP = 0.5040")
+    return path, lv0, lv1
+
+
+def test_jpeg_svs_read_and_properties(jpeg_svs_pyramid):
+    path, lv0, lv1 = jpeg_svs_pyramid
+    r = native.NativeTiffReader(path)
+    assert r.level_dimensions == [(400, 300), (100, 75)]
+    # Aperio metadata round-trips through str_description parsing
+    assert r.properties["aperio.AppMag"] == "20"
+    assert r.properties["aperio.MPP"] == "0.5040"
+    # unaligned multi-tile region: JPEG is lossy, so tolerance not equality
+    reg = r.read_region((37, 99), 0, (150, 80)).astype(int)
+    ref = lv0[99:179, 37:187].astype(int)
+    d = np.abs(reg - ref)
+    assert d.mean() < 2 and d.max() <= 12
+    # level-1 read with level-0 coords
+    reg1 = r.read_region((40, 100), 1, (20, 10)).astype(int)
+    d1 = np.abs(reg1 - lv1[25:35, 10:30].astype(int))
+    assert d1.max() <= 12
+    # out-of-bounds tail stays zero-padded on the JPEG fast path too
+    reg2 = r.read_region((392, 296), 0, (16, 16))
+    assert (reg2[4:] == 0).all() and (reg2[:, 8:] == 0).all()
+    r.close()
+
+
+def test_jpeg_decode_matches_pil(jpeg_svs_pyramid):
+    """The fast path (TIFFReadEncodedTile + JPEGCOLORMODE_RGB) must produce
+    the SAME decoded pixels as Pillow's libtiff/libjpeg path — decode
+    divergence would silently shift features between readers."""
+    from PIL import Image
+
+    path, _, _ = jpeg_svs_pyramid
+    r = native.NativeTiffReader(path)
+    try:
+        pil = np.asarray(Image.open(path).convert("RGB"))
+    except Exception:
+        pytest.skip("Pillow cannot decode tiled JPEG TIFF here")
+    np.testing.assert_array_equal(r.read_region((0, 0), 0, (400, 300)), pil)
+    # batched parallel reads agree with the single-region path exactly
+    locs = [(0, 0), (37, 99), (320, 220)]
+    batch = r.read_regions(locs, 0, (64, 64), nthreads=4)
+    for i, (x, y) in enumerate(locs):
+        np.testing.assert_array_equal(batch[i],
+                                      r.read_region((x, y), 0, (64, 64)))
+    r.close()
+
+
+def test_jpeg_writer_rejects_non_mcu_tiles(tmp_path):
+    """JPEG 2x2-subsampled MCUs need multiple-of-16 tile dims; a silent
+    libtiff failure here would surface as unreadable fixtures later."""
+    img = np.zeros((64, 64, 3), np.uint8)
+    with pytest.raises(ValueError, match="multiple-of-16"):
+        native.write_tiled_tiff(str(tmp_path / "bad.tiff"), [img],
+                                tile=(60, 60), jpeg_quality=90)
+
+
+def test_open_slide_jpeg_appmag_resize_factor(jpeg_svs_pyramid):
+    """open_slide + the tiling stage's AppMag math work on a JPEG slide:
+    AppMag 20 in the description -> resize_factor 1.0 (patch_gen_hdf5.py's
+    aperio.AppMag/20 rule)."""
+    from sequoia_tpu.data import wsi
+    from sequoia_tpu.pipeline import patch_gen
+
+    path, _, _ = jpeg_svs_pyramid
+    slide = wsi.open_slide(path)
+    assert isinstance(slide, native.NativeTiffReader)
+    assert patch_gen.resize_factor(slide) == 1.0
+
+
 def test_unloadable_library_degrades_to_unavailable(tmp_path, monkeypatch):
     """A present-but-unloadable .so (wrong arch / missing libtiff) must make
     available() return False, not raise out of get_lib()."""
