@@ -9,15 +9,23 @@ value for that leg instead of killing the run):
    the sandbox relay is ~MB/s vs ~10-25 GB/s PCIe on a real v5e host).
 2. ``uni`` — same pipeline with the UNI ViT-L/16 backbone (bit-exact PIL
    224 resize in-graph, reference ``compute_features_hdf5.py:62-68``).
-3. ``decode`` — host-side tiled-TIFF decode rate through the native C++
-   reader (the host leg of the production pipeline).
-4. ``e2e`` — MEASURED wall-clock through ``serve.predict_slides``: two
-   fabricated pyramidal H&E-like TIFFs streamed through the REAL serving
-   path (decode -> fused screen+featurize -> k-means -> ViS) with
-   cross-slide pipelining.  On this sandbox the host->device hop rides a
-   slow loopback relay, so this leg is dominated by a transfer a real v5e
-   host does ~1000x faster; the relay rate is measured and recorded in the
-   unit string for transparency.
+3. ``spatial`` — stride-1 spatial expression maps (BASELINE config 5):
+   64x64 valid-tile grid, ~3,969 windows x 5 stacked ViS folds x 20,820
+   genes, fully device-resident (one feature-table upload; window gather,
+   vmapped fold forwards, and overlap scatter-add are jitted XLA
+   programs — ``pipeline/spatial.py`` ``accumulate='device'``).
+4. ``decode`` — host-side tiled-TIFF decode rate through the native C++
+   reader (the host leg of the production pipeline), measured on BOTH
+   layouts: uncompressed RGB tiles and JPEG-q80 YCbCr tiles (the on-disk
+   layout of real TCGA/Aperio slides).
+5. ``e2e`` — MEASURED wall-clock through ``serve.predict_slides``: two
+   fabricated pyramidal H&E-like TIFFs with JPEG/YCbCr tiles (the real
+   Aperio layout, incl. ``|AppMag = 20|`` metadata) streamed through the
+   REAL serving path (decode -> fused screen+featurize -> k-means -> ViS)
+   with cross-slide pipelining.  On this sandbox the host->device hop
+   rides a slow loopback relay, so this leg is dominated by a transfer a
+   real v5e host does ~1000x faster; the relay rate is measured and
+   recorded in the unit string for transparency.
 
 ``vs_baseline``: the reference pushes one patch at a time through the
 backbone (batch size 1, ``compute_features_hdf5.py`` hot loop) at
@@ -39,6 +47,12 @@ import numpy as np
 
 REF_SLIDES_PER_HOUR = 72.0  # reference resnet path, see module docstring
 REF_UNI_SLIDES_PER_HOUR = 33.0
+# reference spatial maps (visualize.py sliding_window_method at stride 1,
+# SURVEY.md section 3.5): every window re-reads + re-featurizes its ~100
+# member tiles at batch size 1 (~10 ms/patch V100-class) and repeats the
+# whole sweep PER FOLD — a 64x64-tile slide has ~3,969 qualifying windows
+# -> 3969 * 100 * 10 ms ~= 66 min/fold, x5 folds ~= 5.5 h/slide-map
+REF_SPATIAL_MAPS_PER_HOUR = 0.18
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache.json")
 
@@ -52,13 +66,19 @@ NUM_CLUSTERS = 100
 NUM_GENES = 20820
 FEAT_DIM = 2048
 TIMED_SLIDES = 3
+SPATIAL_GRID = 64  # spatial leg: GRID^2 valid tiles, stride-1 windows
+SPATIAL_FOLDS = 5
 IO_SLIDE = "/tmp/sequoia_bench_slide_8192.tiff"  # 32x32 tiles of 256px
+IO_SLIDE_JPEG = "/tmp/sequoia_bench_slide_8192_jq80.tiff"  # Aperio layout
+E2E_JPEG_Q = 80  # fixture tiles are JPEG/YCbCr like real TCGA slides
 E2E_GRID = 72  # 72x72 tiles of 256px -> 18432^2 level 0, ~4.4k tissue tiles
-# grid size in the filename: a recipe change must not silently reuse stale
-# /tmp fixtures fabricated by an older revision
-E2E_SLIDES = [f"/tmp/sequoia_bench_e2e_g{E2E_GRID}_{i}.tiff" for i in range(2)]
+# grid size + layout in the filename: a recipe change must not silently
+# reuse stale /tmp fixtures fabricated by an older revision
+E2E_SLIDES = [f"/tmp/sequoia_bench_e2e_g{E2E_GRID}jq{E2E_JPEG_Q}_{i}.tiff"
+              for i in range(2)]
 
-LEG_TIMEOUTS = {"probe": 240, "resnet": 360, "uni": 480, "decode": 150,
+LEG_TIMEOUTS = {"probe": 240, "resnet": 360, "uni": 480, "spatial": 600,
+                "decode": 240,
                 "e2e": int(os.environ.get("SEQUOIA_BENCH_E2E_TIMEOUT", "900"))}
 
 
@@ -114,8 +134,9 @@ def run_leg(name: str, fn, results: dict, failures: dict):
 
 def make_e2e_slide(path: str, seed: int) -> None:
     """Fabricate a pyramidal tiled TIFF whose Otsu tissue mask keeps >4096
-    tiles: ~88% H&E-like per-pixel noise (every patch distinct, so k-means
-    sees real diversity), ~12% white-background tiles."""
+    tiles: ~92% H&E-like per-pixel noise (every patch distinct, so k-means
+    sees real diversity), ~8% white-background tiles; JPEG-q80 YCbCr tiles
+    + Aperio description = the exact layout real TCGA slides arrive in."""
     from sequoia_tpu import native
 
     if os.path.exists(path):
@@ -133,8 +154,13 @@ def make_e2e_slide(path: str, seed: int) -> None:
     for i, j in zip(*np.nonzero(is_white)):
         lv0[i * PATCH:(i + 1) * PATCH, j * PATCH:(j + 1) * PATCH] = (
             242 + rng.integers(0, 10, (PATCH, PATCH, 3), dtype=np.uint8))
-    native.write_tiled_tiff(path + ".tmp", [lv0, lv0[::16, ::16]],
-                            tile=(PATCH, PATCH))
+    # JPEG/YCbCr tiles + Aperio-style description: the exact on-disk layout
+    # (and metadata path) real TCGA slides take through the native reader
+    native.write_tiled_tiff(
+        path + ".tmp", [lv0, lv0[::16, ::16]], tile=(PATCH, PATCH),
+        jpeg_quality=E2E_JPEG_Q,
+        description=f"Aperio fabricated bench fixture\n{side}x{side} "
+                    "|AppMag = 20|MPP = 0.2520")
     os.replace(path + ".tmp", path)
 
 
@@ -273,41 +299,108 @@ def measure_device_pipeline(backbone: str):
     return per_slide
 
 
+def measure_spatial():
+    """Spatial sliding-window stage (BASELINE config 5): a 64x64 valid-tile
+    grid at stride 1 (~3,969 windows), 5 stacked ViS folds over the FULL
+    20,820-gene head, fully device-resident (`accumulate='device'`): the
+    2048-d tile-feature table uploads once, window gather / vmapped fold
+    forwards / overlap scatter-add run as jitted XLA programs.  Returns
+    seconds per slide-map (all folds, all genes)."""
+    import pandas as pd
+
+    import jax
+    import jax.numpy as jnp
+
+    from sequoia_tpu.models import vis
+    from sequoia_tpu.pipeline import spatial
+
+    GRID, FOLDS = SPATIAL_GRID, SPATIAL_FOLDS
+    df = pd.DataFrame([(x * PATCH, y * PATCH)
+                       for x in range(GRID) for y in range(GRID)],
+                      columns=["xcoord", "ycoord"])
+    df["xcoord_tf"] = df.xcoord // PATCH
+    df["ycoord_tf"] = df.ycoord // PATCH
+    n = len(df)
+    rng = np.random.default_rng(0)
+    # one 32 MB table upload (once per slide in production too); params
+    # materialize on device (jax.random init ops)
+    tile_feats = rng.normal(size=(n, FEAT_DIM)).astype(np.float32)
+    vis_cfg = vis.ViSConfig(num_outputs=NUM_GENES, input_dim=FEAT_DIM,
+                            depth=6, nheads=16, dim_f=64, dim_s=64, dim_c=64,
+                            num_clusters=NUM_CLUSTERS)
+    stacked = spatial.make_vis_stacked_predict_fn(
+        vis_cfg, {f: vis.init(vis_cfg, jax.random.PRNGKey(f))
+                  for f in range(FOLDS)})
+    gene_idx = np.arange(NUM_GENES)
+
+    def run():
+        _, sums, counts = spatial.sliding_window_predict_arrays(
+            tile_feats, df, stacked, gene_idx, stride=1,
+            accumulate="device", _device_sums=True)
+        # device-side sync (the (5, 4096, 20820) readback is PCIe-trivial
+        # in production but ~100x relay-dominated here — excluded, like
+        # the device legs' on-device patch synthesis)
+        s = float(sum(jnp.sum(v) for v in sums.values()))
+        assert np.isfinite(s) and counts.max() > 0
+        return s
+
+    log("[spatial] warmup (compile gather/forward/scatter)...")
+    t0 = time.perf_counter()
+    run()
+    log(f"[spatial] warmup in {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    run()
+    per_map = time.perf_counter() - t0
+    log(f"[spatial] stride-1 map: {per_map:.2f}s "
+        f"(~3969 windows x {FOLDS} folds x {NUM_GENES} genes)")
+    return per_map
+
+
 def measure_decode():
     """Host-side WSI decode rate through the native C++ tiled-TIFF reader
     (single-core sandbox host; a real v5e host has >100 cores and the
-    reader's handle pool scales per-core)."""
+    reader's handle pool scales per-core).  Measures BOTH tile layouts:
+    uncompressed RGB and JPEG-q80 YCbCr (real TCGA/Aperio slides are
+    JPEG-compressed — ``tiffreader.cpp`` JPEGCOLORMODE_RGB fast path).
+    Returns ``{"raw": patches/s, "jpeg": patches/s}``."""
     from sequoia_tpu import native
 
     if not native.available():
         raise RuntimeError("native tiff reader unavailable")
-    if not os.path.exists(IO_SLIDE):
-        rng = np.random.default_rng(7)
-        block = rng.integers(0, 256, (2048, 2048, 3), dtype=np.uint8)
-        lv0 = np.tile(block, (4, 4, 1))  # 8192^2, incompressible content
-        native.write_tiled_tiff(IO_SLIDE + ".tmp", [lv0, lv0[::16, ::16]],
-                                tile=(PATCH, PATCH))
-        os.replace(IO_SLIDE + ".tmp", IO_SLIDE)
-    reader = native.NativeTiffReader(IO_SLIDE)
+    fixtures = {"raw": (IO_SLIDE, 0), "jpeg": (IO_SLIDE_JPEG, E2E_JPEG_Q)}
+    for path, q in fixtures.values():
+        if not os.path.exists(path):
+            rng = np.random.default_rng(7)
+            block = rng.integers(0, 256, (2048, 2048, 3), dtype=np.uint8)
+            lv0 = np.tile(block, (4, 4, 1))  # 8192^2, incompressible content
+            native.write_tiled_tiff(path + ".tmp", [lv0, lv0[::16, ::16]],
+                                    tile=(PATCH, PATCH), jpeg_quality=q)
+            os.replace(path + ".tmp", path)
+
     coords = [(x * PATCH, y * PATCH) for x in range(32) for y in range(32)]
     nthreads = 8
-    reader.read_regions(coords[:64], 0, (PATCH, PATCH), nthreads=nthreads)
-    # best of 3 passes: the single shared sandbox core makes one-shot
-    # decode rates swing 2-3x with background load
-    rate = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        done = 0
-        while done < PATCHES_PER_SLIDE:
-            for s in range(0, len(coords), 512):
-                out = reader.read_regions(coords[s:s + 512], 0,
-                                          (PATCH, PATCH), nthreads=nthreads)
-                done += out.shape[0]
-        rate = max(rate, done / (time.perf_counter() - t0))
-    reader.close()
-    log(f"decode: {rate:.0f} patches/s ({nthreads} threads, "
-        f"{os.cpu_count()} host cores)")
-    return rate
+    rates = {}
+    for layout, (path, _q) in fixtures.items():
+        reader = native.NativeTiffReader(path)
+        reader.read_regions(coords[:64], 0, (PATCH, PATCH), nthreads=nthreads)
+        # best of 3 passes: the single shared sandbox core makes one-shot
+        # decode rates swing 2-3x with background load
+        rate = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            done = 0
+            while done < PATCHES_PER_SLIDE:
+                for s in range(0, len(coords), 512):
+                    out = reader.read_regions(coords[s:s + 512], 0,
+                                              (PATCH, PATCH),
+                                              nthreads=nthreads)
+                    done += out.shape[0]
+            rate = max(rate, done / (time.perf_counter() - t0))
+        reader.close()
+        rates[layout] = rate
+        log(f"decode[{layout}]: {rate:.0f} patches/s ({nthreads} threads, "
+            f"{os.cpu_count()} host cores)")
+    return rates
 
 
 #: the e2e leg uploads ~0.9 GB of candidate patches per slide PASS — the
@@ -406,8 +499,14 @@ def main() -> None:
     else:
         run_leg("uni", lambda: measure_device_pipeline("uni"),
                 results, failures)
-    run_leg("decode", measure_decode, results, failures)  # host-only: safe
     if timed_out("resnet") or timed_out("uni"):
+        failures["spatial"] = ("skipped: a device leg timed out; its "
+                               "abandoned thread may still hold the device")
+        log(f"[leg spatial] {failures['spatial']}")
+    else:
+        run_leg("spatial", measure_spatial, results, failures)
+    run_leg("decode", measure_decode, results, failures)  # host-only: safe
+    if timed_out("resnet") or timed_out("uni") or timed_out("spatial"):
         failures["e2e"] = ("skipped: a device leg timed out; its abandoned "
                            "thread may still hold the device")
         log(f"[leg e2e] {failures['e2e']}")
@@ -445,32 +544,71 @@ def main() -> None:
         out["uni"] = {**cached["uni"], "cached": True,
                       "cache_reason": failures.get("uni", "leg skipped")}
 
+    if "spatial" in results:
+        mph = 3600.0 / results["spatial"]
+        out["spatial"] = {
+            "metric": "spatial_maps_per_hour_1chip",
+            "value": round(mph, 1),
+            "unit": ("stride-1 spatial expression maps/hour (64x64 tile "
+                     "grid ~3969 windows x 5 ViS folds x 20820 genes, "
+                     "device-resident window gather/forward/scatter over a "
+                     "cached feature table; reference re-featurizes every "
+                     "tile per window per fold ~= 5.5 h/map)"),
+            "vs_baseline": round(mph / REF_SPATIAL_MAPS_PER_HOUR, 2),
+        }
+    elif isinstance(cached.get("spatial"), dict):
+        out["spatial"] = {**cached["spatial"], "cached": True,
+                          "cache_reason": failures.get("spatial",
+                                                       "leg skipped")}
+
+    if "decode" not in results and isinstance(cached.get("decode"), dict):
+        out["decode"] = {**cached["decode"], "cached": True,
+                         "cache_reason": failures.get("decode", "leg skipped")}
+    if "decode" in results:
+        out["decode"] = {
+            "metric": "native_decode_patches_per_sec",
+            "raw": round(results["decode"]["raw"], 0),
+            "jpeg": round(results["decode"]["jpeg"], 0),
+            "unit": ("256px patches/s through the native C++ reader, 8 "
+                     f"decode threads on {os.cpu_count()} host core(s); "
+                     "'jpeg' = JPEG-q80 YCbCr tiles (the real TCGA/Aperio "
+                     "layout), 'raw' = uncompressed RGB; per-core rates — "
+                     "the thread-pool decode scales with host cores"),
+        }
     if "e2e" in results:
         sph = 3600.0 / results["e2e"]
         out["with_io"] = {
             "metric": "slides_per_hour_e2e_with_io",
             "value": round(sph, 1),
             "unit": ("slides/hour MEASURED wall-clock through "
-                     "serve.predict_slides (tiled-TIFF decode -> fused "
-                     "screen+featurize resnet bf16 -> kmeans100 -> ViS "
-                     "20820 genes, cross-slide pipelined; sandbox h2d relay "
-                     f"~{relay_rate:.1f} MB/s vs ~10-25 GB/s PCIe on a real "
-                     "v5e host"
-                     + (f"; host decode {results['decode']:.0f} patches/s "
-                        f"on {os.cpu_count()} core(s)"
+                     "serve.predict_slides (JPEG-q80 Aperio-layout TIFF "
+                     "decode -> fused screen+featurize resnet bf16 -> "
+                     "kmeans100 -> ViS 20820 genes, cross-slide pipelined; "
+                     f"sandbox h2d relay ~{relay_rate:.1f} MB/s vs ~10-25 "
+                     "GB/s PCIe on a real v5e host"
+                     + (f"; host decode {results['decode']['jpeg']:.0f} "
+                        f"jpeg patches/s on {os.cpu_count()} core(s)"
                         if "decode" in results else "") + ")"),
             "vs_baseline": round(sph / REF_SLIDES_PER_HOUR, 2),
         }
         if "decode" in results and "resnet" in results:
             # same pipeline on a host whose h2d is not the sandbox relay:
-            # decode and compute overlap (measured legs), upload rides PCIe
-            proj = max(PATCHES_PER_SLIDE / results["decode"],
-                       results["resnet"])
+            # decode and compute overlap (measured legs), upload rides PCIe.
+            # decode rate = the JPEG layout (what the e2e fixtures and real
+            # TCGA slides store); this sandbox has ONE core, so the decode
+            # term is a per-core floor — it divides by host cores in
+            # production (the unit string says so)
+            dec = results["decode"]["jpeg"]
+            proj = max(PATCHES_PER_SLIDE / dec, results["resnet"])
             out["with_io"]["projected_real_host"] = {
                 "value": round(3600.0 / proj, 1),
-                "unit": ("slides/hour projected as max(measured decode, "
-                         "measured compute) — what the measured wall-clock "
-                         "becomes once h2d is PCIe-speed"),
+                "unit": ("slides/hour projected as max(measured 1-core JPEG "
+                         "decode, measured compute) — what the measured "
+                         "wall-clock becomes once h2d is PCIe-speed; decode "
+                         "scales per-core, so compute-bound "
+                         f"({3600.0 / results['resnet']:.0f} slides/h) from "
+                         f"~{int(np.ceil((PATCHES_PER_SLIDE / dec) / results['resnet']))} "
+                         "host cores up"),
                 "vs_baseline": round(3600.0 / proj / REF_SLIDES_PER_HOUR, 2),
             }
     elif isinstance(cached.get("with_io"), dict):
@@ -490,6 +628,10 @@ def main() -> None:
         fresh = {}
         if "uni" in results and "uni" in to_cache:
             fresh["uni"] = to_cache["uni"]
+        if "spatial" in results and "spatial" in to_cache:
+            fresh["spatial"] = to_cache["spatial"]
+        if "decode" in results and "decode" in to_cache:
+            fresh["decode"] = to_cache["decode"]
         if "e2e" in results and "with_io" in to_cache:
             fresh["with_io"] = to_cache["with_io"]
         merged = {**cached, **fresh}
@@ -530,7 +672,8 @@ def _emit_fallback(reason: str, cached: dict | None = None) -> None:
         row = {"metric": "slides_per_hour_e2e_1chip", "value": 0,
                "unit": "bench failed: " + reason, "vs_baseline": 0}
         if cached:  # no headline, but don't hide partial legs we do have
-            row.update({k: cached[k] for k in ("uni", "with_io")
+            row.update({k: cached[k] for k in
+                        ("uni", "spatial", "decode", "with_io")
                         if k in cached})
         print(json.dumps(row))
 

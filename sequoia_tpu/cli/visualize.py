@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights", type=str, required=True,
                    help="backbone weights (.pt/.bin) or 'random'")
     p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--accumulate", type=str, default="auto",
+                   choices=["auto", "host", "device"],
+                   help="overlap-averaging sums: host float64 (reference-"
+                        "faithful) or fully device-resident f32 (one table "
+                        "upload, jitted gather/scatter; ~1e-5 rel. diff); "
+                        "auto = device for stacked vis folds at >=1024 genes")
     return p
 
 
@@ -147,7 +153,8 @@ def main(argv=None) -> None:
     spatial.run_visualize(slide, mask, list(gene_ids), fold_models, extractor,
                           gene_names=gene_names, patch_size=args.patch_size,
                           resize_factor=manual_resize, stride=args.stride,
-                          save_path=save_path, resize_patch_to=resize_to)
+                          save_path=save_path, resize_patch_to=resize_to,
+                          accumulate=args.accumulate)
     print("Done")
 
 

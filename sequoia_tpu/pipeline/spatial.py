@@ -116,11 +116,96 @@ def collect_windows(df: pd.DataFrame, *, stride: int = 1, window: int = 10):
     return windows
 
 
+def _sliding_window_device(tile_feats, windows, multi_fn, gene_indices,
+                           n, dim, *, num_tokens: int, batch_windows: int,
+                           _device_sums: bool = False):
+    """Device-resident window stage (``accumulate='device'``): the (n, D)
+    feature table crosses host->device ONCE; per chunk a jitted gather
+    assembles (W, num_tokens, D) windows from padded index rows, the
+    stacked fold forward produces (F, W, G) on device, and a jitted
+    scatter-add accumulates per-tile sums in an (n, G_sel) f32 buffer per
+    fold (donated across chunks).  Pad index = n selects the table's
+    appended zero row on gather and is dropped (``mode='drop'``) on
+    scatter, so partial windows and partial tail chunks need no host-side
+    special-casing."""
+    fold_keys = list(multi_fn.fold_keys)
+    g_all = np.arange(len(gene_indices))
+    # "selection is the identity" needs the model's G, discovered from the
+    # first chunk's forward: indices 0..k-1 into a WIDER head still select
+    full_width = None
+
+    table = jnp.concatenate([jnp.asarray(tile_feats, jnp.float32),
+                             jnp.zeros((1, dim), jnp.float32)])
+    gather = jax.jit(lambda t, i: t[i])
+    gene_idx_dev = jnp.asarray(gene_indices)
+
+    @jax.jit
+    def select_genes(preds):  # (F, W, G) -> (F, W, G_sel)
+        return preds[:, :, gene_idx_dev]
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=0)
+    def scatter_add(sums, preds, idx):
+        # sums (n, G_sel) f32; preds (W, G_sel); idx (W, K) padded with n
+        def body(i, s):
+            return s.at[idx[i]].add(preds[i], mode="drop")
+
+        return jax.lax.fori_loop(0, preds.shape[0], body, sums)
+
+    sums_dev = {f: jnp.zeros((n, len(gene_indices)), jnp.float32)
+                for f in fold_keys}
+    counts = np.zeros(n, np.int64)
+
+    for start in range(0, len(windows), batch_windows):
+        chunk = windows[start:start + batch_windows]
+        # gather indices: first num_tokens members (the model's token
+        # budget); scatter indices: EVERY member tile receives the window
+        # prediction (reference visualize.py:87-100) — identical matrices
+        # at window <= sqrt(num_tokens), kept separate for larger windows
+        k_scatter = max(num_tokens, max(len(s) for s in chunk))
+        gidx = np.full((batch_windows, num_tokens), n, np.int32)
+        sidx = np.full((batch_windows, k_scatter), n, np.int32)
+        for i, sel in enumerate(chunk):
+            gidx[i, : min(len(sel), num_tokens)] = sel[:num_tokens]
+            sidx[i, : len(sel)] = sel
+        np.add.at(counts, np.concatenate(chunk), 1)
+
+        feats_dev = gather(table, jnp.asarray(gidx))
+        preds = multi_fn.raw_fwd(feats_dev)  # (F, W, G) on device
+        if full_width is None:
+            full_width = preds.shape[2] == len(gene_indices) and bool(
+                np.array_equal(gene_indices, g_all))
+        if not full_width:
+            preds = select_genes(preds)
+        sidx_dev = jnp.asarray(sidx)
+        for fi, f in enumerate(fold_keys):
+            sums_dev[f] = scatter_add(sums_dev[f], preds[fi], sidx_dev)
+
+    if _device_sums:
+        # benchmarking hook: hand back the on-device sum buffers + counts
+        # so the caller can sync without a (F, n, G) host readback (the
+        # sandbox relay makes that download ~100x slower than production
+        # PCIe; the compute being timed is identical)
+        return fold_keys, sums_dev, counts
+
+    seen = counts > 0
+    means = {}
+    for f in fold_keys:
+        m = np.full((n, len(gene_indices)), np.nan)
+        s = np.asarray(sums_dev[f])  # ONE download per fold
+        m[seen] = s[seen] / counts[seen, None]
+        means[f] = m
+    return fold_keys, means, seen
+
+
 def sliding_window_predict_arrays(tile_feats: np.ndarray, df: pd.DataFrame,
                                   predict_fns, gene_indices, *,
                                   stride: int = 1, window: int = 10,
                                   num_tokens: int = 100,
-                                  batch_windows: int = 64):
+                                  batch_windows: int = 64,
+                                  accumulate: str = "auto",
+                                  _device_sums: bool = False):
     """Reference ``sliding_window_method`` over cached features, all folds
     in one pass: windows are gathered/padded ONCE and every fold's model
     runs on the same device batch.
@@ -128,6 +213,23 @@ def sliding_window_predict_arrays(tile_feats: np.ndarray, df: pd.DataFrame,
     ``predict_fns``: {fold: (W, num_tokens, D) -> (W, G)} callables, or a
     single STACKED predictor (from :func:`make_vis_stacked_predict_fn`)
     mapping (W, num_tokens, D) -> {fold: (W, G)} in one vmapped forward.
+
+    ``accumulate``: where the overlap-averaging sums live.
+
+    * ``"host"`` — float64 numpy accumulation (bit-faithful to the
+      reference's per-tile list means; the parity gates run this).
+    * ``"device"`` — the whole window stage stays on device: the feature
+      table uploads ONCE, window gather / fold forwards / overlap
+      scatter-add all run as jitted XLA programs, and only the final
+      (n_tiles, G_sel) sums come back.  At ``--gene_names all`` this
+      removes ~GBs of per-chunk host<->device traffic (the host path
+      re-uploads every gathered window and downloads every (F, W, 20820)
+      prediction block).  Sums are f32 on device; with <= (window/stride)^2
+      ~= 100 overlapping terms per tile the result matches the host path
+      to ~1e-5 relative.  Requires a stacked predictor
+      (:func:`make_vis_stacked_predict_fn`).
+    * ``"auto"`` — ``"device"`` when a stacked predictor is given AND the
+      output is wide enough to matter (>= 1024 genes), else ``"host"``.
 
     Returns ``(fold_keys, means, seen)`` where ``means[f]`` is the
     (n_tiles, G_sel) overlap-averaged prediction table (NaN on never-covered
@@ -150,6 +252,25 @@ def sliding_window_predict_arrays(tile_feats: np.ndarray, df: pd.DataFrame,
                     for f, fn in predict_fns.items()}
 
         fold_keys = list(predict_fns)
+
+    raw_fwd = getattr(multi_fn, "raw_fwd", None)
+    if accumulate not in ("auto", "host", "device"):
+        raise ValueError(f"accumulate must be auto|host|device, "
+                         f"got {accumulate!r}")
+    if accumulate == "device" and raw_fwd is None:
+        raise ValueError("accumulate='device' needs a stacked predictor "
+                         "(make_vis_stacked_predict_fn)")
+    if accumulate == "auto":
+        accumulate = ("device" if raw_fwd is not None
+                      and len(gene_indices) >= 1024 else "host")
+    if accumulate == "device":
+        return _sliding_window_device(tile_feats, windows, multi_fn,
+                                      gene_indices, n, dim,
+                                      num_tokens=num_tokens,
+                                      batch_windows=batch_windows,
+                                      _device_sums=_device_sums)
+    if _device_sums:
+        raise ValueError("_device_sums requires accumulate='device'")
 
     # pre-init when folds are known so ZERO qualifying windows (sparse
     # biopsy: no 10x10 window holds >50 tiles) yields all-NaN tables like
@@ -196,14 +317,16 @@ def sliding_window_predict_multi(tile_feats: np.ndarray, df: pd.DataFrame,
                                  predict_fns, gene_indices, *,
                                  stride: int = 1, window: int = 10,
                                  num_tokens: int = 100,
-                                 batch_windows: int = 64):
+                                 batch_windows: int = 64,
+                                 accumulate: str = "auto"):
     """Dict view of :func:`sliding_window_predict_arrays`:
     {fold: {gene_index: {df_row_label: prediction}}} (reference layout)."""
     labels = df.index.to_numpy()
     gene_indices = list(gene_indices)
     fold_keys, means, seen = sliding_window_predict_arrays(
         tile_feats, df, predict_fns, gene_indices, stride=stride,
-        window=window, num_tokens=num_tokens, batch_windows=batch_windows)
+        window=window, num_tokens=num_tokens, batch_windows=batch_windows,
+        accumulate=accumulate)
     out = {}
     for f in fold_keys:
         m = means[f][seen]
@@ -228,7 +351,8 @@ def run_visualize(slide, mask_xy: np.ndarray, gene_ids: list[str],
                   gene_names=None, patch_size: int = 256,
                   resize_factor: float | None = None, stride: int = 1,
                   save_path: str | None = None,
-                  resize_patch_to: int | None = None) -> pd.DataFrame:
+                  resize_patch_to: int | None = None,
+                  accumulate: str = "auto") -> pd.DataFrame:
     """Full per-slide flow (reference visualize.py __main__):
 
     ``fold_models``: {fold: predict_fn((W, 100, D) -> (W, G))}.
@@ -256,7 +380,8 @@ def run_visualize(slide, mask_xy: np.ndarray, gene_ids: list[str],
                                  resize_to=resize_patch_to)
 
     fold_keys, means, _ = sliding_window_predict_arrays(
-        tile_feats, df, fold_models, inds, stride=stride)
+        tile_feats, df, fold_models, inds, stride=stride,
+        accumulate=accumulate)
     folds = sorted(fold_keys)
     # Assemble all {gene}_{fold} + across-fold-mean columns in ONE concat —
     # per-column inserts fragment the frame and are Python-quadratic at
@@ -304,6 +429,8 @@ def make_vis_stacked_predict_fn(cfg, fold_params: dict):
 
     multi.fold_keys = folds  # known up front: zero-window slides still
     # get per-fold (all-NaN) columns like the reference
+    multi.raw_fwd = lambda feats_dev: fwd(stacked, feats_dev)  # device
+    # (F, W, G), no host round-trip — enables accumulate='device'
     return multi
 
 

@@ -107,7 +107,12 @@ def test_device_leg_timeout_quarantines_later_device_legs(bench, tmp_path,
     monkeypatch.setattr(bench, "measure_probe", lambda: 10.0)
     monkeypatch.setattr(bench, "measure_device_pipeline",
                         lambda backbone: _time.sleep(60))
-    monkeypatch.setattr(bench, "measure_decode", lambda: 5000.0)
+    monkeypatch.setattr(bench, "measure_decode",
+                        lambda: {"raw": 8000.0, "jpeg": 5000.0})
+    monkeypatch.setattr(
+        bench, "measure_spatial",
+        lambda: (_ for _ in ()).throw(
+            AssertionError("spatial must not run after a device-leg timeout")))
     monkeypatch.setattr(
         bench, "measure_e2e_serving",
         lambda relay_rate=None: (_ for _ in ()).throw(
@@ -122,6 +127,7 @@ def test_device_leg_timeout_quarantines_later_device_legs(bench, tmp_path,
     fails = out["leg_failures"]
     assert fails["resnet"].startswith("LegTimeout")
     assert "skipped" in fails["uni"] and "skipped" in fails["e2e"]
+    assert "skipped" in fails["spatial"]
 
 
 def test_partial_fresh_legs_survive_headline_failure(bench, tmp_path,
@@ -138,7 +144,9 @@ def test_partial_fresh_legs_survive_headline_failure(bench, tmp_path,
         return 4.0  # uni: 4 s/slide -> 900/h
 
     monkeypatch.setattr(bench, "measure_device_pipeline", device)
-    monkeypatch.setattr(bench, "measure_decode", lambda: 5000.0)
+    monkeypatch.setattr(bench, "measure_spatial", lambda: 20.0)
+    monkeypatch.setattr(bench, "measure_decode",
+                        lambda: {"raw": 8000.0, "jpeg": 5000.0})
     monkeypatch.setattr(bench, "measure_e2e_serving",
                         lambda relay_rate=None: 10.0)
 
@@ -149,9 +157,13 @@ def test_partial_fresh_legs_survive_headline_failure(bench, tmp_path,
     assert out["value"] == 0  # headline genuinely unavailable
     assert out["uni"]["value"] == 900.0  # fresh legs not discarded
     assert out["with_io"]["value"] == 360.0
+    assert out["spatial"]["value"] == 180.0  # 3600 / 20 s per map
+    assert out["decode"]["jpeg"] == 5000.0 and out["decode"]["raw"] == 8000.0
     persisted = json.loads(cache.read_text())
     assert persisted["uni"]["value"] == 900.0
     assert persisted["with_io"]["value"] == 360.0
+    assert persisted["spatial"]["value"] == 180.0
+    assert persisted["decode"]["jpeg"] == 5000.0
 
 
 def test_corrupt_cache_still_emits_one_json_line(bench, tmp_path,
@@ -164,3 +176,14 @@ def test_corrupt_cache_still_emits_one_json_line(bench, tmp_path,
         bench._emit_fallback("boom")
     out = json.loads(buf.getvalue().strip())
     assert out["value"] == 0 and "boom" in out["unit"]
+
+
+def test_measure_spatial_smoke_cpu(bench, monkeypatch):
+    """The spatial leg runs end to end at shrunk shapes on CPU (real
+    sliding_window_predict_arrays device-accumulate path, real ViS)."""
+    monkeypatch.setattr(bench, "NUM_GENES", 24)
+    monkeypatch.setattr(bench, "FEAT_DIM", 16)
+    monkeypatch.setattr(bench, "SPATIAL_GRID", 14)
+    monkeypatch.setattr(bench, "SPATIAL_FOLDS", 2)
+    per_map = bench.measure_spatial()
+    assert per_map > 0

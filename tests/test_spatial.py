@@ -167,3 +167,45 @@ def test_build_valid_tiles_counts_past_mask_tiles_like_reference():
     df = spatial.build_valid_tiles(mask_xy, (35, 35), patch_size_resized=7)
     # rows 15..28 map to rd>=5 (past the 5-row mask): empty crop -> valid
     assert ((df["ycoord"] >= 15).sum() > 0), df
+
+
+def test_device_accumulate_matches_host():
+    """accumulate='device' (one table upload, jitted gather/forward/
+    scatter-add, f32 on-device sums) must match the host float64 path —
+    subset and identity gene selections, stride 1 and 3, partial tail
+    chunks (batch_windows=5)."""
+    rng = np.random.default_rng(5)
+    df = make_grid_df(rng, nx=16, ny=16, keep=0.9)
+    D, G = 16, 7
+    tile_feats = rng.normal(size=(len(df), D)).astype(np.float32)
+    cfg = vis.ViSConfig(num_outputs=G, input_dim=D, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    stacked = spatial.make_vis_stacked_predict_fn(
+        cfg, {f: vis.init(cfg, jax.random.PRNGKey(f)) for f in range(2)})
+
+    for inds in ([0, 2, 5], list(range(G))):
+        for stride in (1, 3):
+            kw = dict(stride=stride, batch_windows=5)
+            fk_h, m_h, seen_h = spatial.sliding_window_predict_arrays(
+                tile_feats, df, stacked, inds, accumulate="host", **kw)
+            fk_d, m_d, seen_d = spatial.sliding_window_predict_arrays(
+                tile_feats, df, stacked, inds, accumulate="device", **kw)
+            assert fk_h == fk_d and (seen_h == seen_d).all()
+            for f in fk_h:
+                np.testing.assert_allclose(m_d[f], m_h[f],
+                                           rtol=2e-5, atol=2e-6)
+
+
+def test_device_accumulate_requires_stacked_predictor():
+    import pytest
+
+    df = make_grid_df(np.random.default_rng(1), nx=12, ny=12)
+    feats = np.zeros((len(df), 4), np.float32)
+    with pytest.raises(ValueError, match="stacked"):
+        spatial.sliding_window_predict_arrays(
+            feats, df, {0: lambda x: np.zeros((x.shape[0], 3))}, [0],
+            accumulate="device")
+    with pytest.raises(ValueError, match="auto|host|device"):
+        spatial.sliding_window_predict_arrays(
+            feats, df, {0: lambda x: np.zeros((x.shape[0], 3))}, [0],
+            accumulate="gpu")
