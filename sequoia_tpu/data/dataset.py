@@ -215,7 +215,7 @@ class PrefetchIterator:
 
     _SENTINEL = object()
 
-    def __init__(self, iterable, depth: int = 2):
+    def __init__(self, iterable, depth: int = 2, transform=None):
         import queue
         import threading
 
@@ -235,6 +235,11 @@ class PrefetchIterator:
         def worker():
             try:
                 for item in iterable:
+                    if transform is not None:
+                        # runs on THIS thread: host->device transfers issued
+                        # here overlap the consumer's compute dispatches
+                        # (jax transfers are thread-safe and async)
+                        item = transform(item)
                     if not put(item):
                         return
             except BaseException as e:  # propagate into the consumer
@@ -275,6 +280,10 @@ class PrefetchIterator:
         self._stop.set()
 
 
-def prefetch(loader, depth: int = 2):
-    """Iterate ``loader`` with ``depth`` batches read ahead on a thread."""
-    return PrefetchIterator(iter(loader), depth=depth)
+def prefetch(loader, depth: int = 2, transform=None):
+    """Iterate ``loader`` with ``depth`` batches read ahead on a thread.
+
+    ``transform`` (optional) is applied to each batch ON the reader thread
+    before it is queued — pass a host->device upload here so transfers
+    overlap the consumer's compute (double-buffered h2d)."""
+    return PrefetchIterator(iter(loader), depth=depth, transform=transform)

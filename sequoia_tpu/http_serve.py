@@ -17,61 +17,138 @@ the baked-in set.
     GET  /genes     -> {"genes": [...], "n": G}
     GET  /healthz   -> {"status": "ok", "folds": k, "feat_type": ...}
 
-Requests are served one pipeline run at a time (a lock serializes the
-predictor: device throughput comes from batching inside a run, not from
-concurrent runs fighting over the chip).
+Concurrent requests are MERGED, not serialized: every ``POST /predict``
+enqueues its slide list and a single pipeline worker drains everything
+pending into ONE ``predict_slides`` run (slides from different clients
+cross-slide pipeline together, duplicate paths compute once).  Four
+concurrent clients therefore see ~batch throughput instead of 4x serial
+latency — the device never idles between requests.
 """
 
 from __future__ import annotations
 
 import json
+import math
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+def _jsonable(v) -> float | None:
+    # json.dumps would emit a literal NaN/Infinity token (invalid
+    # RFC-8259) and strict parsers would reject the WHOLE response
+    f = float(v)
+    return f if math.isfinite(f) else None
+
+
+class _Request:
+    """One client's pending slide list + its delivery slot."""
+
+    __slots__ = ("paths", "results", "failed", "error", "done")
+
+    def __init__(self, paths: list[str]):
+        self.paths = paths
+        self.results: dict[str, dict] = {}
+        self.failed: dict[str, str] = {}
+        self.error: BaseException | None = None
+        self.done = threading.Event()
+
+
 class PredictorService:
-    """Thread-safe wrapper: one SlidePredictor, serialized pipeline runs."""
+    """Thread-safe wrapper: one SlidePredictor, merged pipeline runs.
+
+    All requests funnel through ``self._pending``; ``_worker`` drains every
+    queued request into one merged ``predict_slides`` call.  ``predict``
+    blocks until the worker delivers, so the handler-facing API stays
+    synchronous."""
 
     def __init__(self, predictor, genes: list[str]):
         self.predictor = predictor
         self.genes = list(genes)
-        self._lock = threading.Lock()
         self.requests = 0
         self.slides_ok = 0
         self.slides_failed = 0
         self.last_slide_seconds: float | None = None
+        self._pending: "queue.Queue[_Request | None]" = queue.Queue()
+        self._worker = threading.Thread(target=self._serve_loop, daemon=True,
+                                        name="predictor-service")
+        self._worker.start()
+
+    def close(self) -> None:
+        """Stop the pipeline worker (in-flight batch finishes first)."""
+        self._pending.put(None)
+        self._worker.join()
 
     def predict(self, paths: list[str]) -> tuple[dict, dict]:
-        """paths -> ({name: {gene: float}}, {name: error})."""
-        import time
+        """paths -> ({name: {gene: float}}, {name: error}); blocks until the
+        merged pipeline run containing these slides completes."""
+        req = _Request([str(p) for p in paths])
+        self._pending.put(req)
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.results, req.failed
 
-        failed: dict[str, str] = {}
+    # -- worker -------------------------------------------------------------
+
+    def _serve_loop(self) -> None:
+        while True:
+            first = self._pending.get()
+            if first is None:
+                return
+            batch = [first]
+            while True:  # merge everything already waiting
+                try:
+                    nxt = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._run_batch(batch)
+                    return
+                batch.append(nxt)
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: list[_Request]) -> None:
+        """One merged predict_slides run over the union of the batch's
+        paths; per-path results fan back out to every requester (duplicate
+        paths across clients compute once)."""
+        wanted: dict[str, list[_Request]] = {}
+        for req in batch:
+            for p in req.paths:
+                wanted.setdefault(p, []).append(req)
+        merged = list(wanted)
+
+        failed_paths: set[str] = set()
 
         def on_error(path, e):
-            failed[path] = f"{type(e).__name__}: {e}"
+            msg = f"{type(e).__name__}: {e}"
+            failed_paths.add(path)
+            for req in wanted[path]:
+                req.failed[path] = msg
 
-        import math
-
-        def jsonable(v) -> float | None:
-            # json.dumps would emit a literal NaN/Infinity token (invalid
-            # RFC-8259) and strict parsers would reject the WHOLE response
-            f = float(v)
-            return f if math.isfinite(f) else None
-
-        results: dict[str, dict] = {}
-        with self._lock:
-            self.requests += 1
+        try:
+            self.requests += len(batch)
             t0 = time.perf_counter()
+            n_ok = 0
             for path, out in self.predictor.predict_slides(
-                    paths, on_error=on_error):
-                results[path] = {g: jsonable(v)
-                                 for g, v in zip(self.genes, out[0])}
+                    merged, on_error=on_error):
+                row = {g: _jsonable(v) for g, v in zip(self.genes, out[0])}
+                n_ok += 1
+                for req in wanted[path]:
+                    req.results[path] = row
             dt = time.perf_counter() - t0
-            self.slides_ok += len(results)
-            self.slides_failed += len(failed)
-            if results:
-                self.last_slide_seconds = round(dt / len(results), 3)
-        return results, failed
+            self.slides_ok += n_ok
+            self.slides_failed += len(failed_paths)
+            if n_ok:
+                self.last_slide_seconds = round(dt / n_ok, 3)
+        except BaseException as e:  # noqa: BLE001 — delivered per request
+            for req in batch:
+                if not req.done.is_set():
+                    req.error = e
+        finally:
+            for req in batch:
+                req.done.set()
 
     def health(self) -> dict:
         p = self.predictor

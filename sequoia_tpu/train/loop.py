@@ -169,10 +169,39 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
 
     def save(p, epoch):
         nonlocal best_params, best_epoch
-        best_params = jax.tree.map(lambda x: np.asarray(x), p)
+        if save_fn is None and state_path is None:
+            # nothing consumes the snapshot until training ends: keep it as
+            # a DEVICE copy (an on-chip buffer copy) instead of downloading
+            # the full ~520 MB f32 param set to host on every improving
+            # epoch — np.asarray-ing the tree per save cost more wall time
+            # than the 16 train steps of the epoch on a slow host link;
+            # materialized to numpy once at return
+            best_params = jax.tree.map(jnp.copy, p)
+        else:
+            best_params = jax.tree.map(lambda x: np.asarray(x), p)
+            if save_fn is not None:
+                save_fn(best_params)
         best_epoch = epoch
-        if save_fn is not None:
-            save_fn(best_params)
+
+    def to_device(batch):
+        """(feats, rna, valid) on device, or None for an all-pad batch."""
+        if batch.n_valid == 0:
+            return None
+        if mesh is not None:
+            from sequoia_tpu.parallel import sharding as _sh
+
+            return _sh.shard_batch_arrays(
+                mesh, batch.features, batch.rna, batch.valid)
+        return (jnp.asarray(batch.features), jnp.asarray(batch.rna),
+                jnp.asarray(batch.valid))
+
+    # Per-phase "step has compiled" gates: worker-thread uploads may only
+    # start once that phase's jitted step exists — overlapping an h2d
+    # transfer with a first-call compile can wedge remote-compile backends
+    # (observed live on the TPU sandbox relay).  Until the gate opens the
+    # worker passes host batches through and the main thread converts.
+    import threading as _threading
+    _step_ready = {p: _threading.Event() for p in phases}
 
     for epoch in range(start_epoch, num_epochs):
         epoch_metrics: dict[str, dict[str, float]] = {}
@@ -180,26 +209,30 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
             accum: list[dict] = []
             from sequoia_tpu.data.dataset import prefetch as _prefetch
 
-            batches = (_prefetch(loaders[phase], depth=prefetch_depth)
-                       if prefetch_depth else loaders[phase])
-            try:
-                for batch in batches:
-                    if batch.n_valid == 0:
-                        continue
-                    if mesh is not None:
-                        from sequoia_tpu.parallel import sharding as _sh
+            ready = _step_ready[phase]
 
-                        feats, rna, valid = _sh.shard_batch_arrays(
-                            mesh, batch.features, batch.rna, batch.valid)
-                    else:
-                        feats = jnp.asarray(batch.features)
-                        rna = jnp.asarray(batch.rna)
-                        valid = jnp.asarray(batch.valid)
+            def transform(batch, _ready=ready):
+                # runs on the prefetch thread: batch i+1's h2d overlaps
+                # batch i's step (the double-buffered host pipeline from
+                # SURVEY.md section 5) — but only after the step compiled
+                return to_device(batch) if _ready.is_set() else batch
+
+            batches = (_prefetch(loaders[phase], depth=prefetch_depth,
+                                 transform=transform)
+                       if prefetch_depth else
+                       map(transform, loaders[phase]))
+            try:
+                for item in batches:
+                    dev = to_device(item) if hasattr(item, "n_valid") else item
+                    if dev is None:
+                        continue
+                    feats, rna, valid = dev
                     if phase == "train":
                         params, opt_state, m = train_step(params, opt_state,
                                                           feats, rna, valid)
                     else:
                         _, m = eval_step(params, feats, rna, valid)
+                    ready.set()  # step call returned => compile is done
                     accum.append(m)
             finally:
                 # an exception mid-epoch must not strand the reader thread
@@ -296,6 +329,8 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
     final_params = jax.tree.map(lambda x: np.asarray(x), params)
     if best_epoch < 0:  # never saved (e.g. 0 epochs): return current params
         best_params = final_params
+    else:  # may be a device-side snapshot (see save()): one host download
+        best_params = jax.tree.map(lambda x: np.asarray(x), best_params)
     return TrainResult(params=best_params, history=history,
                        best_epoch=best_epoch, final_params=final_params)
 

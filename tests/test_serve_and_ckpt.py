@@ -1138,3 +1138,143 @@ def test_he2rna_whole_module_pickle_preserves_ks(tmp_path):
     cfg, params = convert.he2rna_from_torch(sd)
     assert cfg.ks == (10,)
     assert cfg.input_dim == 8 and cfg.output_dim == 4
+
+
+def _slow_fake_predictor(calls, per_slide=0.08, per_run=0.25):
+    """A predictor whose predict_slides records each run's path tuple and
+    simulates pipeline time: per_run fixed overhead + per_slide each."""
+    import time as _time
+
+    class FakePredictor:
+        vis_models = [None]
+
+        class extractor:
+            feat_type = "resnet"
+
+        @staticmethod
+        def predict_slides(paths, on_error=None):
+            calls.append(tuple(paths))
+            _time.sleep(per_run)
+            for p in paths:
+                _time.sleep(per_slide)
+                if "bad" in p:
+                    if on_error is None:
+                        raise RuntimeError("boom")
+                    on_error(p, RuntimeError("boom"))
+                    continue
+                yield p, np.asarray([[1.0, 2.0, 3.0]])
+
+    return FakePredictor()
+
+
+def test_http_concurrent_requests_merge_into_one_run():
+    """4 concurrent clients reach ~batch throughput: while one run is in
+    flight, everything that queues behind it merges into ONE follow-up
+    predict_slides call (duplicate paths compute once), instead of 4
+    serial pipeline runs."""
+    import threading
+    import time as _time
+
+    from sequoia_tpu import http_serve
+
+    calls: list[tuple] = []
+    svc = http_serve.PredictorService(
+        _slow_fake_predictor(calls), ["A", "B", "C"])
+    try:
+        # occupy the worker so the concurrent burst queues behind it
+        warm = threading.Thread(target=svc.predict, args=(["warm.svs"],))
+        warm.start()
+        _time.sleep(0.1)  # worker is inside the warm run's sleep
+
+        outs: dict[str, tuple] = {}
+
+        def client(name, paths):
+            outs[name] = svc.predict(paths)
+
+        t0 = _time.perf_counter()
+        threads = [threading.Thread(target=client, args=(f"c{i}", [f"s{i}.svs"]))
+                   for i in range(3)]
+        # 4th client shares a path with client 0: must compute once
+        threads.append(threading.Thread(target=client,
+                                        args=("c3", ["s0.svs", "s3.svs"])))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        wall = _time.perf_counter() - t0
+        warm.join(timeout=60)
+
+        # exactly 2 runs: the warm run + ONE merged run with the union
+        assert len(calls) == 2, calls
+        assert sorted(calls[1]) == ["s0.svs", "s1.svs", "s2.svs", "s3.svs"]
+        # batch throughput, not 4x serial latency: 4 serial runs would be
+        # >= 4*(0.25+0.08) = 1.32s of fake pipeline time after the warm run
+        assert wall < 1.2, wall
+        for i in range(3):
+            assert outs[f"c{i}"][0] == {f"s{i}.svs": {"A": 1.0, "B": 2.0,
+                                                      "C": 3.0}}
+        assert set(outs["c3"][0]) == {"s0.svs", "s3.svs"}
+    finally:
+        svc.close()
+
+
+def test_http_merged_run_quarantines_and_fans_out_failures():
+    """Per-slide failures inside a merged run reach exactly the requesters
+    of that slide; a catastrophic predictor error fails every merged
+    request but the service keeps serving."""
+    import threading
+    import time as _time
+
+    from sequoia_tpu import http_serve
+
+    calls: list[tuple] = []
+    svc = http_serve.PredictorService(
+        _slow_fake_predictor(calls), ["A", "B", "C"])
+    try:
+        warm = threading.Thread(target=svc.predict, args=(["warm.svs"],))
+        warm.start()
+        _time.sleep(0.1)
+        outs: dict[str, tuple] = {}
+
+        def client(name, paths):
+            outs[name] = svc.predict(paths)
+
+        ts = [threading.Thread(target=client, args=("ok", ["fine.svs"])),
+              threading.Thread(target=client, args=("bad", ["bad.svs"]))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+        warm.join(timeout=60)
+        assert outs["ok"][0]["fine.svs"]["A"] == 1.0 and not outs["ok"][1]
+        assert not outs["bad"][0] and "boom" in outs["bad"][1]["bad.svs"]
+        assert svc.slides_failed == 1 and svc.slides_ok >= 2
+
+        # catastrophic: a predictor that raises outside on_error fails the
+        # request but the worker survives for the next one
+        class Exploder:
+            vis_models = [None]
+
+            class extractor:
+                feat_type = "resnet"
+
+            calls = 0
+
+            @classmethod
+            def predict_slides(cls, paths, on_error=None):
+                cls.calls += 1
+                if cls.calls == 1:
+                    raise RuntimeError("catastrophic")
+                for p in paths:
+                    yield p, np.asarray([[1.0, 2.0, 3.0]])
+
+        svc2 = http_serve.PredictorService(Exploder(), ["A", "B", "C"])
+        try:
+            with pytest.raises(RuntimeError, match="catastrophic"):
+                svc2.predict(["x.svs"])
+            ok, failed = svc2.predict(["y.svs"])  # worker still alive
+            assert ok["y.svs"]["A"] == 1.0 and not failed
+        finally:
+            svc2.close()
+    finally:
+        svc.close()
