@@ -92,6 +92,19 @@ def get_lib():
                                     ctypes.POINTER(ctypes.c_int64),
                                     ctypes.POINTER(ctypes.c_int64),
                                     ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.str_ycbcr_ok.restype = ctypes.c_int
+    lib.str_ycbcr_ok.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_int64, ctypes.c_int64,
+                                 ctypes.POINTER(ctypes.c_int),
+                                 ctypes.POINTER(ctypes.c_int)]
+    lib.str_read_regions_ycbcr.restype = ctypes.c_int
+    lib.str_read_regions_ycbcr.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                           ctypes.POINTER(ctypes.c_int64),
+                                           ctypes.POINTER(ctypes.c_int64),
+                                           ctypes.c_int,
+                                           ctypes.c_int64, ctypes.c_int64,
+                                           ctypes.POINTER(ctypes.c_uint8),
+                                           ctypes.c_int]
     lib.str_write_tiled_ex.restype = ctypes.c_int
     lib.str_write_tiled_ex.argtypes = [ctypes.c_char_p,
                                        ctypes.POINTER(ctypes.c_void_p),
@@ -100,6 +113,9 @@ def get_lib():
                                        ctypes.c_int, ctypes.c_int,
                                        ctypes.c_int, ctypes.c_int,
                                        ctypes.c_char_p]
+    lib.str_write_tiled_ex2.restype = ctypes.c_int
+    lib.str_write_tiled_ex2.argtypes = (lib.str_write_tiled_ex.argtypes
+                                        + [ctypes.c_int, ctypes.c_int])
     _lib = lib
     return _lib
 
@@ -107,7 +123,8 @@ def get_lib():
 def write_tiled_tiff(path: str, levels: list[np.ndarray],
                      tile: tuple[int, int] = (64, 64),
                      jpeg_quality: int = 0,
-                     description: str = "") -> None:
+                     description: str = "",
+                     subsampling: tuple[int, int] = (2, 2)) -> None:
     """Write (h, w, 3) uint8 arrays as a tiled pyramidal TIFF (test/dev
     helper; exercises the tiled decode path).
 
@@ -116,7 +133,9 @@ def write_tiled_tiff(path: str, levels: list[np.ndarray],
     so fixtures exercise the exact decode path production slides take.
     ``description`` is stored as level 0's ImageDescription; an
     Aperio-style string ("...|AppMag = 20|MPP = 0.5") round-trips through
-    ``NativeTiffReader.properties``."""
+    ``NativeTiffReader.properties``.  ``subsampling`` sets the JPEG chroma
+    subsampling: (2, 2) = 4:2:0 (our default), (2, 1) = 4:2:2 (Aperio
+    GT450), (1, 1) = 4:4:4."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -125,13 +144,16 @@ def write_tiled_tiff(path: str, levels: list[np.ndarray],
         *[lv.ctypes.data_as(ctypes.c_void_p) for lv in levels])
     ws = np.asarray([lv.shape[1] for lv in levels], np.int64)
     hs = np.asarray([lv.shape[0] for lv in levels], np.int64)
-    rc = lib.str_write_tiled_ex(
+    rc = lib.str_write_tiled_ex2(
         path.encode(), bufs,
         ws.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         hs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        len(levels), tile[0], tile[1], jpeg_quality, description.encode())
+        len(levels), tile[0], tile[1], jpeg_quality, description.encode(),
+        subsampling[0], subsampling[1])
     if rc == -4:
         raise ValueError(f"JPEG tiles need multiple-of-16 dims, got {tile}")
+    if rc == -5:
+        raise ValueError(f"unsupported subsampling {subsampling}")
     if rc != 0:
         raise OSError(f"str_write_tiled_ex failed (rc={rc})")
 
@@ -224,6 +246,45 @@ class NativeTiffReader:
             # silently returning black tiles would feed the model wrong
             # pixels; the per-slide quarantine upstream handles the raise
             raise OSError(f"read_regions decoded {ok}/{n} regions")
+        return out
+
+    def ycbcr_subsampling(self, level: int, size) -> tuple[int, int] | None:
+        """Chroma subsampling (sh, sv) when whole-``size``-tile requests at
+        ``level`` can be served as raw subsampled YCbCr (JPEG tiles, tile
+        dims == size), else None.  See :meth:`read_regions_ycbcr`."""
+        sh, sv = ctypes.c_int(), ctypes.c_int()
+        ok = self._lib.str_ycbcr_ok(self._h, level, size[0], size[1],
+                                    ctypes.byref(sh), ctypes.byref(sv))
+        return (sh.value, sv.value) if ok else None
+
+    def read_regions_ycbcr(self, locations, level, size,
+                           nthreads: int = 8) -> np.ndarray:
+        """Batch raw-YCbCr whole-tile decode: [(x0, y0), ...] level-0 coords
+        (each a tile-aligned full tile) -> (n, w*h + 2*(w/sh)*(h/sv)) uint8,
+        each row planar Y ++ Cb ++ Cr at 1.5 B/px for 2x2 subsampling —
+        half the host->device bytes of the RGB path.  Convert on device
+        with ``sequoia_tpu.ops.ycbcr`` (bit-exact vs the RGB path)."""
+        sub = self.ycbcr_subsampling(level, size)
+        if sub is None:
+            raise OSError("raw YCbCr path unsupported for this level/size")
+        w, h = size
+        shs, svs = sub
+        n = len(locations)
+        xs = np.empty(n, np.int64)
+        ys = np.empty(n, np.int64)
+        for i, (x0, y0) in enumerate(locations):
+            xs[i], ys[i] = self._to_level(x0, y0, level)
+        stride = w * h + 2 * (w // shs) * (h // svs)
+        out = np.empty((n, stride), np.uint8)
+        ok = self._lib.str_read_regions_ycbcr(
+            self._h, level,
+            xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, w, h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nthreads)
+        if ok != n:
+            raise OSError(f"read_regions_ycbcr decoded {ok}/{n} regions "
+                          "(tile-aligned whole tiles only)")
         return out
 
     def close(self):

@@ -306,6 +306,164 @@ int str_read_regions(void* handle, int level, const int64_t* xs,
 
 void str_close(void* handle) { delete static_cast<Slide*>(handle); }
 
+// ---------------------------------------------------------------------------
+// Raw subsampled-YCbCr tile reads.
+//
+// JPEG tiles store YCbCr with chroma subsampling (2x2 for our writer and
+// most Aperio slides): 1.5 bytes/pixel instead of the 3 bytes/pixel the
+// RGB path expands to.  Serving uploads patches over host->device links
+// (PCIe on a real v5e host); shipping the raw subsampled planes and doing
+// the upsample + color conversion on the TPU halves that traffic AND skips
+// libjpeg's host-side upsample/convert work.  The device-side conversion
+// (sequoia_tpu/ops/ycbcr.py) reproduces libjpeg's integer math bit-exactly,
+// so this path returns pixels identical to the RGB path.
+//
+// Scope: whole-tile requests only (region == one full tile, tile-aligned,
+// fully inside the level).  Arbitrary regions would need upsampling context
+// across tile boundaries, which libjpeg itself does not have (each TIFF
+// tile is an independent JPEG image) — per-tile requests keep the
+// device-side conversion bit-exact.  Callers probe with str_ycbcr_ok and
+// fall back to str_read_regions otherwise.
+
+namespace {
+
+// Check tiles at `level` are JPEG YCbCr with integral subsampling and tile
+// dims == (w, h); returns 1 and sets (*sh, *sv) on success.
+int ycbcr_ok_impl(TIFF* tif, const LevelInfo& lv, int64_t w, int64_t h,
+                  int* sh, int* sv) {
+  if (!TIFFSetDirectory(tif, lv.dir) || !TIFFIsTiled(tif)) return 0;
+  uint32_t tw = 0, th = 0;
+  TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
+  TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
+  if ((int64_t)tw != w || (int64_t)th != h) return 0;
+  uint16_t photometric = 0, spp = 0, bps = 0, planar = 0, compression = 0;
+  uint16_t orient = ORIENTATION_TOPLEFT;
+  TIFFGetFieldDefaulted(tif, TIFFTAG_PHOTOMETRIC, &photometric);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLESPERPIXEL, &spp);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bps);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_PLANARCONFIG, &planar);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_COMPRESSION, &compression);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_ORIENTATION, &orient);
+  if (photometric != PHOTOMETRIC_YCBCR || compression != COMPRESSION_JPEG ||
+      spp != 3 || bps != 8 || planar != PLANARCONFIG_CONTIG ||
+      orient != ORIENTATION_TOPLEFT)
+    return 0;
+  uint16_t s_h = 2, s_v = 2;
+  TIFFGetFieldDefaulted(tif, TIFFTAG_YCBCRSUBSAMPLING, &s_h, &s_v);
+  // (2,2)=4:2:0 and (1,1)=4:4:4 only.  4:2:2 is rejected because this
+  // libtiff's raw mode is internally inconsistent there: JPEGDecodeRaw
+  // advances by TIFFScanlineSize (1024 B/row for a 256px 4:2:2 tile) while
+  // TIFFReadEncodedTile clamps the buffer to TIFFTileSize (512 B/row), so
+  // the decode always fails partway — measured empirically; 4:2:2 slides
+  // take the RGB path instead (correct, just without the bandwidth win).
+  // Other factors (e.g. 1x2) lack a libjpeg fancy-upsample equivalent for
+  // the device-side bit-exact reconstruction.
+  if (!((s_h == 2 && s_v == 2) || (s_h == 1 && s_v == 1))) return 0;
+  if (w % s_h || h % s_v) return 0;
+  *sh = s_h;
+  *sv = s_v;
+  return 1;
+}
+
+// Decode ONE whole tile at (rx, ry) as raw YCbCr and repack the TIFF
+// clump-interleaved layout (per sh x sv unit: Y samples row-major, Cb, Cr)
+// into planar Y (w*h) ++ Cb (cw*ch) ++ Cr (cw*ch).
+int read_tile_ycbcr_impl(TIFF* tif, const LevelInfo& lv, int64_t rx,
+                         int64_t ry, int64_t w, int64_t h, uint8_t* out) {
+  int sh = 0, sv = 0;
+  if (!ycbcr_ok_impl(tif, lv, w, h, &sh, &sv)) return -1;
+  if (rx % w || ry % h) return -2;                       // tile-aligned only
+  if (rx < 0 || ry < 0 || rx + w > lv.w || ry + h > lv.h) return -2;
+  TIFFSetField(tif, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RAW);
+  const int64_t cw = w / sh, ch = h / sv;
+  const size_t clump = (size_t)sh * sv + 2;
+  const size_t packed_size = (size_t)(w / sh) * (h / sv) * clump;
+  std::vector<uint8_t> packed(packed_size);
+  tmsize_t n = TIFFReadEncodedTile(
+      tif, TIFFComputeTile(tif, (uint32_t)rx, (uint32_t)ry, 0, 0),
+      packed.data(), packed.size());
+  if (n != (tmsize_t)packed.size()) return -3;
+  uint8_t* yp = out;
+  uint8_t* cbp = out + (size_t)w * h;
+  uint8_t* crp = cbp + (size_t)cw * ch;
+  const uint8_t* src = packed.data();
+  for (int64_t cy = 0; cy < ch; ++cy) {
+    for (int64_t cx = 0; cx < cw; ++cx) {
+      for (int vy = 0; vy < sv; ++vy)
+        for (int vx = 0; vx < sh; ++vx)
+          yp[(cy * sv + vy) * w + cx * sh + vx] = src[vy * sh + vx];
+      cbp[cy * cw + cx] = src[clump - 2];
+      crp[cy * cw + cx] = src[clump - 1];
+      src += clump;
+    }
+  }
+  return 0;
+}
+
+int read_tile_ycbcr_with(TIFF* tif, const LevelInfo& lv, int64_t rx,
+                         int64_t ry, int64_t w, int64_t h, uint8_t* out) {
+  try {
+    return read_tile_ycbcr_impl(tif, lv, rx, ry, w, h, out);
+  } catch (...) {
+    return -4;
+  }
+}
+
+}  // namespace
+
+// Probe whether whole-(w, h)-tile requests at `level` can use the raw
+// path; sets (*sh, *sv) to the chroma subsampling on success.
+int str_ycbcr_ok(void* handle, int level, int64_t w, int64_t h, int* sh,
+                 int* sv) {
+  auto* s = static_cast<Slide*>(handle);
+  if (level < 0 || level >= (int)s->levels.size()) return 0;
+  TIFF* tif = s->acquire();
+  if (!tif) return 0;
+  int rc = 0;
+  try {
+    rc = ycbcr_ok_impl(tif, s->levels[level], w, h, sh, sv);
+  } catch (...) {
+    rc = 0;
+  }
+  s->release(tif);
+  return rc;
+}
+
+// Batched parallel raw-YCbCr whole-tile decode: n tiles of (w, h) at
+// tile-aligned level coords -> out[i * (w*h + 2*(w/sh)*(h/sv))], each
+// region planar Y ++ Cb ++ Cr.  Returns the number decoded; callers treat
+// ok != n as a hard failure (no silent black tiles).
+int str_read_regions_ycbcr(void* handle, int level, const int64_t* xs,
+                           const int64_t* ys, int n, int64_t w, int64_t h,
+                           uint8_t* out, int nthreads) {
+  auto* s = static_cast<Slide*>(handle);
+  if (level < 0 || level >= (int)s->levels.size()) return 0;
+  int sh = 0, sv = 0;
+  if (!str_ycbcr_ok(handle, level, w, h, &sh, &sv)) return 0;
+  const size_t stride = (size_t)w * h + 2 * (size_t)(w / sh) * (h / sv);
+  if (nthreads < 1) nthreads = 1;
+  nthreads = std::min(nthreads, n);
+
+  std::atomic<int> next(0), ok(0);
+  auto worker = [&]() {
+    TIFF* tif = s->acquire();
+    if (!tif) return;
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      if (read_tile_ycbcr_with(tif, s->levels[level], xs[i], ys[i], w, h,
+                               out + (size_t)i * stride) == 0)
+        ok.fetch_add(1);
+    }
+    s->release(tif);
+  };
+
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok.load();
+}
+
 // Copy the level-0 ImageDescription (Aperio SVS metadata like
 // "...|AppMag = 40|...") into `buf`; returns the string length or 0.
 int str_description(void* handle, char* buf, int buflen) {
@@ -334,10 +492,11 @@ int str_description(void* handle, char* buf, int buflen) {
 // slides take; 0 writes uncompressed RGB.  `description`, when non-empty,
 // is stored as level 0's ImageDescription (Aperio-style
 // "...|AppMag = 20|MPP = 0.5" metadata that str_description parses back).
-int str_write_tiled_ex(const char* path, const uint8_t* const* bufs,
-                       const int64_t* ws, const int64_t* hs, int n_levels,
-                       int tw, int th, int jpeg_quality,
-                       const char* description) {
+int str_write_tiled_ex2(const char* path, const uint8_t* const* bufs,
+                        const int64_t* ws, const int64_t* hs, int n_levels,
+                        int tw, int th, int jpeg_quality,
+                        const char* description, int sub_h, int sub_v) {
+  if (sub_h < 1 || sub_h > 2 || sub_v < 1 || sub_v > 2) return -5;
   if (jpeg_quality > 0 && (tw % 16 || th % 16))
     return -4;  // JPEG 2x2-subsampled MCUs need multiple-of-16 tiles
   TIFF* tif = TIFFOpen(path, "w");
@@ -354,7 +513,8 @@ int str_write_tiled_ex(const char* path, const uint8_t* const* bufs,
     if (jpeg_quality > 0) {
       TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_JPEG);
       TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_YCBCR);
-      TIFFSetField(tif, TIFFTAG_YCBCRSUBSAMPLING, 2, 2);
+      TIFFSetField(tif, TIFFTAG_YCBCRSUBSAMPLING, (uint16_t)sub_h,
+                   (uint16_t)sub_v);
       TIFFSetField(tif, TIFFTAG_JPEGQUALITY, jpeg_quality);
       // hand libtiff RGB rows; it converts to YCbCr for the codec
       TIFFSetField(tif, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RGB);
@@ -387,6 +547,14 @@ int str_write_tiled_ex(const char* path, const uint8_t* const* bufs,
   }
   TIFFClose(tif);
   return 0;
+}
+
+int str_write_tiled_ex(const char* path, const uint8_t* const* bufs,
+                       const int64_t* ws, const int64_t* hs, int n_levels,
+                       int tw, int th, int jpeg_quality,
+                       const char* description) {
+  return str_write_tiled_ex2(path, bufs, ws, hs, n_levels, tw, th,
+                             jpeg_quality, description, 2, 2);
 }
 
 int str_write_tiled(const char* path, const uint8_t* const* bufs,
