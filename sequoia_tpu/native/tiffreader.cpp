@@ -368,12 +368,19 @@ int ycbcr_ok_impl(TIFF* tif, const LevelInfo& lv, int64_t w, int64_t h,
 // Decode ONE whole tile at (rx, ry) as raw YCbCr and repack the TIFF
 // clump-interleaved layout (per sh x sv unit: Y samples row-major, Cb, Cr)
 // into planar Y (w*h) ++ Cb (cw*ch) ++ Cr (cw*ch).
+//
+// Edge tiles (the level's last tile column/row on non-multiple dims) are
+// stored full-size with encoder padding beyond the image edge; they decode
+// here as-is, and the CALLER masks pixels beyond the level bounds to black
+// after reconstruction (sequoia_tpu/serve.py passes per-tile valid (w, h)
+// into the device program) so the result stays bit-exact with the RGB
+// path's zero-fill.
 int read_tile_ycbcr_impl(TIFF* tif, const LevelInfo& lv, int64_t rx,
                          int64_t ry, int64_t w, int64_t h, uint8_t* out) {
   int sh = 0, sv = 0;
   if (!ycbcr_ok_impl(tif, lv, w, h, &sh, &sv)) return -1;
   if (rx % w || ry % h) return -2;                       // tile-aligned only
-  if (rx < 0 || ry < 0 || rx + w > lv.w || ry + h > lv.h) return -2;
+  if (rx < 0 || ry < 0 || rx >= lv.w || ry >= lv.h) return -2;
   TIFFSetField(tif, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RAW);
   const int64_t cw = w / sh, ch = h / sv;
   const size_t clump = (size_t)sh * sv + 2;
@@ -387,6 +394,27 @@ int read_tile_ycbcr_impl(TIFF* tif, const LevelInfo& lv, int64_t rx,
   uint8_t* cbp = out + (size_t)w * h;
   uint8_t* crp = cbp + (size_t)cw * ch;
   const uint8_t* src = packed.data();
+  if (sh == 2 && sv == 2) {
+    // 4:2:0 fast path: per clump row, walk four row pointers linearly
+    for (int64_t cy = 0; cy < ch; ++cy) {
+      uint8_t* y0 = yp + (2 * cy) * w;
+      uint8_t* y1 = y0 + w;
+      uint8_t* cbr = cbp + cy * cw;
+      uint8_t* crr = crp + cy * cw;
+      for (int64_t cx = 0; cx < cw; ++cx) {
+        y0[0] = src[0];
+        y0[1] = src[1];
+        y1[0] = src[2];
+        y1[1] = src[3];
+        *cbr++ = src[4];
+        *crr++ = src[5];
+        y0 += 2;
+        y1 += 2;
+        src += 6;
+      }
+    }
+    return 0;
+  }
   for (int64_t cy = 0; cy < ch; ++cy) {
     for (int64_t cx = 0; cx < cw; ++cx) {
       for (int vy = 0; vy < sv; ++vy)

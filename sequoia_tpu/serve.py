@@ -171,6 +171,42 @@ class SlidePredictor:
             yield read_regions(slide, coords[s:s + decode_chunk], 0,
                                (psr, psr))
 
+    def _ycbcr_sub(self, slide, psr: int):
+        """Chroma subsampling when this slide can stream raw YCbCr planes
+        (JPEG tiles whose dims == the candidate patch size — the layout of
+        our fixtures and tile-aligned production slides), else None."""
+        probe = getattr(slide, "ycbcr_subsampling", None)
+        if probe is None or self._resize_factor(slide) != 1.0:
+            return None
+        try:
+            return probe(0, (psr, psr))
+        except Exception:
+            return None
+
+    def iter_raw_ycbcr_chunks(self, wsi_path, decode_chunk: int = 64,
+                              stop=None):
+        """Generator of UNSCREENED raw-YCbCr candidate chunks: each item is
+        ``(packed (n, bytes) uint8 planar Y++Cb++Cr, valid_wh (n, 2) int32)``.
+        1.5 B/px at 4:2:0 — HALF the host->device bytes of
+        :meth:`iter_raw_chunks` — with the upsample + RGB reconstruction
+        (bit-exact vs the RGB decode, ``ops/ycbcr.py``) fused into the
+        device program.  ``valid_wh`` carries each tile's in-bounds extent
+        so the device masks encoder padding beyond the level edge to the
+        exact zeros the RGB path produces."""
+        slide, coords, psr, rf = self._candidates(wsi_path)
+        if self._ycbcr_sub(slide, psr) is None:
+            raise ValueError("slide has no raw-YCbCr fast path; use "
+                             "iter_raw_chunks")
+        xmax, ymax = slide.level_dimensions[0]
+        for s in range(0, len(coords), decode_chunk):
+            if stop is not None and stop.is_set():
+                return
+            chunk = coords[s:s + decode_chunk]
+            packed = slide.read_regions_ycbcr(chunk, 0, (psr, psr))
+            wh = np.asarray([(min(psr, xmax - x), min(psr, ymax - y))
+                             for x, y in chunk], np.int32)
+            yield packed, wh
+
     def _fused_program(self):
         """One jitted (params, u8_batch) -> (features, keep_flags) program:
         candidate patches cross host->device ONCE and screening rides the
@@ -187,6 +223,36 @@ class SlidePredictor:
 
             self._fused_fwd = jax.jit(both)
         return self._fused_fwd
+
+    def _fused_ycbcr_program(self, sub: tuple[int, int]):
+        """One jitted (params, packed, valid_wh) -> (features, keep_flags)
+        program: raw subsampled YCbCr planes cross host->device at 1.5 B/px,
+        the libjpeg-bit-exact RGB reconstruction + edge masking + screening
+        all ride the same launch as the backbone."""
+        cache = getattr(self, "_fused_ycbcr", None)
+        if cache is None:
+            cache = self._fused_ycbcr = {}
+        if sub not in cache:
+            from sequoia_tpu.ops import masking, ycbcr
+
+            raw = self.extractor.raw_fwd
+            ps = self.patch_size
+
+            def both(params, packed, wh):
+                rgb = ycbcr.planar_to_rgb(packed, ps, ps, *sub)
+                # zero pixels beyond each tile's in-bounds extent — exactly
+                # the RGB path's memset-0 fill for edge tiles (and it turns
+                # the consumer's zero-padded tail rows black, which the
+                # tissue screen then drops)
+                cols = jnp.arange(ps, dtype=jnp.int32)
+                valid = ((cols[None, None, :] < wh[:, 0, None, None])
+                         & (cols[None, :, None] < wh[:, 1, None, None]))
+                rgb = jnp.where(valid[..., None], rgb, jnp.uint8(0))
+                return raw(params, rgb), masking.patch_keep_flags(
+                    rgb, background_threshold=patch_gen.BACKGROUND_THRESHOLD)
+
+            cache[sub] = jax.jit(both)
+        return cache[sub]
 
     def extract_patches(self, wsi_path) -> np.ndarray:
         """Tissue-screened patches from a WSI (in-memory, no HDF5)."""
@@ -240,21 +306,30 @@ class SlidePredictor:
 
     def _start_producer(self, wsi_path):
         """Decode producer for one slide: a daemon thread streams patch
-        chunks (screened, or raw for the fused path at AppMag 20) into a
-        bounded queue.  The slide is opened ONCE here (mode decision needs
-        its magnification) and the open reader is handed to the chunk
-        iterator — no second header parse per slide.
-        Returns (queue, thread, err, stop, raw) for :meth:`_consume`."""
+        chunks into a bounded queue.  The slide is opened ONCE here (mode
+        decision needs its magnification and tile layout) and the open
+        reader is handed to the chunk iterator — no second header parse per
+        slide.  Modes, best first:
+
+        * ``'ycbcr'`` — AppMag 20 + JPEG tiles matching the patch size:
+          raw subsampled planes at 1.5 B/px, reconstruction + screening
+          fused into the backbone program (bit-exact vs 'rgb').
+        * ``'rgb'`` — AppMag 20: unscreened RGB patches, screening fused.
+        * ``'screened'`` — anything else: host-side screen + resize.
+
+        Returns (queue, thread, err, stop, mode, sub) for :meth:`_consume`."""
         import queue
         import threading
 
         try:
             slide = open_slide(wsi_path)
             raw = self._resize_factor(slide) == 1.0
+            sub = self._ycbcr_sub(slide, self.patch_size) if raw else None
+            mode = "ycbcr" if sub else ("rgb" if raw else "screened")
         except Exception:
             # unreadable slide: hand the path through so the producer thread
             # raises cleanly and _consume propagates it (per-slide quarantine)
-            slide, raw = wsi_path, False
+            slide, mode, sub = wsi_path, "screened", None
 
         q: queue.Queue = queue.Queue(maxsize=4)
         err: list[BaseException] = []
@@ -271,8 +346,12 @@ class SlidePredictor:
 
         def produce():
             try:
-                chunks = (self.iter_raw_chunks(slide, stop=stop) if raw
-                          else self.iter_patch_chunks(slide))
+                chunks = {
+                    "ycbcr": lambda: self.iter_raw_ycbcr_chunks(slide,
+                                                                stop=stop),
+                    "rgb": lambda: self.iter_raw_chunks(slide, stop=stop),
+                    "screened": lambda: self.iter_patch_chunks(slide),
+                }[mode]()
                 for chunk in chunks:
                     if not put(chunk):
                         return
@@ -292,40 +371,43 @@ class SlidePredictor:
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        return q, t, err, stop, raw
+        return q, t, err, stop, mode, sub
 
-    def _consume(self, q, t, err, stop, raw: bool) -> np.ndarray:
+    def _consume(self, q, t, err, stop, mode: str, sub) -> np.ndarray:
         """Drain one slide's producer through the batched device program and
         run the aggregation tail; returns the fold-averaged (1, G)
-        prediction.  ``raw``: chunks are unscreened — screening is fused
-        into the feature program (one upload per candidate) and reject rows
-        (plus tail zero-padding, which never passes the tissue mask) are
-        dropped host-side."""
-        fused = self._fused_program() if raw else None
+        prediction.  'rgb'/'ycbcr' chunks are unscreened — screening is
+        fused into the feature program (one upload per candidate) and
+        reject rows (plus tail zero-padding, which never passes the tissue
+        mask) are dropped host-side.  'ycbcr' chunks are (packed, valid_wh)
+        pairs; every other mode's chunks are single patch arrays."""
+        fused = (self._fused_ycbcr_program(sub) if mode == "ycbcr"
+                 else self._fused_program() if mode == "rgb" else None)
         feats = []
         kept = 0
-        buf: list[np.ndarray] = []
+        buf: list[tuple[np.ndarray, ...]] = []  # per-chunk component tuples
         buffered = 0
         bs = self.extractor.batch_size
 
-        def run_block(block: np.ndarray) -> None:
+        def run_block(parts: tuple[np.ndarray, ...]) -> None:
             nonlocal kept
-            if not raw:
-                feats.append(self.extractor(block))
+            if mode == "screened":
+                feats.append(self.extractor(parts[0]))
                 return
             # the fused program is compiled for exactly (bs, ...): chunk a
-            # multi-batch drain and pad the tail (zero rows fail the tissue
-            # mask, so the flags drop them)
-            for s in range(0, block.shape[0], bs):
+            # multi-batch drain and pad the tail (zero rows reconstruct or
+            # stay black, fail the tissue mask, and the flags drop them)
+            for s in range(0, parts[0].shape[0], bs):
                 if stop.is_set():
                     return
-                piece = block[s:s + bs]
-                if piece.shape[0] < bs:
-                    pad = np.zeros((bs - piece.shape[0],) + piece.shape[1:],
-                                   np.uint8)
-                    piece = np.concatenate([piece, pad])
+                pieces = [p[s:s + bs] for p in parts]
+                if pieces[0].shape[0] < bs:
+                    short = bs - pieces[0].shape[0]
+                    pieces = [np.concatenate(
+                        [p, np.zeros((short,) + p.shape[1:], p.dtype)])
+                        for p in pieces]
                 f, fl = fused(self.extractor.params,
-                              self.extractor.upload(piece))
+                              *(self.extractor.upload(p) for p in pieces))
                 take = np.asarray(f)[np.asarray(fl)]
                 if kept + len(take) > self.max_patches:
                     take = take[: self.max_patches - kept]
@@ -341,11 +423,12 @@ class SlidePredictor:
             take = buffered if final else (buffered // bs) * bs
             if not take:
                 return
-            block = np.concatenate(buf) if len(buf) > 1 else buf[0]
-            run_block(block[:take])
-            rest = block[take:]
-            buf = [rest] if len(rest) else []
-            buffered = len(rest)
+            parts = (tuple(np.concatenate(c) for c in zip(*buf))
+                     if len(buf) > 1 else buf[0])
+            run_block(tuple(p[:take] for p in parts))
+            rest = tuple(p[take:] for p in parts)
+            buf = [rest] if len(rest[0]) else []
+            buffered = len(rest[0])
 
         try:
             while True:
@@ -358,8 +441,9 @@ class SlidePredictor:
                 chunk = q.get()
                 if chunk is None or stop.is_set():
                     break
-                buf.append(chunk)
-                buffered += len(chunk)
+                parts = chunk if isinstance(chunk, tuple) else (chunk,)
+                buf.append(parts)
+                buffered += len(parts[0])
                 # featurize only whole device batches; the tail pads once
                 drain(final=False)
             if not stop.is_set():

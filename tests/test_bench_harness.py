@@ -115,7 +115,7 @@ def test_device_leg_timeout_quarantines_later_device_legs(bench, tmp_path,
             AssertionError("spatial must not run after a device-leg timeout")))
     monkeypatch.setattr(
         bench, "measure_e2e_serving",
-        lambda relay_rate=None: (_ for _ in ()).throw(
+        lambda relay_rate=None, backbone="resnet": (_ for _ in ()).throw(
             AssertionError("e2e must not run after a device-leg timeout")))
 
     buf = io.StringIO()
@@ -147,8 +147,10 @@ def test_partial_fresh_legs_survive_headline_failure(bench, tmp_path,
     monkeypatch.setattr(bench, "measure_spatial", lambda: 20.0)
     monkeypatch.setattr(bench, "measure_decode",
                         lambda: {"raw": 8000.0, "jpeg": 5000.0})
-    monkeypatch.setattr(bench, "measure_e2e_serving",
-                        lambda relay_rate=None: 10.0)
+    monkeypatch.setattr(
+        bench, "measure_e2e_serving",
+        lambda relay_rate=None, backbone="resnet": (10.0 if backbone ==
+                                                    "resnet" else 20.0))
 
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -157,6 +159,7 @@ def test_partial_fresh_legs_survive_headline_failure(bench, tmp_path,
     assert out["value"] == 0  # headline genuinely unavailable
     assert out["uni"]["value"] == 900.0  # fresh legs not discarded
     assert out["with_io"]["value"] == 360.0
+    assert out["with_io_uni"]["value"] == 180.0
     assert out["spatial"]["value"] == 180.0  # 3600 / 20 s per map
     assert out["decode"]["jpeg"] == 5000.0 and out["decode"]["raw"] == 8000.0
     persisted = json.loads(cache.read_text())

@@ -1278,3 +1278,56 @@ def test_http_merged_run_quarantines_and_fans_out_failures():
             svc2.close()
     finally:
         svc.close()
+
+
+def test_predict_wsi_raw_ycbcr_mode_matches_rgb_mode(tmp_path):
+    """A JPEG-tiled slide whose tiles match the patch size streams raw
+    subsampled YCbCr planes (half the upload bytes); the device-side
+    reconstruction must be BIT-exact vs the RGB decode per patch (including
+    edge tiles masked via valid_wh), the keep flags identical, and the
+    final prediction equal to the RGB-mode run."""
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native library not built")
+    from sequoia_tpu.ops import ycbcr
+
+    # dims NOT multiples of the 64px tile: the last tile column/row are
+    # edge tiles exercising the valid_wh device masking
+    w, h, ps = 6 * 64 + 40, 5 * 64 + 16, 64
+    rng = np.random.default_rng(7)
+    lv0 = np.empty((h, w, 3), np.uint8)
+    lv0[..., 0] = rng.integers(150, 220, (h, w))
+    lv0[..., 1] = rng.integers(60, 140, (h, w))
+    lv0[..., 2] = rng.integers(150, 230, (h, w))
+    path = str(tmp_path / "jq.tiff")
+    native.write_tiled_tiff(path, [lv0, lv0[::4, ::4]], tile=(ps, ps),
+                            jpeg_quality=80,
+                            description="synthetic|AppMag = 20")
+
+    pred = make_predictor()
+    slide = native.NativeTiffReader(path)
+    assert pred._ycbcr_sub(slide, ps) == (2, 2)
+
+    # per-chunk: reconstruction+masking == the RGB iterator's pixels
+    rgb_chunks = list(pred.iter_raw_chunks(native.NativeTiffReader(path)))
+    ycc_chunks = list(pred.iter_raw_ycbcr_chunks(
+        native.NativeTiffReader(path)))
+    assert len(rgb_chunks) == len(ycc_chunks)
+    saw_edge = False
+    for rgb, (packed, wh) in zip(rgb_chunks, ycc_chunks):
+        rec = np.asarray(ycbcr.planar_to_rgb(packed, ps, ps, 2, 2))
+        cols = np.arange(ps)
+        valid = ((cols[None, None, :] < wh[:, 0, None, None])
+                 & (cols[None, :, None] < wh[:, 1, None, None]))
+        rec = np.where(valid[..., None], rec, 0)
+        np.testing.assert_array_equal(rec, rgb)
+        saw_edge |= bool((wh < ps).any())
+    assert saw_edge, "fixture should include edge tiles"
+
+    out_ycc = pred.predict_wsi(path)
+
+    # force the RGB mode by hiding the probe
+    pred_rgb = make_predictor()
+    pred_rgb._ycbcr_sub = lambda slide, psr: None
+    out_rgb = pred_rgb.predict_wsi(path)
+    np.testing.assert_allclose(out_ycc, out_rgb, rtol=0, atol=1e-5)
