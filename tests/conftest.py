@@ -52,3 +52,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_collection_modifyitems(config, items):
+    """Every test not marked ``slow`` is auto-tagged ``quick`` so
+    ``pytest -m quick`` is the fast tier (unit/parity math, no training
+    loops or e2e pipelines) and ``pytest tests/`` stays the full gate."""
+    import pytest
+
+    for item in items:
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.quick)
