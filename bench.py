@@ -999,3 +999,11 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # noqa: BLE001
         _emit_fallback(f"{type(e).__name__}: {e}")
+    # a timed-out leg leaves a daemon thread C-blocked inside the runtime;
+    # normal interpreter teardown then dies in native destructors AFTER the
+    # JSON line is out ("terminate called ... FATAL: exception not
+    # rethrown", rc=134 — observed live on a wedged relay).  The contract
+    # is the stdout line, which has been flushed by now — skip teardown.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

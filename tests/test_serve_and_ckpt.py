@@ -1331,3 +1331,47 @@ def test_predict_wsi_raw_ycbcr_mode_matches_rgb_mode(tmp_path):
     pred_rgb._ycbcr_sub = lambda slide, psr: None
     out_rgb = pred_rgb.predict_wsi(path)
     np.testing.assert_allclose(out_ycc, out_rgb, rtol=0, atol=1e-5)
+
+
+def test_predict_wsi_raw_ycbcr_with_mesh_matches_single_device(tmp_path):
+    """The YCbCr producer under --data_parallel: both the packed planes and
+    the per-tile valid extents shard over the mesh 'data' axis inside the
+    fused program; prediction equals the single-device YCbCr run."""
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native library not built")
+    from sequoia_tpu.parallel import sharding as sh
+
+    w, h, ps = 5 * 64 + 32, 4 * 64 + 16, 64  # edge tiles included
+    rng = np.random.default_rng(11)
+    lv0 = np.empty((h, w, 3), np.uint8)
+    lv0[..., 0] = rng.integers(150, 220, (h, w))
+    lv0[..., 1] = rng.integers(60, 140, (h, w))
+    lv0[..., 2] = rng.integers(150, 230, (h, w))
+    path = str(tmp_path / "jq_mesh.tiff")
+    native.write_tiled_tiff(path, [lv0, lv0[::4, ::4]], tile=(ps, ps),
+                            jpeg_quality=80,
+                            description="synthetic|AppMag = 20")
+
+    cfg = vis.ViSConfig(num_outputs=5, input_dim=2048, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=8)
+    models = [(cfg, vis.init(cfg, jax.random.PRNGKey(0)))]
+    rparams = resnet.random_params(jax.random.PRNGKey(0))
+
+    single = SlidePredictor(
+        FeatureExtractor("resnet", rparams, batch_size=16, patch_size=64),
+        models, n_clusters=8, max_patches=48, patch_size=64)
+    mesh = sh.make_mesh(n_data=8, n_model=1)
+    sharded = SlidePredictor(
+        FeatureExtractor("resnet", rparams, batch_size=16, patch_size=64,
+                         mesh=mesh),
+        models, n_clusters=8, max_patches=48, patch_size=64)
+
+    # both must actually take the YCbCr mode (probe, then reap the thread)
+    probe = single._start_producer(path)
+    assert probe[4] == "ycbcr"
+    probe[3].set()
+    probe[1].join(timeout=30)
+    out_single = single.predict_wsi(path)
+    out_sharded = sharded.predict_wsi(path)
+    np.testing.assert_allclose(out_sharded, out_single, rtol=2e-4, atol=1e-4)
