@@ -1375,3 +1375,33 @@ def test_predict_wsi_raw_ycbcr_with_mesh_matches_single_device(tmp_path):
     out_single = single.predict_wsi(path)
     out_sharded = sharded.predict_wsi(path)
     np.testing.assert_allclose(out_sharded, out_single, rtol=2e-4, atol=1e-4)
+
+
+def test_predict_wsi_appmag40_screened_mode():
+    """A 40x slide (resize_factor 2) must take the host-screened producer
+    (reads 512px regions, PIL-resizes to 256 — reference
+    patch_gen_hdf5.py:86-89,116-117 semantics) and match predict_patches
+    on the same screened extraction."""
+    from sequoia_tpu.data.wsi import ArrayReader
+
+    rng = np.random.default_rng(3)
+    h = w = 4 * 128  # grid steps by 2 x 64 = 128 at level 0
+    lv0 = np.empty((h, w, 3), np.uint8)
+    lv0[..., 0] = rng.integers(150, 220, (h, w))
+    lv0[..., 1] = rng.integers(60, 140, (h, w))
+    lv0[..., 2] = rng.integers(150, 230, (h, w))
+    reader = ArrayReader([lv0, lv0[::4, ::4]],
+                         properties={"aperio.AppMag": "40"})
+
+    pred = make_predictor()
+    tup = pred._start_producer(reader)
+    assert tup[4] == "screened"
+    tup[3].set()
+    tup[1].join(timeout=30)
+
+    out = pred.predict_wsi(reader)
+    assert out.shape == (1, 5) and np.isfinite(out).all()
+    patches = pred.extract_patches(reader)
+    assert patches.shape[1:] == (64, 64, 3) and len(patches) > 0
+    np.testing.assert_allclose(pred.predict_patches(patches), out,
+                               rtol=2e-4, atol=1e-4)
