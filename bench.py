@@ -27,14 +27,20 @@ value for that leg instead of killing the run):
    reader (the host leg of the production pipeline): uncompressed RGB
    tiles, JPEG-q80 YCbCr tiles (the on-disk layout of real TCGA/Aperio
    slides), raw subsampled-YCbCr plane reads (what serving streams — no
-   host upsample/convert), and a MEASURED thread-count scaling sweep.
-6. ``e2e`` / ``e2e_uni`` — MEASURED wall-clock through
+   host upsample/convert), a MEASURED thread-count scaling sweep, and the
+   240px-tile Aperio geometry (tile dims != the 256px patch grid): the
+   per-patch RGB path's ~3.7x tile re-decode vs the tile-mosaic raw path
+   (``ops/mosaic.py``) that decodes each unique tile ONCE.
+6. ``e2e`` / ``e2e_uni`` / ``e2e_aperio`` — MEASURED wall-clock through
    ``serve.predict_slides``: two fabricated pyramidal H&E-like TIFFs with
    JPEG/YCbCr tiles (the real Aperio layout, incl. ``|AppMag = 20|``
    metadata) streamed through the REAL serving path (decode -> raw 4:2:0
    YCbCr upload at 1.5 B/px -> fused bit-exact reconstruct+screen+
    featurize -> k-means -> ViS) with cross-slide pipelining, for both
-   backbones.  On this sandbox the host->device hop rides a slow loopback
+   backbones.  ``e2e_aperio`` uses 240px tiles (real Aperio SVS tile
+   dims, != the 256px patch grid) so serving takes the tile-mosaic
+   path — whole raw tiles decoded/uploaded once, patches assembled
+   on-device (serve mode 'mosaic').  On this sandbox the host->device hop rides a slow loopback
    relay, so these legs are dominated by a transfer a real v5e host does
    ~1000x faster; the relay rate is measured and recorded in the unit
    string for transparency.
@@ -82,18 +88,25 @@ SPATIAL_GRID = 64  # spatial leg: GRID^2 valid tiles, stride-1 windows
 SPATIAL_FOLDS = 5
 IO_SLIDE = "/tmp/sequoia_bench_slide_8192.tiff"  # 32x32 tiles of 256px
 IO_SLIDE_JPEG = "/tmp/sequoia_bench_slide_8192_jq80.tiff"  # Aperio layout
+APERIO_TILE = 240  # real Aperio SVS tile side (vs the 256px patch grid)
+IO_SLIDE_JPEG240 = "/tmp/sequoia_bench_slide_8192_jq80_t240.tiff"
 E2E_JPEG_Q = 80  # fixture tiles are JPEG/YCbCr like real TCGA slides
 E2E_GRID = 72  # 72x72 tiles of 256px -> 18432^2 level 0, ~4.4k tissue tiles
 # grid size + layout in the filename: a recipe change must not silently
 # reuse stale /tmp fixtures fabricated by an older revision
 E2E_SLIDES = [f"/tmp/sequoia_bench_e2e_g{E2E_GRID}jq{E2E_JPEG_Q}_{i}.tiff"
               for i in range(2)]
+E2E_SLIDES_240 = [
+    f"/tmp/sequoia_bench_e2e_g{E2E_GRID}jq{E2E_JPEG_Q}t{APERIO_TILE}_{i}.tiff"
+    for i in range(2)]
 
 LEG_TIMEOUTS = {"probe": 240, "resnet": 360, "uni": 480, "spatial": 600,
-                "decode": 300, "train": 600,
+                "decode": 360, "train": 600,
                 "e2e": int(os.environ.get("SEQUOIA_BENCH_E2E_TIMEOUT", "900")),
                 "e2e_uni": int(os.environ.get("SEQUOIA_BENCH_E2E_TIMEOUT",
-                                              "900"))}
+                                              "900")),
+                "e2e_aperio": int(os.environ.get("SEQUOIA_BENCH_E2E_TIMEOUT",
+                                                 "900"))}
 
 TRAIN_BATCH = 16       # reference default (src/main.py:40)
 TRAIN_STEPS = 30       # timed steady-state steps
@@ -161,11 +174,14 @@ def run_leg(name: str, fn, results: dict, failures: dict):
 # ---------------------------------------------------------------------------
 # slide fabrication (host side, cached on disk)
 
-def make_e2e_slide(path: str, seed: int) -> None:
+def make_e2e_slide(path: str, seed: int, tile: int | None = None) -> None:
     """Fabricate a pyramidal tiled TIFF whose Otsu tissue mask keeps >4096
     tiles: ~92% H&E-like per-pixel noise (every patch distinct, so k-means
     sees real diversity), ~8% white-background tiles; JPEG-q80 YCbCr tiles
-    + Aperio description = the exact layout real TCGA slides arrive in."""
+    + Aperio description = the exact layout real TCGA slides arrive in.
+    ``tile`` sets the on-disk tile side (default = the 256px patch size;
+    pass ``APERIO_TILE`` for the real Aperio 240px geometry, which makes
+    serving take the tile-mosaic path)."""
     from sequoia_tpu import native
 
     if os.path.exists(path):
@@ -185,8 +201,9 @@ def make_e2e_slide(path: str, seed: int) -> None:
             242 + rng.integers(0, 10, (PATCH, PATCH, 3), dtype=np.uint8))
     # JPEG/YCbCr tiles + Aperio-style description: the exact on-disk layout
     # (and metadata path) real TCGA slides take through the native reader
+    t = tile or PATCH
     native.write_tiled_tiff(
-        path + ".tmp", [lv0, lv0[::16, ::16]], tile=(PATCH, PATCH),
+        path + ".tmp", [lv0, lv0[::16, ::16]], tile=(t, t),
         jpeg_quality=E2E_JPEG_Q,
         description=f"Aperio fabricated bench fixture\n{side}x{side} "
                     "|AppMag = 20|MPP = 0.2520")
@@ -609,6 +626,56 @@ def measure_decode():
             log(f"decode[jpeg] thread sweep ({os.cpu_count()} cores): "
                 f"{sweep}")
         reader.close()
+
+    # Real Aperio tile geometry: 240px JPEG tiles under the 256px patch
+    # grid.  Per-patch RGB reads JPEG-decode every tile a patch touches
+    # (~3.7x re-decode amplification, ops/mosaic.py module docstring); the
+    # tile-mosaic raw path (serve mode 'mosaic') decodes each unique tile
+    # ONCE as subsampled planes.  Measure both on the same fixture so the
+    # host-side win is a number, not an estimate.
+    from sequoia_tpu.ops import mosaic
+
+    if not os.path.exists(IO_SLIDE_JPEG240):
+        rng = np.random.default_rng(7)
+        block = rng.integers(0, 256, (2048, 2048, 3), dtype=np.uint8)
+        lv0 = np.tile(block, (4, 4, 1))
+        native.write_tiled_tiff(IO_SLIDE_JPEG240 + ".tmp",
+                                [lv0, lv0[::16, ::16]],
+                                tile=(APERIO_TILE, APERIO_TILE),
+                                jpeg_quality=E2E_JPEG_Q)
+        os.replace(IO_SLIDE_JPEG240 + ".tmp", IO_SLIDE_JPEG240)
+    r240 = native.NativeTiffReader(IO_SLIDE_JPEG240)
+    r240.read_regions(coords[:64], 0, (PATCH, PATCH), nthreads=nthreads)
+    rates["jpeg240_patch_rgb"] = max(timed_pass(
+        lambda c: r240.read_regions(c, 0, (PATCH, PATCH),
+                                    nthreads=nthreads),
+        PATCHES_PER_SLIDE) for _ in range(3))
+    log(f"decode[jpeg240_patch_rgb]: {rates['jpeg240_patch_rgb']:.0f} "
+        "patches/s (256px patches over 240px tiles, per-patch re-decode)")
+    tdim = (APERIO_TILE, APERIO_TILE)
+    if r240.ycbcr_subsampling(0, tdim):
+        plans = list(mosaic.plan_chunks(
+            coords, PATCH, tdim, r240.level_dimensions[0]))
+
+        def mosaic_pass() -> float:
+            t0 = time.perf_counter()
+            done = 0
+            while done < PATCHES_PER_SLIDE:
+                for c in plans:
+                    locs = [(int(tx * APERIO_TILE), int(ty * APERIO_TILE))
+                            for tx, ty in c.tiles]
+                    r240.read_regions_ycbcr(locs, 0, tdim,
+                                            nthreads=nthreads)
+                    done += len(c.orig)
+                    if done >= PATCHES_PER_SLIDE:
+                        break
+            return done / (time.perf_counter() - t0)
+
+        rates["jpeg240_mosaic_ycbcr"] = max(mosaic_pass() for _ in range(3))
+        log(f"decode[jpeg240_mosaic_ycbcr]: "
+            f"{rates['jpeg240_mosaic_ycbcr']:.0f} patches/s (each unique "
+            "240px tile decoded once as raw planes; assembly is on-device)")
+    r240.close()
     return rates
 
 
@@ -622,11 +689,17 @@ MIN_E2E_RELAY_MBPS = 2.5
 
 
 def measure_e2e_serving(relay_rate: float | None = None,
-                        backbone: str = "resnet"):
+                        backbone: str = "resnet",
+                        slides: list[str] | None = None,
+                        tile: int | None = None,
+                        expect_mode: str | None = None):
     """MEASURED wall-clock slides/hour through serve.predict_slides on
     fabricated pyramidal TIFFs — the real streaming path (decode -> raw
     subsampled-YCbCr upload -> fused reconstruct+screen+featurize ->
-    kmeans -> ViS) with >=2-slide cross-slide overlap."""
+    kmeans -> ViS) with >=2-slide cross-slide overlap.  ``slides``/``tile``
+    select the fixture layout (default: patch-size tiles); ``expect_mode``
+    asserts which producer mode serving picks, so the leg measures the
+    path it claims to (e.g. 'mosaic' for 240px Aperio tiles)."""
     if relay_rate is not None and relay_rate < MIN_E2E_RELAY_MBPS:
         raise RuntimeError(
             f"relay too slow for the e2e leg ({relay_rate:.2f} MB/s < "
@@ -639,8 +712,10 @@ def measure_e2e_serving(relay_rate: float | None = None,
     from sequoia_tpu.pipeline.features import FeatureExtractor
     from sequoia_tpu.serve import SlidePredictor
 
-    for i, path in enumerate(E2E_SLIDES):
-        make_e2e_slide(path, seed=100 + i)
+    if slides is None:
+        slides = E2E_SLIDES
+    for i, path in enumerate(slides):
+        make_e2e_slide(path, seed=100 + i, tile=tile)
 
     if backbone == "resnet":
         extractor = FeatureExtractor(
@@ -661,17 +736,26 @@ def measure_e2e_serving(relay_rate: float | None = None,
                           n_clusters=NUM_CLUSTERS,
                           max_patches=PATCHES_PER_SLIDE, patch_size=PATCH)
 
+    if expect_mode is not None:
+        tup = pred._start_producer(slides[0])
+        tup[3].set()  # stop: the gated put() refuses, so the thread exits
+        tup[1].join(timeout=60)
+        if tup[4] != expect_mode:
+            raise RuntimeError(f"serving picked mode {tup[4]!r}, leg "
+                               f"expects {expect_mode!r} for this fixture "
+                               "layout")
+
     log(f"[e2e:{backbone}] warmup slide (compiles fused program + "
         "aggregation)...")
     t0 = time.perf_counter()
-    out = pred.predict_wsi(E2E_SLIDES[0])
+    out = pred.predict_wsi(slides[0])
     assert np.isfinite(out).all() and out.shape == (1, NUM_GENES)
     warm = time.perf_counter() - t0
     log(f"[e2e:{backbone}] warmup slide in {warm:.1f}s")
 
     t0 = time.perf_counter()
     n = 0
-    for _path, out in pred.predict_slides(E2E_SLIDES):
+    for _path, out in pred.predict_slides(slides):
         assert np.isfinite(out).all()
         n += 1
     elapsed = time.perf_counter() - t0
@@ -746,6 +830,20 @@ def main() -> None:
     else:
         run_leg("e2e_uni",
                 lambda: measure_e2e_serving(relay_rate, backbone="uni"),
+                results, failures)
+    if any(timed_out(leg) for leg in
+           ("resnet", "uni", "spatial", "train", "e2e", "e2e_uni")):
+        failures["e2e_aperio"] = ("skipped: a device leg timed out; its "
+                                  "abandoned thread may still hold the "
+                                  "device")
+        log(f"[leg e2e_aperio] {failures['e2e_aperio']}")
+    else:
+        # real Aperio tile geometry (240px tiles != 256px patches): serving
+        # must take the tile-mosaic path, asserted via expect_mode
+        run_leg("e2e_aperio",
+                lambda: measure_e2e_serving(relay_rate, slides=E2E_SLIDES_240,
+                                            tile=APERIO_TILE,
+                                            expect_mode="mosaic"),
                 results, failures)
 
     out: dict = {}
@@ -846,9 +944,15 @@ def main() -> None:
                      "raw subsampled-plane reads of the jpeg fixture (what "
                      "serving streams: no host upsample/convert, half the "
                      "bytes); 'thread_sweep_jpeg' = MEASURED patches/s by "
-                     "thread count on this host"),
+                     "thread count on this host; 'jpeg240_*' = the REAL "
+                     "Aperio tile geometry (240px tiles != 256px patches): "
+                     "patch_rgb = per-patch reads paying the ~3.7x tile "
+                     "re-decode, mosaic_ycbcr = the serve 'mosaic' path "
+                     "(each unique tile decoded once as raw planes, "
+                     "assembly on-device)"),
         }
-        for k in ("jpeg_ycbcr", "thread_sweep_jpeg"):
+        for k in ("jpeg_ycbcr", "thread_sweep_jpeg", "jpeg240_patch_rgb",
+                  "jpeg240_mosaic_ycbcr"):
             if k in results["decode"]:
                 v = results["decode"][k]
                 out["decode"][k] = round(v, 0) if isinstance(v, float) else v
@@ -927,6 +1031,39 @@ def main() -> None:
                               "cache_reason": failures.get("e2e_uni",
                                                            "leg skipped")}
 
+    if "e2e_aperio" in results:
+        sph = 3600.0 / results["e2e_aperio"]
+        out["with_io_aperio"] = {
+            "metric": "slides_per_hour_e2e_with_io_aperio_tiles",
+            "value": round(sph, 1),
+            "unit": ("slides/hour MEASURED wall-clock through "
+                     "serve.predict_slides on 240px-tile fixtures (real "
+                     "Aperio SVS tile dims != the 256px patch grid): "
+                     "tile-mosaic path — each unique JPEG tile decoded "
+                     "once, raw 4:2:0 planes uploaded at 1.5 B/px, patch "
+                     "assembly + screening + resnet bf16 fused on-device "
+                     "-> kmeans100 -> ViS 20820 genes; "
+                     f"sandbox h2d relay ~{relay_rate:.1f} MB/s)"),
+            "vs_baseline": round(sph / REF_SLIDES_PER_HOUR, 2),
+        }
+        if "decode" in results and "resnet" in results:
+            dec = results["decode"].get(
+                "jpeg240_mosaic_ycbcr",
+                results["decode"].get("jpeg240_patch_rgb",
+                                      results["decode"]["jpeg"]))
+            proj = max(PATCHES_PER_SLIDE / dec, results["resnet"])
+            out["with_io_aperio"]["projected_real_host"] = {
+                "value": round(3600.0 / proj, 1),
+                "unit": ("slides/hour as max(measured 1-core mosaic "
+                         "tile-decode on 240px tiles, measured compute) "
+                         "once h2d is PCIe-speed; decode scales per-core"),
+                "vs_baseline": round(3600.0 / proj / REF_SLIDES_PER_HOUR, 2),
+            }
+    elif isinstance(cached.get("with_io_aperio"), dict):
+        out["with_io_aperio"] = {**cached["with_io_aperio"], "cached": True,
+                                 "cache_reason": failures.get("e2e_aperio",
+                                                              "leg skipped")}
+
     if failures:
         out["leg_failures"] = failures
     to_cache = {k: ({kk: vv for kk, vv in v.items()
@@ -950,6 +1087,8 @@ def main() -> None:
             fresh["with_io"] = to_cache["with_io"]
         if "e2e_uni" in results and "with_io_uni" in to_cache:
             fresh["with_io_uni"] = to_cache["with_io_uni"]
+        if "e2e_aperio" in results and "with_io_aperio" in to_cache:
+            fresh["with_io_aperio"] = to_cache["with_io_aperio"]
         merged = {**cached, **fresh}
         if merged:
             _write_cache(merged)
@@ -989,7 +1128,8 @@ def _emit_fallback(reason: str, cached: dict | None = None) -> None:
                "unit": "bench failed: " + reason, "vs_baseline": 0}
         if cached:  # no headline, but don't hide partial legs we do have
             row.update({k: cached[k] for k in
-                        ("uni", "spatial", "train", "decode", "with_io")
+                        ("uni", "spatial", "train", "decode", "with_io",
+                         "with_io_uni", "with_io_aperio")
                         if k in cached})
         print(json.dumps(row))
 

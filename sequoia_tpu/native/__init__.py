@@ -92,6 +92,10 @@ def get_lib():
                                     ctypes.POINTER(ctypes.c_int64),
                                     ctypes.POINTER(ctypes.c_int64),
                                     ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.str_tile_dims.restype = ctypes.c_int
+    lib.str_tile_dims.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.POINTER(ctypes.c_int),
+                                  ctypes.POINTER(ctypes.c_int)]
     lib.str_ycbcr_ok.restype = ctypes.c_int
     lib.str_ycbcr_ok.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                  ctypes.c_int64, ctypes.c_int64,
@@ -247,6 +251,16 @@ class NativeTiffReader:
             # pixels; the per-slide quarantine upstream handles the raise
             raise OSError(f"read_regions decoded {ok}/{n} regions")
         return out
+
+    def tile_dims(self, level: int) -> tuple[int, int] | None:
+        """(tile_width, tile_height) of a tiled level, else None.  The
+        mosaic serving path plans whole-tile raw-YCbCr reads from this when
+        the on-disk tile dims differ from the patch size (real Aperio SVS:
+        240px tiles vs 256px patches)."""
+        tw, th = ctypes.c_int(), ctypes.c_int()
+        ok = self._lib.str_tile_dims(self._h, level, ctypes.byref(tw),
+                                     ctypes.byref(th))
+        return (tw.value, th.value) if ok else None
 
     def ycbcr_subsampling(self, level: int, size) -> tuple[int, int] | None:
         """Chroma subsampling (sh, sv) when whole-``size``-tile requests at

@@ -263,6 +263,36 @@ void str_level_size(void* handle, int level, int* w, int* h) {
   *h = (int)s->levels[level].h;
 }
 
+// Tile geometry of `level`: returns 1 and sets (*tw, *th) when the level
+// is tiled, else 0.  Lets callers plan tile-granular raw reads (the mosaic
+// serving path assembles patches from whole raw-YCbCr tiles when the tile
+// dims differ from the patch size — the layout of real Aperio slides,
+// 240px tiles vs 256px patches).
+int str_tile_dims(void* handle, int level, int* tw, int* th) {
+  *tw = *th = 0;
+  auto* s = static_cast<Slide*>(handle);
+  if (level < 0 || level >= (int)s->levels.size()) return 0;
+  TIFF* tif = s->acquire();
+  if (!tif) return 0;
+  int rc = 0;
+  try {
+    if (TIFFSetDirectory(tif, s->levels[level].dir) && TIFFIsTiled(tif)) {
+      uint32_t w = 0, h = 0;
+      TIFFGetField(tif, TIFFTAG_TILEWIDTH, &w);
+      TIFFGetField(tif, TIFFTAG_TILELENGTH, &h);
+      if (w && h) {
+        *tw = (int)w;
+        *th = (int)h;
+        rc = 1;
+      }
+    }
+  } catch (...) {
+    rc = 0;
+  }
+  s->release(tif);
+  return rc;
+}
+
 int str_read_region(void* handle, int level, int64_t x, int64_t y,
                     int64_t w, int64_t h, uint8_t* out) {
   auto* s = static_cast<Slide*>(handle);

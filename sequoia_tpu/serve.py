@@ -207,6 +207,98 @@ class SlidePredictor:
                              for x, y in chunk], np.int32)
             yield packed, wh
 
+    def _mosaic_layout(self, slide, psr: int):
+        """(tw, th, sh, sv) when this slide's JPEG-YCbCr tiles can feed the
+        tile-mosaic raw path (AppMag 20, native reader, tiled level 0 with
+        a supported subsampling) but tile dims != the patch size — the
+        layout of real Aperio slides (240px tiles vs 256px patches), which
+        the per-patch raw path can't serve.  None otherwise."""
+        dims = getattr(slide, "tile_dims", None)
+        probe = getattr(slide, "ycbcr_subsampling", None)
+        if (dims is None or probe is None
+                or self._resize_factor(slide) != 1.0):
+            return None
+        try:
+            t = dims(0)
+            if t is None or tuple(t) == (psr, psr):
+                return None  # equal dims: the per-patch 'ycbcr' mode wins
+            sub = probe(0, t)
+        except Exception:
+            return None
+        return (*t, *sub) if sub else None
+
+    def iter_mosaic_chunks(self, wsi_path, stop=None, tile_budget: int = 512,
+                           block: int = 8):
+        """Generator of tile-mosaic chunks for slides whose JPEG tile dims
+        differ from the patch size (real Aperio layout).  Each item is
+        ``(stack, idx, offs, wh, orig, (ky, kx))``: the chunk's unique raw
+        tiles (padded to the static ``tile_budget + 1`` slots, last slot
+        neutral/black) plus the per-patch assembly plan from
+        ``ops/mosaic.py``.  Tiles cross host->device ONCE at 1.5 B/px and
+        each is JPEG-decoded once per slide — vs the per-patch RGB path's
+        ~3.7x overlap re-decode at 240px tiles — and candidates arrive in
+        SPATIAL order with their shuffle positions in ``orig`` (the
+        consumer restores reference cap semantics)."""
+        from sequoia_tpu.ops import mosaic
+
+        slide, coords, psr, rf = self._candidates(wsi_path)
+        layout = self._mosaic_layout(slide, psr)
+        if layout is None:
+            raise ValueError("slide has no tile-mosaic raw path; use "
+                             "iter_raw_chunks")
+        tw, th, sh, sv = layout
+        budget = max(tile_budget,
+                     mosaic.block_tile_capacity(block, psr, tw, th))
+        neutral = mosaic.neutral_planar(tw, th, sh, sv)
+        ky, kx = mosaic.neighborhood(coords, psr, tw, th)
+        for chunk in mosaic.plan_chunks(
+                coords, psr, (tw, th), slide.level_dimensions[0],
+                tile_budget=budget, block=block):
+            if stop is not None and stop.is_set():
+                return
+            locs = [(int(tx * tw), int(ty * th)) for tx, ty in chunk.tiles]
+            packed = slide.read_regions_ycbcr(locs, 0, (tw, th))
+            stack = np.empty((budget + 1, packed.shape[1]), np.uint8)
+            stack[:len(packed)] = packed
+            stack[len(packed):] = neutral
+            yield stack, chunk.idx, chunk.offs, chunk.wh, chunk.orig, (ky, kx)
+
+    def _fused_mosaic_program(self, layout, u: int, ky: int, kx: int):
+        """One jitted (params, stack, idx, offs, wh) -> (features, flags)
+        program: raw tile planes in, per-tile libjpeg-bit-exact
+        reconstruction + patch assembly + edge masking + tissue screening +
+        backbone all in a single launch."""
+        cache = getattr(self, "_fused_mosaic", None)
+        if cache is None:
+            cache = self._fused_mosaic = {}
+        key = (layout, u, ky, kx)
+        if key not in cache:
+            from sequoia_tpu.ops import masking, mosaic
+
+            tw, th, sh, sv = layout
+            asm = mosaic.make_assemble(self.patch_size, tw, th, sh, sv,
+                                       ky, kx)
+            raw = self.extractor.raw_fwd
+
+            def both(params, stack, idx, offs, wh):
+                rgb = asm(stack, idx, offs, wh)
+                return raw(params, rgb), masking.patch_keep_flags(
+                    rgb, background_threshold=patch_gen.BACKGROUND_THRESHOLD)
+
+            cache[key] = jax.jit(both)
+        return cache[key]
+
+    def _upload_replicated(self, arr):
+        """Device upload NOT sharded over the data axis (the mosaic tile
+        stack is indexed by every patch in the batch, so under a mesh it
+        must be replicated while idx/offs/wh shard with the batch)."""
+        mesh = self.extractor.mesh
+        if mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(mesh, P()))
+
     def _fused_program(self):
         """One jitted (params, u8_batch) -> (features, keep_flags) program:
         candidate patches cross host->device ONCE and screening rides the
@@ -314,6 +406,10 @@ class SlidePredictor:
         * ``'ycbcr'`` — AppMag 20 + JPEG tiles matching the patch size:
           raw subsampled planes at 1.5 B/px, reconstruction + screening
           fused into the backbone program (bit-exact vs 'rgb').
+        * ``'mosaic'`` — AppMag 20 + JPEG tiles of any other dims (real
+          Aperio slides: 240px tiles, 256px patches): whole raw tiles at
+          1.5 B/px decoded/uploaded once each, patch assembly + screening
+          fused into the backbone program (bit-exact vs 'rgb').
         * ``'rgb'`` — AppMag 20: unscreened RGB patches, screening fused.
         * ``'screened'`` — anything else: host-side screen + resize.
 
@@ -325,7 +421,15 @@ class SlidePredictor:
             slide = open_slide(wsi_path)
             raw = self._resize_factor(slide) == 1.0
             sub = self._ycbcr_sub(slide, self.patch_size) if raw else None
-            mode = "ycbcr" if sub else ("rgb" if raw else "screened")
+            if sub:
+                mode = "ycbcr"
+            else:
+                mos = (self._mosaic_layout(slide, self.patch_size)
+                       if raw else None)
+                if mos:
+                    mode, sub = "mosaic", mos
+                else:
+                    mode = "rgb" if raw else "screened"
         except Exception:
             # unreadable slide: hand the path through so the producer thread
             # raises cleanly and _consume propagates it (per-slide quarantine)
@@ -349,6 +453,8 @@ class SlidePredictor:
                 chunks = {
                     "ycbcr": lambda: self.iter_raw_ycbcr_chunks(slide,
                                                                 stop=stop),
+                    "mosaic": lambda: self.iter_mosaic_chunks(slide,
+                                                              stop=stop),
                     "rgb": lambda: self.iter_raw_chunks(slide, stop=stop),
                     "screened": lambda: self.iter_patch_chunks(slide),
                 }[mode]()
@@ -373,6 +479,60 @@ class SlidePredictor:
         t.start()
         return q, t, err, stop, mode, sub
 
+    def _consume_mosaic(self, q, t, err, stop, layout) -> np.ndarray:
+        """Drain a tile-mosaic producer.  Chunks arrive in SPATIAL order
+        (that's what makes tiles decode/upload once), so the max_patches
+        cap cannot be applied on the fly without changing WHICH patches
+        are kept; instead every candidate's feature is computed and the
+        kept set is selected by shuffle position at the end — byte-for-byte
+        the reference's shuffle-order cap (``patch_gen_hdf5.py:100-123``),
+        identical to extract_patches/predict_patches on the same slide."""
+        bs = self.extractor.batch_size
+        kept: list[tuple[int, np.ndarray]] = []  # (shuffle position, feat)
+        try:
+            while True:
+                if stop.is_set():
+                    break
+                chunk = q.get()
+                if chunk is None or stop.is_set():
+                    break
+                stack, idx, offs, wh, orig, (ky, kx) = chunk
+                fused = self._fused_mosaic_program(
+                    layout, stack.shape[0], ky, kx)
+                stack_dev = self._upload_replicated(stack)
+                neutral_slot = stack.shape[0] - 1
+                for s in range(0, len(idx), bs):
+                    pieces = [p[s:s + bs] for p in (idx, offs, wh)]
+                    n = pieces[0].shape[0]
+                    if n < bs:  # pad to the compiled shape: padding rows
+                        # assemble the neutral (black) tile and fail the
+                        # tissue screen, so flags drop them
+                        pad = [np.full((bs - n, idx.shape[1]), neutral_slot,
+                                       np.int32),
+                               np.zeros((bs - n, 2), np.int32),
+                               np.zeros((bs - n, 2), np.int32)]
+                        pieces = [np.concatenate([p, q_])
+                                  for p, q_ in zip(pieces, pad)]
+                    f, fl = fused(self.extractor.params, stack_dev,
+                                  *(self.extractor.upload(p)
+                                    for p in pieces))
+                    f = np.asarray(f)[:n]
+                    fl = np.asarray(fl)[:n]
+                    kept.extend(
+                        (int(o), row)
+                        for o, row, ok in zip(orig[s:s + bs], f, fl) if ok)
+        finally:
+            stop.set()
+            t.join()
+        if err:
+            raise err[0]
+        if not kept:
+            return self.predict_features(
+                np.zeros((0, self.extractor.feature_dim), np.float32))
+        kept.sort(key=lambda item: item[0])
+        feats = np.stack([row for _, row in kept[: self.max_patches]])
+        return self.predict_features(feats)
+
     def _consume(self, q, t, err, stop, mode: str, sub) -> np.ndarray:
         """Drain one slide's producer through the batched device program and
         run the aggregation tail; returns the fold-averaged (1, G)
@@ -380,7 +540,11 @@ class SlidePredictor:
         fused into the feature program (one upload per candidate) and
         reject rows (plus tail zero-padding, which never passes the tissue
         mask) are dropped host-side.  'ycbcr' chunks are (packed, valid_wh)
-        pairs; every other mode's chunks are single patch arrays."""
+        pairs; 'mosaic' has its own drain (chunk-scoped tile stacks don't
+        fit the cross-chunk buffering here); every other mode's chunks are
+        single patch arrays."""
+        if mode == "mosaic":
+            return self._consume_mosaic(q, t, err, stop, sub)
         fused = (self._fused_ycbcr_program(sub) if mode == "ycbcr"
                  else self._fused_program() if mode == "rgb" else None)
         feats = []

@@ -145,12 +145,20 @@ def test_partial_fresh_legs_survive_headline_failure(bench, tmp_path,
 
     monkeypatch.setattr(bench, "measure_device_pipeline", device)
     monkeypatch.setattr(bench, "measure_spatial", lambda: 20.0)
+    # NOT monkeypatching measure_train would run the REAL production-shape
+    # train leg inside this harness test (up to its 600s watchdog on a
+    # loaded host, cascading into skipped e2e legs and a flaky failure)
+    monkeypatch.setattr(bench, "measure_train", lambda: {
+        "vis_step_ms": 10.0, "vis_slides_per_sec": 1600.0,
+        "vis_tflops": 50.0, "vis_mfu_pct": 25.0, "he2rna_step_ms": 5.0,
+        "epoch_slides_per_hour": 90000.0,
+        "ref_host_metric_s_per_batch": 2.0, "vs_ref_epoch": 100.0})
     monkeypatch.setattr(bench, "measure_decode",
                         lambda: {"raw": 8000.0, "jpeg": 5000.0})
     monkeypatch.setattr(
         bench, "measure_e2e_serving",
-        lambda relay_rate=None, backbone="resnet": (10.0 if backbone ==
-                                                    "resnet" else 20.0))
+        lambda relay_rate=None, backbone="resnet", **kw: (
+            10.0 if backbone == "resnet" else 20.0))
 
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -179,6 +187,34 @@ def test_corrupt_cache_still_emits_one_json_line(bench, tmp_path,
         bench._emit_fallback("boom")
     out = json.loads(buf.getvalue().strip())
     assert out["value"] == 0 and "boom" in out["unit"]
+
+
+@pytest.mark.slow
+def test_measure_e2e_aperio_smoke_cpu(bench, tmp_path, monkeypatch):
+    """The e2e_aperio leg runs end to end at shrunk shapes on CPU: the
+    240px-tile fixture (tile dims != patch size) must route serving
+    through the tile-mosaic producer (expect_mode='mosaic' is the leg's
+    own assertion) and produce a finite per-slide wall time."""
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native library not built")
+    monkeypatch.setattr(bench, "E2E_GRID", 6)
+    monkeypatch.setattr(bench, "PATCHES_PER_SLIDE", 36)
+    monkeypatch.setattr(bench, "NUM_GENES", 32)
+    monkeypatch.setattr(bench, "NUM_CLUSTERS", 8)
+    monkeypatch.setattr(bench, "FEAT_BATCH", 8)
+    slides = [str(tmp_path / f"aperio_{i}.tiff") for i in range(2)]
+    per_slide = bench.measure_e2e_serving(
+        relay_rate=None, slides=slides, tile=bench.APERIO_TILE,
+        expect_mode="mosaic")
+    assert per_slide > 0
+
+    # and the expect_mode guard actually guards: a patch-size-tile fixture
+    # takes the per-patch 'ycbcr' mode, so demanding 'mosaic' must raise
+    other = [str(tmp_path / "sq_0.tiff"), str(tmp_path / "sq_1.tiff")]
+    with pytest.raises(RuntimeError, match="mosaic"):
+        bench.measure_e2e_serving(relay_rate=None, slides=other,
+                                  expect_mode="mosaic")
 
 
 def test_measure_spatial_smoke_cpu(bench, monkeypatch):
