@@ -24,12 +24,16 @@
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
+
+#include <jpeglib.h>
 
 namespace {
 
@@ -380,19 +384,141 @@ int ycbcr_ok_impl(TIFF* tif, const LevelInfo& lv, int64_t w, int64_t h,
     return 0;
   uint16_t s_h = 2, s_v = 2;
   TIFFGetFieldDefaulted(tif, TIFFTAG_YCBCRSUBSAMPLING, &s_h, &s_v);
-  // (2,2)=4:2:0 and (1,1)=4:4:4 only.  4:2:2 is rejected because this
-  // libtiff's raw mode is internally inconsistent there: JPEGDecodeRaw
-  // advances by TIFFScanlineSize (1024 B/row for a 256px 4:2:2 tile) while
-  // TIFFReadEncodedTile clamps the buffer to TIFFTileSize (512 B/row), so
-  // the decode always fails partway — measured empirically; 4:2:2 slides
-  // take the RGB path instead (correct, just without the bandwidth win).
-  // Other factors (e.g. 1x2) lack a libjpeg fancy-upsample equivalent for
-  // the device-side bit-exact reconstruction.
-  if (!((s_h == 2 && s_v == 2) || (s_h == 1 && s_v == 1))) return 0;
+  // (2,2)=4:2:0 and (1,1)=4:4:4 decode through libtiff's raw mode;
+  // (2,1)=4:2:2 (Aperio GT450 slides) takes the libjpeg-direct path below,
+  // because this libtiff's raw mode is internally inconsistent there:
+  // JPEGDecodeRaw advances by TIFFScanlineSize (1024 B/row for a 256px
+  // 4:2:2 tile) while TIFFReadEncodedTile clamps the buffer to
+  // TIFFTileSize (512 B/row), so the decode always fails partway —
+  // measured empirically.  Other factors (e.g. 1x2) lack a libjpeg
+  // fancy-upsample equivalent for the device-side bit-exact
+  // reconstruction and take the RGB path.
+  if (!((s_h == 2 && s_v == 2) || (s_h == 1 && s_v == 1) ||
+        (s_h == 2 && s_v == 1)))
+    return 0;
   if (w % s_h || h % s_v) return 0;
   *sh = s_h;
   *sv = s_v;
   return 1;
+}
+
+// libjpeg error hook: the default handler exit()s the process; longjmp
+// back to the per-tile decode instead (per-tile quarantine semantics).
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf env;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->env, 1);
+}
+
+// Decode ONE whole tile's raw subsampled planes by handing the tile's JPEG
+// codestream (TIFFReadRawTile bytes, prefixed by the directory's
+// abbreviated JPEGTables stream) to libjpeg directly and reading
+// jpeg_read_raw_data output.  This bypasses libtiff's raw mode, which is
+// internally inconsistent for 4:2:2 (see ycbcr_ok_impl) — the layout of
+// Aperio GT450 slides.  Output layout matches read_tile_ycbcr_impl:
+// planar Y (w*h) ++ Cb ++ Cr ((w/sh)*(h/sv) each).
+int read_tile_ycbcr_jpegdirect(TIFF* tif, int64_t rx, int64_t ry, int64_t w,
+                               int64_t h, int sh, int sv, uint8_t* out) {
+  // raw codestream bytes of this tile
+  uint32_t tile = TIFFComputeTile(tif, (uint32_t)rx, (uint32_t)ry, 0, 0);
+  uint64_t* counts = nullptr;
+  if (!TIFFGetField(tif, TIFFTAG_TILEBYTECOUNTS, &counts) || !counts)
+    return -5;
+  uint64_t rawsz = counts[tile];
+  if (!rawsz || rawsz > (1ull << 28)) return -5;
+  std::vector<uint8_t> raw((size_t)rawsz);
+  tmsize_t got = TIFFReadRawTile(tif, tile, raw.data(), (tmsize_t)rawsz);
+  if (got <= 0) return -5;
+  // shared quantization/Huffman tables (TIFF stores them once per
+  // directory as an abbreviated tables-only JPEG stream)
+  uint32_t tlen = 0;
+  void* tdata = nullptr;
+  TIFFGetField(tif, TIFFTAG_JPEGTABLES, &tlen, &tdata);
+
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  // declared before setjmp so a longjmp'd return still destructs them
+  std::vector<uint8_t> plane[3];
+  std::vector<JSAMPROW> rp[3];
+  if (setjmp(jerr.env)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -6;
+  }
+  jpeg_create_decompress(&cinfo);
+  if (tdata && tlen > 4) {
+    jpeg_mem_src(&cinfo, (const unsigned char*)tdata, tlen);
+    if (jpeg_read_header(&cinfo, FALSE) != JPEG_HEADER_TABLES_ONLY) {
+      jpeg_destroy_decompress(&cinfo);
+      return -6;
+    }
+  }
+  jpeg_mem_src(&cinfo, raw.data(), (unsigned long)got);
+  jpeg_read_header(&cinfo, TRUE);
+  // the stream must be exactly the probed tile layout — the RGB-path
+  // oracle (libtiff JPEGCOLORMODE_RGB) enforces the same dims, so bit-
+  // exactness is only defined under these conditions
+  if (cinfo.num_components != 3 || cinfo.data_precision != 8 ||
+      cinfo.jpeg_color_space != JCS_YCbCr ||
+      cinfo.image_width != (JDIMENSION)w ||
+      cinfo.image_height != (JDIMENSION)h ||
+      cinfo.comp_info[0].h_samp_factor != sh ||
+      cinfo.comp_info[0].v_samp_factor != sv ||
+      cinfo.comp_info[1].h_samp_factor != 1 ||
+      cinfo.comp_info[1].v_samp_factor != 1 ||
+      cinfo.comp_info[2].h_samp_factor != 1 ||
+      cinfo.comp_info[2].v_samp_factor != 1) {
+    jpeg_destroy_decompress(&cinfo);
+    return -6;
+  }
+  cinfo.raw_data_out = TRUE;
+  cinfo.out_color_space = JCS_YCbCr;
+  jpeg_start_decompress(&cinfo);
+
+  // jpeg_read_raw_data consumes one iMCU row (max_v_samp * 8 image lines)
+  // per call and requires each component's rows to span width_in_blocks*8
+  // samples — decode into padded planes, then copy the valid region out.
+  const int mcu_h = cinfo.max_v_samp_factor * DCTSIZE;
+  const int ncalls = (int)((h + mcu_h - 1) / mcu_h);
+  size_t prow[3];
+  int crows[3];
+  JSAMPARRAY arr[3];
+  for (int ci = 0; ci < 3; ++ci) {
+    prow[ci] = (size_t)cinfo.comp_info[ci].width_in_blocks * DCTSIZE;
+    crows[ci] = cinfo.comp_info[ci].v_samp_factor * DCTSIZE;
+    plane[ci].resize(prow[ci] * crows[ci] * ncalls);
+    rp[ci].resize(crows[ci]);
+    arr[ci] = rp[ci].data();
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    size_t call = cinfo.output_scanline / mcu_h;
+    for (int ci = 0; ci < 3; ++ci)
+      for (int r = 0; r < crows[ci]; ++r)
+        rp[ci][r] =
+            plane[ci].data() + (call * crows[ci] + r) * prow[ci];
+    if (jpeg_read_raw_data(&cinfo, arr, mcu_h) == 0) {
+      jpeg_destroy_decompress(&cinfo);
+      return -6;
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  const int64_t cw = w / sh, ch = h / sv;
+  uint8_t* yp = out;
+  uint8_t* cbp = out + (size_t)w * h;
+  uint8_t* crp = cbp + (size_t)cw * ch;
+  for (int64_t y = 0; y < h; ++y)
+    std::memcpy(yp + y * w, plane[0].data() + (size_t)y * prow[0], w);
+  for (int64_t y = 0; y < ch; ++y) {
+    std::memcpy(cbp + y * cw, plane[1].data() + (size_t)y * prow[1], cw);
+    std::memcpy(crp + y * cw, plane[2].data() + (size_t)y * prow[2], cw);
+  }
+  return 0;
 }
 
 // Decode ONE whole tile at (rx, ry) as raw YCbCr and repack the TIFF
@@ -411,6 +537,10 @@ int read_tile_ycbcr_impl(TIFF* tif, const LevelInfo& lv, int64_t rx,
   if (!ycbcr_ok_impl(tif, lv, w, h, &sh, &sv)) return -1;
   if (rx % w || ry % h) return -2;                       // tile-aligned only
   if (rx < 0 || ry < 0 || rx >= lv.w || ry >= lv.h) return -2;
+  // 4:2:2 cannot use libtiff's raw mode (see ycbcr_ok_impl) — decode the
+  // tile's JPEG stream directly
+  if (sh == 2 && sv == 1)
+    return read_tile_ycbcr_jpegdirect(tif, rx, ry, w, h, sh, sv, out);
   TIFFSetField(tif, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RAW);
   const int64_t cw = w / sh, ch = h / sv;
   const size_t clump = (size_t)sh * sv + 2;

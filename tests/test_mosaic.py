@@ -27,7 +27,7 @@ T = 48   # tile side: multiple of 16 (JPEG MCUs), != the 64px patch
 PS = 64
 
 
-def _tissue_slide(tmp_path, w, h, name="m", seed=3, tile=T):
+def _tissue_slide(tmp_path, w, h, name="m", seed=3, tile=T, sub=(2, 2)):
     rng = np.random.default_rng(seed)
     lv0 = np.empty((h, w, 3), np.uint8)
     lv0[..., 0] = rng.integers(150, 220, (h, w))
@@ -35,7 +35,7 @@ def _tissue_slide(tmp_path, w, h, name="m", seed=3, tile=T):
     lv0[..., 2] = rng.integers(150, 230, (h, w))
     path = str(tmp_path / f"{name}.tiff")
     native.write_tiled_tiff(path, [lv0, lv0[::4, ::4]], tile=(tile, tile),
-                            jpeg_quality=80,
+                            jpeg_quality=80, subsampling=sub,
                             description="synthetic|AppMag = 20")
     return path
 
@@ -65,13 +65,15 @@ def test_planner_covers_every_candidate_once_within_budget():
         assert real.max() < len(c.tiles)
 
 
-def test_assembly_bit_exact_vs_rgb_read_regions(tmp_path):
+# (2, 2) = 4:2:0 (classic Aperio), (2, 1) = 4:2:2 (GT450 — the libjpeg-
+# direct native decode path)
+@pytest.mark.parametrize("sub", [(2, 2), (2, 1)])
+def test_assembly_bit_exact_vs_rgb_read_regions(tmp_path, sub):
     w, h = 6 * PS + 40, 5 * PS + 16  # edge tiles on both axes
-    path = _tissue_slide(tmp_path, w, h)
+    path = _tissue_slide(tmp_path, w, h, sub=sub)
     r = native.NativeTiffReader(path)
     assert r.tile_dims(0) == (T, T)
-    sub = r.ycbcr_subsampling(0, (T, T))
-    assert sub == (2, 2)
+    assert r.ycbcr_subsampling(0, (T, T)) == sub
 
     coords = _grid_coords(w, h)
     budget = mosaic.block_tile_capacity(4, PS, T, T)
@@ -100,13 +102,14 @@ def test_assembly_bit_exact_vs_rgb_read_regions(tmp_path):
 
 
 @pytest.mark.slow
-def test_serve_mosaic_mode_matches_predict_patches(tmp_path):
+@pytest.mark.parametrize("sub", [(2, 2), (2, 1)])
+def test_serve_mosaic_mode_matches_predict_patches(tmp_path, sub):
     from test_serve_and_ckpt import make_predictor
 
-    path = _tissue_slide(tmp_path, 6 * PS + 40, 5 * PS + 16)
+    path = _tissue_slide(tmp_path, 6 * PS + 40, 5 * PS + 16, sub=sub)
     pred = make_predictor()
     tup = pred._start_producer(path)
-    assert tup[4] == "mosaic" and tup[5] == (T, T, 2, 2)
+    assert tup[4] == "mosaic" and tup[5] == (T, T) + sub
     tup[3].set()
     tup[1].join(timeout=30)
 

@@ -1280,7 +1280,10 @@ def test_http_merged_run_quarantines_and_fans_out_failures():
         svc.close()
 
 
-def test_predict_wsi_raw_ycbcr_mode_matches_rgb_mode(tmp_path):
+# (2, 2) = 4:2:0 (classic Aperio), (2, 1) = 4:2:2 (GT450 — the native
+# reader's libjpeg-direct tile decode)
+@pytest.mark.parametrize("sub", [(2, 2), (2, 1)])
+def test_predict_wsi_raw_ycbcr_mode_matches_rgb_mode(tmp_path, sub):
     """A JPEG-tiled slide whose tiles match the patch size streams raw
     subsampled YCbCr planes (half the upload bytes); the device-side
     reconstruction must be BIT-exact vs the RGB decode per patch (including
@@ -1301,12 +1304,12 @@ def test_predict_wsi_raw_ycbcr_mode_matches_rgb_mode(tmp_path):
     lv0[..., 2] = rng.integers(150, 230, (h, w))
     path = str(tmp_path / "jq.tiff")
     native.write_tiled_tiff(path, [lv0, lv0[::4, ::4]], tile=(ps, ps),
-                            jpeg_quality=80,
+                            jpeg_quality=80, subsampling=sub,
                             description="synthetic|AppMag = 20")
 
     pred = make_predictor()
     slide = native.NativeTiffReader(path)
-    assert pred._ycbcr_sub(slide, ps) == (2, 2)
+    assert pred._ycbcr_sub(slide, ps) == sub
 
     # per-chunk: reconstruction+masking == the RGB iterator's pixels
     rgb_chunks = list(pred.iter_raw_chunks(native.NativeTiffReader(path)))
@@ -1315,7 +1318,7 @@ def test_predict_wsi_raw_ycbcr_mode_matches_rgb_mode(tmp_path):
     assert len(rgb_chunks) == len(ycc_chunks)
     saw_edge = False
     for rgb, (packed, wh) in zip(rgb_chunks, ycc_chunks):
-        rec = np.asarray(ycbcr.planar_to_rgb(packed, ps, ps, 2, 2))
+        rec = np.asarray(ycbcr.planar_to_rgb(packed, ps, ps, *sub))
         cols = np.arange(ps)
         valid = ((cols[None, None, :] < wh[:, 0, None, None])
                  & (cols[None, :, None] < wh[:, 1, None, None]))

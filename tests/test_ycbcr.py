@@ -32,8 +32,11 @@ def _slide(tmp_path, sub, name="s", grid=3, seed=0):
     return path
 
 
-@pytest.mark.parametrize("sub", [(2, 2), (1, 1)])
+@pytest.mark.parametrize("sub", [(2, 2), (2, 1), (1, 1)])
 def test_raw_ycbcr_bit_exact_vs_rgb_path(tmp_path, sub):
+    # (2, 2)/(1, 1) decode through libtiff's raw mode; (2, 1) = 4:2:2
+    # (Aperio GT450) takes the libjpeg-direct tile decode — all three must
+    # be bit-exact vs the RGB path after device-side reconstruction.
     r = native.NativeTiffReader(_slide(tmp_path, sub))
     assert r.ycbcr_subsampling(0, (T, T)) == sub
     coords = [(x * T, y * T) for x in range(3) for y in range(3)]
@@ -57,9 +60,10 @@ def test_jnp_matches_numpy_twin_bit_exact():
 
 
 def test_h2v1_fancy_matches_libjpeg_scalar_transcription():
-    """(2, 1) has no libtiff raw-read oracle (its raw mode is broken for
-    4:2:2 — see tiffreader.cpp), so pin the vectorized upsampler against a
-    direct scalar transcription of jdsample.c h2v1_fancy_upsample."""
+    """Pin the vectorized h2v1 upsampler against a direct scalar
+    transcription of jdsample.c h2v1_fancy_upsample — an independent oracle
+    from the native reader's libjpeg-direct 4:2:2 path (which the
+    bit-exact test above exercises end-to-end)."""
     rng = np.random.default_rng(4)
     p = rng.integers(0, 256, (2, 7, 9), dtype=np.int64).astype(np.int32)
 
@@ -80,8 +84,9 @@ def test_h2v1_fancy_matches_libjpeg_scalar_transcription():
 
 
 def test_unsupported_layouts_fall_back(tmp_path):
-    # 4:2:2: probed as unsupported (libtiff raw-mode inconsistency)
-    r = native.NativeTiffReader(_slide(tmp_path, (2, 1), name="s422"))
+    # 1x2 subsampling: no libjpeg fancy-upsample equivalent exists for the
+    # device-side bit-exact reconstruction, so the probe must reject it
+    r = native.NativeTiffReader(_slide(tmp_path, (1, 2), name="s12"))
     assert r.ycbcr_subsampling(0, (T, T)) is None
     with pytest.raises(OSError):
         r.read_regions_ycbcr([(0, 0)], 0, (T, T))
