@@ -90,6 +90,8 @@ IO_SLIDE = "/tmp/sequoia_bench_slide_8192.tiff"  # 32x32 tiles of 256px
 IO_SLIDE_JPEG = "/tmp/sequoia_bench_slide_8192_jq80.tiff"  # Aperio layout
 APERIO_TILE = 240  # real Aperio SVS tile side (vs the 256px patch grid)
 IO_SLIDE_JPEG240 = "/tmp/sequoia_bench_slide_8192_jq80_t240.tiff"
+# 4:2:2 chroma (Aperio GT450 layout): exercises the libjpeg-direct raw path
+IO_SLIDE_JPEG422 = "/tmp/sequoia_bench_slide_8192_jq80_422.tiff"
 E2E_JPEG_Q = 80  # fixture tiles are JPEG/YCbCr like real TCGA slides
 E2E_GRID = 72  # 72x72 tiles of 256px -> 18432^2 level 0, ~4.4k tissue tiles
 # grid size + layout in the filename: a recipe change must not silently
@@ -676,6 +678,31 @@ def measure_decode():
             f"{rates['jpeg240_mosaic_ycbcr']:.0f} patches/s (each unique "
             "240px tile decoded once as raw planes; assembly is on-device)")
     r240.close()
+
+    # 4:2:2 chroma (Aperio GT450): libtiff's raw mode is broken there, so
+    # raw-plane reads go through the reader's libjpeg-direct tile decode —
+    # measure that path's host rate alongside the libtiff-raw 4:2:0 one
+    if not os.path.exists(IO_SLIDE_JPEG422):
+        rng = np.random.default_rng(7)
+        block = rng.integers(0, 256, (2048, 2048, 3), dtype=np.uint8)
+        lv0 = np.tile(block, (4, 4, 1))
+        native.write_tiled_tiff(IO_SLIDE_JPEG422 + ".tmp",
+                                [lv0, lv0[::16, ::16]],
+                                tile=(PATCH, PATCH),
+                                jpeg_quality=E2E_JPEG_Q,
+                                subsampling=(2, 1))
+        os.replace(IO_SLIDE_JPEG422 + ".tmp", IO_SLIDE_JPEG422)
+    r422 = native.NativeTiffReader(IO_SLIDE_JPEG422)
+    if r422.ycbcr_subsampling(0, (PATCH, PATCH)) == (2, 1):
+        r422.read_regions_ycbcr(coords[:64], 0, (PATCH, PATCH),
+                                nthreads=nthreads)
+        rates["jpeg422_ycbcr"] = max(timed_pass(
+            lambda c: r422.read_regions_ycbcr(c, 0, (PATCH, PATCH),
+                                              nthreads=nthreads),
+            PATCHES_PER_SLIDE) for _ in range(3))
+        log(f"decode[jpeg422_ycbcr]: {rates['jpeg422_ycbcr']:.0f} "
+            "patches/s (4:2:2 raw planes via libjpeg-direct)")
+    r422.close()
     return rates
 
 
@@ -740,6 +767,11 @@ def measure_e2e_serving(relay_rate: float | None = None,
         tup = pred._start_producer(slides[0])
         tup[3].set()  # stop: the gated put() refuses, so the thread exits
         tup[1].join(timeout=60)
+        if tup[1].is_alive():
+            # a wedged probe thread would keep decoding on the shared
+            # native pool and skew the timed runs below — fail the leg
+            raise RuntimeError("producer-mode probe thread failed to exit "
+                               "within 60s; not timing against it")
         if tup[4] != expect_mode:
             raise RuntimeError(f"serving picked mode {tup[4]!r}, leg "
                                f"expects {expect_mode!r} for this fixture "
@@ -794,57 +826,29 @@ def main() -> None:
     # work (a join timeout cannot cancel a C-blocked thread); running more
     # device legs would contend with it and record inflated-but-"fresh"
     # numbers into the cache — skip them and degrade to cache instead
-    if timed_out("resnet"):
-        failures["uni"] = ("skipped: resnet leg timed out; its abandoned "
-                           "thread may still hold the device")
-        log(f"[leg uni] {failures['uni']}")
-    else:
-        run_leg("uni", lambda: measure_device_pipeline("uni"),
-                results, failures)
-    if timed_out("resnet") or timed_out("uni"):
-        failures["spatial"] = ("skipped: a device leg timed out; its "
-                               "abandoned thread may still hold the device")
-        log(f"[leg spatial] {failures['spatial']}")
-    else:
-        run_leg("spatial", measure_spatial, results, failures)
-    if timed_out("resnet") or timed_out("uni") or timed_out("spatial"):
-        failures["train"] = ("skipped: a device leg timed out; its "
-                             "abandoned thread may still hold the device")
-        log(f"[leg train] {failures['train']}")
-    else:
-        run_leg("train", measure_train, results, failures)
-    run_leg("decode", measure_decode, results, failures)  # host-only: safe
-    if (timed_out("resnet") or timed_out("uni") or timed_out("spatial")
-            or timed_out("train")):
-        failures["e2e"] = ("skipped: a device leg timed out; its abandoned "
-                           "thread may still hold the device")
-        log(f"[leg e2e] {failures['e2e']}")
-    else:
-        run_leg("e2e", lambda: measure_e2e_serving(relay_rate),
-                results, failures)
-    if (timed_out("resnet") or timed_out("uni") or timed_out("spatial")
-            or timed_out("train") or timed_out("e2e")):
-        failures["e2e_uni"] = ("skipped: a device leg timed out; its "
-                               "abandoned thread may still hold the device")
-        log(f"[leg e2e_uni] {failures['e2e_uni']}")
-    else:
-        run_leg("e2e_uni",
-                lambda: measure_e2e_serving(relay_rate, backbone="uni"),
-                results, failures)
-    if any(timed_out(leg) for leg in
-           ("resnet", "uni", "spatial", "train", "e2e", "e2e_uni")):
-        failures["e2e_aperio"] = ("skipped: a device leg timed out; its "
-                                  "abandoned thread may still hold the "
-                                  "device")
-        log(f"[leg e2e_aperio] {failures['e2e_aperio']}")
-    else:
+    remaining_legs = [
+        ("uni", lambda: measure_device_pipeline("uni")),
+        ("spatial", lambda: measure_spatial()),
+        ("train", lambda: measure_train()),
+        ("decode", lambda: measure_decode()),  # host-only: always safe
+        ("e2e", lambda: measure_e2e_serving(relay_rate)),
+        ("e2e_uni", lambda: measure_e2e_serving(relay_rate, backbone="uni")),
         # real Aperio tile geometry (240px tiles != 256px patches): serving
         # must take the tile-mosaic path, asserted via expect_mode
-        run_leg("e2e_aperio",
-                lambda: measure_e2e_serving(relay_rate, slides=E2E_SLIDES_240,
-                                            tile=APERIO_TILE,
-                                            expect_mode="mosaic"),
-                results, failures)
+        ("e2e_aperio",
+         lambda: measure_e2e_serving(relay_rate, slides=E2E_SLIDES_240,
+                                     tile=APERIO_TILE, expect_mode="mosaic")),
+    ]
+    device_ran = ["resnet"]
+    for name, fn in remaining_legs:
+        if name != "decode" and any(timed_out(leg) for leg in device_ran):
+            failures[name] = ("skipped: a device leg timed out; its "
+                              "abandoned thread may still hold the device")
+            log(f"[leg {name}] {failures[name]}")
+        else:
+            run_leg(name, fn, results, failures)
+        if name != "decode":
+            device_ran.append(name)
 
     out: dict = {}
     if "resnet" in results:

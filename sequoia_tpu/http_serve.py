@@ -71,20 +71,33 @@ class PredictorService:
         self.slides_failed = 0
         self.last_slide_seconds: float | None = None
         self._pending: "queue.Queue[_Request | None]" = queue.Queue()
+        # orders enqueues against close(): the shutdown sentinel is
+        # guaranteed to be the LAST queue item, so no request can land
+        # behind it and block its owner forever
+        self._lock = threading.Lock()
+        self._closed = False
         self._worker = threading.Thread(target=self._serve_loop, daemon=True,
                                         name="predictor-service")
         self._worker.start()
 
     def close(self) -> None:
-        """Stop the pipeline worker (in-flight batch finishes first)."""
-        self._pending.put(None)
+        """Stop the pipeline worker; requests already accepted (in-flight or
+        queued) complete first, new ``predict`` calls are refused."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._pending.put(None)
         self._worker.join()
 
     def predict(self, paths: list[str]) -> tuple[dict, dict]:
         """paths -> ({name: {gene: float}}, {name: error}); blocks until the
         merged pipeline run containing these slides completes."""
         req = _Request([str(p) for p in paths])
-        self._pending.put(req)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("PredictorService is closed")
+            self._pending.put(req)
         req.done.wait()
         if req.error is not None:
             raise req.error
@@ -96,7 +109,7 @@ class PredictorService:
         while True:
             first = self._pending.get()
             if first is None:
-                return
+                return self._fail_remaining()
             batch = [first]
             while True:  # merge everything already waiting
                 try:
@@ -105,9 +118,22 @@ class PredictorService:
                     break
                 if nxt is None:
                     self._run_batch(batch)
-                    return
+                    return self._fail_remaining()
                 batch.append(nxt)
             self._run_batch(batch)
+
+    def _fail_remaining(self) -> None:
+        """Defense in depth at shutdown: the close() lock means nothing can
+        follow the sentinel, but if anything ever did, fail it loudly
+        instead of leaving its owner blocked on done.wait() forever."""
+        while True:
+            try:
+                req = self._pending.get_nowait()
+            except queue.Empty:
+                return
+            if req is not None:
+                req.error = RuntimeError("PredictorService is closed")
+                req.done.set()
 
     def _run_batch(self, batch: list[_Request]) -> None:
         """One merged predict_slides run over the union of the batch's

@@ -531,17 +531,19 @@ int read_tile_ycbcr_jpegdirect(TIFF* tif, int64_t rx, int64_t ry, int64_t w,
 // after reconstruction (sequoia_tpu/serve.py passes per-tile valid (w, h)
 // into the device program) so the result stays bit-exact with the RGB
 // path's zero-fill.
+// Precondition (hoisted out of the per-tile hot loop): the caller has
+// already validated the layout with ycbcr_ok_impl on THIS handle (which
+// also sets the directory) and, for the libtiff raw path, armed
+// JPEGCOLORMODE_RAW once — str_read_regions_ycbcr does both per worker.
 int read_tile_ycbcr_impl(TIFF* tif, const LevelInfo& lv, int64_t rx,
-                         int64_t ry, int64_t w, int64_t h, uint8_t* out) {
-  int sh = 0, sv = 0;
-  if (!ycbcr_ok_impl(tif, lv, w, h, &sh, &sv)) return -1;
+                         int64_t ry, int64_t w, int64_t h, int sh, int sv,
+                         uint8_t* out) {
   if (rx % w || ry % h) return -2;                       // tile-aligned only
   if (rx < 0 || ry < 0 || rx >= lv.w || ry >= lv.h) return -2;
   // 4:2:2 cannot use libtiff's raw mode (see ycbcr_ok_impl) — decode the
   // tile's JPEG stream directly
   if (sh == 2 && sv == 1)
     return read_tile_ycbcr_jpegdirect(tif, rx, ry, w, h, sh, sv, out);
-  TIFFSetField(tif, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RAW);
   const int64_t cw = w / sh, ch = h / sv;
   const size_t clump = (size_t)sh * sv + 2;
   const size_t packed_size = (size_t)(w / sh) * (h / sv) * clump;
@@ -589,9 +591,10 @@ int read_tile_ycbcr_impl(TIFF* tif, const LevelInfo& lv, int64_t rx,
 }
 
 int read_tile_ycbcr_with(TIFF* tif, const LevelInfo& lv, int64_t rx,
-                         int64_t ry, int64_t w, int64_t h, uint8_t* out) {
+                         int64_t ry, int64_t w, int64_t h, int sh, int sv,
+                         uint8_t* out) {
   try {
-    return read_tile_ycbcr_impl(tif, lv, rx, ry, w, h, out);
+    return read_tile_ycbcr_impl(tif, lv, rx, ry, w, h, sh, sv, out);
   } catch (...) {
     return -4;
   }
@@ -636,11 +639,22 @@ int str_read_regions_ycbcr(void* handle, int level, const int64_t* xs,
   auto worker = [&]() {
     TIFF* tif = s->acquire();
     if (!tif) return;
-    while (true) {
+    // validate the layout ONCE per worker handle (sets the directory);
+    // per-tile work is then just alignment checks + decode
+    int wsh = 0, wsv = 0;
+    bool armed = false;
+    try {
+      armed = ycbcr_ok_impl(tif, s->levels[level], w, h, &wsh, &wsv) != 0;
+    } catch (...) {
+      armed = false;
+    }
+    if (armed && !(wsh == 2 && wsv == 1))
+      TIFFSetField(tif, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RAW);
+    while (armed) {
       int i = next.fetch_add(1);
       if (i >= n) break;
       if (read_tile_ycbcr_with(tif, s->levels[level], xs[i], ys[i], w, h,
-                               out + (size_t)i * stride) == 0)
+                               wsh, wsv, out + (size_t)i * stride) == 0)
         ok.fetch_add(1);
     }
     s->release(tif);

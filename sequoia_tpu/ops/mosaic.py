@@ -199,9 +199,6 @@ def make_assemble(ps: int, tw: int, th: int, sh: int, sv: int,
         # the full batch's neighborhoods
         patches = jax.lax.map(one, (idx, offs),
                               batch_size=min(32, idx.shape[0]))
-        cols = jnp.arange(ps, dtype=jnp.int32)
-        valid = ((cols[None, None, :] < wh[:, 0, None, None])
-                 & (cols[None, :, None] < wh[:, 1, None, None]))
-        return jnp.where(valid[..., None], patches, jnp.uint8(0))
+        return ycbcr.mask_to_valid(patches, wh)
 
     return assemble

@@ -125,6 +125,22 @@ def ycc_to_rgb(y, cb, cr):
     return xp.clip(rgb, 0, 255).astype(xp.uint8)
 
 
+def mask_to_valid(rgb, wh):
+    """Zero pixels beyond each image's in-bounds extent: (N, P, P, 3) uint8
+    + per-image valid (width, height) int32 (N, 2) -> masked images.
+
+    This reproduces the RGB decode path's memset-0 fill for edge tiles
+    (``tiffreader.cpp read_region_impl``) so raw-plane reconstructions stay
+    bit-exact with it; both fused serving programs (ycbcr and mosaic) share
+    this one definition.  jnp in -> jnp out, np in -> np out."""
+    xp = jnp if isinstance(rgb, jnp.ndarray) else np
+    ps = rgb.shape[-2]
+    cols = xp.arange(ps, dtype=xp.int32)
+    valid = ((cols[None, None, :] < wh[:, 0, None, None])
+             & (cols[None, :, None] < wh[:, 1, None, None]))
+    return xp.where(valid[..., None], rgb, xp.uint8(0))
+
+
 def planar_to_rgb(buf, h: int, w: int, sh: int, sv: int):
     """Full reconstruction: (N, planar bytes) uint8 -> (N, h, w, 3) uint8
     RGB, bit-exact vs the native reader's RGB path.  jnp in -> jnp out

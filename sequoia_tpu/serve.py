@@ -332,14 +332,10 @@ class SlidePredictor:
 
             def both(params, packed, wh):
                 rgb = ycbcr.planar_to_rgb(packed, ps, ps, *sub)
-                # zero pixels beyond each tile's in-bounds extent — exactly
-                # the RGB path's memset-0 fill for edge tiles (and it turns
-                # the consumer's zero-padded tail rows black, which the
-                # tissue screen then drops)
-                cols = jnp.arange(ps, dtype=jnp.int32)
-                valid = ((cols[None, None, :] < wh[:, 0, None, None])
-                         & (cols[None, :, None] < wh[:, 1, None, None]))
-                rgb = jnp.where(valid[..., None], rgb, jnp.uint8(0))
+                # zero pixels beyond each tile's in-bounds extent (shared
+                # edge-mask; it also turns the consumer's zero-padded tail
+                # rows black, which the tissue screen then drops)
+                rgb = ycbcr.mask_to_valid(rgb, wh)
                 return raw(params, rgb), masking.patch_keep_flags(
                     rgb, background_threshold=patch_gen.BACKGROUND_THRESHOLD)
 
@@ -486,9 +482,16 @@ class SlidePredictor:
         are kept; instead every candidate's feature is computed and the
         kept set is selected by shuffle position at the end — byte-for-byte
         the reference's shuffle-order cap (``patch_gen_hdf5.py:100-123``),
-        identical to extract_patches/predict_patches on the same slide."""
+        identical to extract_patches/predict_patches on the same slide.
+        Host memory stays O(max_patches), not O(candidates): a bounded
+        max-heap on (negated) shuffle position retains exactly the
+        max_patches earliest positions seen so far."""
+        import heapq
+
         bs = self.extractor.batch_size
-        kept: list[tuple[int, np.ndarray]] = []  # (shuffle position, feat)
+        # max-heap via negated position; positions are unique per slide so
+        # tuple comparison never reaches the (uncomparable) feature row
+        heap: list[tuple[int, np.ndarray]] = []
         try:
             while True:
                 if stop.is_set():
@@ -518,19 +521,24 @@ class SlidePredictor:
                                     for p in pieces))
                     f = np.asarray(f)[:n]
                     fl = np.asarray(fl)[:n]
-                    kept.extend(
-                        (int(o), row)
-                        for o, row, ok in zip(orig[s:s + bs], f, fl) if ok)
+                    for o, row, ok in zip(orig[s:s + bs], f, fl):
+                        if not ok:
+                            continue
+                        item = (-int(o), row)
+                        if len(heap) < self.max_patches:
+                            heapq.heappush(heap, item)
+                        elif item[0] > heap[0][0]:
+                            heapq.heapreplace(heap, item)
         finally:
             stop.set()
             t.join()
         if err:
             raise err[0]
-        if not kept:
+        if not heap:
             return self.predict_features(
                 np.zeros((0, self.extractor.feature_dim), np.float32))
-        kept.sort(key=lambda item: item[0])
-        feats = np.stack([row for _, row in kept[: self.max_patches]])
+        kept = sorted(heap, key=lambda item: -item[0])
+        feats = np.stack([row for _, row in kept])
         return self.predict_features(feats)
 
     def _consume(self, q, t, err, stop, mode: str, sub) -> np.ndarray:

@@ -1280,6 +1280,51 @@ def test_http_merged_run_quarantines_and_fans_out_failures():
         svc.close()
 
 
+def test_http_service_shutdown_never_strands_requests():
+    """close() ordering: requests accepted before close complete (even when
+    queued behind a busy worker), predict() after close raises instead of
+    blocking forever on done.wait(), and close() is idempotent."""
+    import threading
+    import time as _time
+
+    from sequoia_tpu import http_serve
+
+    calls: list[tuple] = []
+    svc = http_serve.PredictorService(
+        _slow_fake_predictor(calls), ["A", "B", "C"])
+    # occupy the worker, then queue a request AND close while it's busy
+    warm = threading.Thread(target=svc.predict, args=(["warm.svs"],))
+    warm.start()
+    _time.sleep(0.1)
+    outs: dict[str, tuple] = {}
+
+    def client():
+        outs["q"] = svc.predict(["queued.svs"])
+
+    t = threading.Thread(target=client)
+    t.start()
+    _time.sleep(0.05)  # request is in the queue, worker still on warm
+    svc.close()  # must wait for BOTH the in-flight and the queued request
+    t.join(timeout=60)
+    warm.join(timeout=60)
+    assert not t.is_alive(), "queued request stranded by close()"
+    assert outs["q"][0]["queued.svs"]["A"] == 1.0
+
+    with pytest.raises(RuntimeError, match="closed"):
+        svc.predict(["late.svs"])
+    svc.close()  # idempotent
+
+    # defense in depth: a request that somehow lands behind the sentinel is
+    # failed loudly, not stranded
+    svc2 = http_serve.PredictorService(
+        _slow_fake_predictor([]), ["A"])
+    svc2.close()
+    req = http_serve._Request(["ghost.svs"])
+    svc2._pending.put(req)
+    svc2._fail_remaining()
+    assert req.done.is_set() and isinstance(req.error, RuntimeError)
+
+
 # (2, 2) = 4:2:0 (classic Aperio), (2, 1) = 4:2:2 (GT450 — the native
 # reader's libjpeg-direct tile decode)
 @pytest.mark.parametrize("sub", [(2, 2), (2, 1)])
