@@ -800,6 +800,17 @@ def measure_e2e_serving(relay_rate: float | None = None,
 # ---------------------------------------------------------------------------
 
 def main() -> None:
+    # persistent XLA executable cache: repeat runs skip the ~25-100s
+    # first-jit warmups (warmup time is never part of a timed loop, so
+    # the published numbers are unaffected; cache keys include the jax
+    # version, so staleness is handled upstream)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/sequoia_bench_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:  # noqa: BLE001 — older jax: run uncached
+        pass
+
     cached = {}
     if os.path.exists(CACHE):
         try:
@@ -953,10 +964,12 @@ def main() -> None:
                      "patch_rgb = per-patch reads paying the ~3.7x tile "
                      "re-decode, mosaic_ycbcr = the serve 'mosaic' path "
                      "(each unique tile decoded once as raw planes, "
-                     "assembly on-device)"),
+                     "assembly on-device); 'jpeg422_ycbcr' = 4:2:2 chroma "
+                     "(Aperio GT450) raw planes via the reader's "
+                     "libjpeg-direct tile decode"),
         }
         for k in ("jpeg_ycbcr", "thread_sweep_jpeg", "jpeg240_patch_rgb",
-                  "jpeg240_mosaic_ycbcr"):
+                  "jpeg240_mosaic_ycbcr", "jpeg422_ycbcr"):
             if k in results["decode"]:
                 v = results["decode"][k]
                 out["decode"][k] = round(v, 0) if isinstance(v, float) else v

@@ -154,7 +154,10 @@ def test_partial_fresh_legs_survive_headline_failure(bench, tmp_path,
         "epoch_slides_per_hour": 90000.0,
         "ref_host_metric_s_per_batch": 2.0, "vs_ref_epoch": 100.0})
     monkeypatch.setattr(bench, "measure_decode",
-                        lambda: {"raw": 8000.0, "jpeg": 5000.0})
+                        lambda: {"raw": 8000.0, "jpeg": 5000.0,
+                                 "jpeg_ycbcr": 6000.0,
+                                 "jpeg240_mosaic_ycbcr": 4500.0,
+                                 "jpeg422_ycbcr": 4000.0})
     monkeypatch.setattr(
         bench, "measure_e2e_serving",
         lambda relay_rate=None, backbone="resnet", **kw: (
@@ -170,6 +173,10 @@ def test_partial_fresh_legs_survive_headline_failure(bench, tmp_path,
     assert out["with_io_uni"]["value"] == 180.0
     assert out["spatial"]["value"] == 180.0  # 3600 / 20 s per map
     assert out["decode"]["jpeg"] == 5000.0 and out["decode"]["raw"] == 8000.0
+    # optional rate keys pass through the whitelist into the JSON
+    assert out["decode"]["jpeg_ycbcr"] == 6000.0
+    assert out["decode"]["jpeg240_mosaic_ycbcr"] == 4500.0
+    assert out["decode"]["jpeg422_ycbcr"] == 4000.0
     persisted = json.loads(cache.read_text())
     assert persisted["uni"]["value"] == 900.0
     assert persisted["with_io"]["value"] == 360.0
