@@ -392,7 +392,7 @@ class SlidePredictor:
     def predict_patches(self, patches_u8: np.ndarray) -> np.ndarray:
         return self.predict_features(self.extractor(patches_u8))
 
-    def _start_producer(self, wsi_path):
+    def _start_producer(self, wsi_path, force_rgb: bool = False):
         """Decode producer for one slide: a daemon thread streams patch
         chunks into a bounded queue.  The slide is opened ONCE here (mode
         decision needs its magnification and tile layout) and the open
@@ -409,6 +409,10 @@ class SlidePredictor:
         * ``'rgb'`` — AppMag 20: unscreened RGB patches, screening fused.
         * ``'screened'`` — anything else: host-side screen + resize.
 
+        ``force_rgb`` skips the raw-plane modes (the OSError retry path of
+        :meth:`_consume_retrying` — a slide whose raw batch failed strictly
+        can still serve through the tolerant RGB decode).
+
         Returns (queue, thread, err, stop, mode, sub) for :meth:`_consume`."""
         import queue
         import threading
@@ -416,12 +420,14 @@ class SlidePredictor:
         try:
             slide = open_slide(wsi_path)
             raw = self._resize_factor(slide) == 1.0
-            sub = self._ycbcr_sub(slide, self.patch_size) if raw else None
+            use_raw_planes = raw and not force_rgb
+            sub = (self._ycbcr_sub(slide, self.patch_size)
+                   if use_raw_planes else None)
             if sub:
                 mode = "ycbcr"
             else:
                 mos = (self._mosaic_layout(slide, self.patch_size)
-                       if raw else None)
+                       if use_raw_planes else None)
                 if mos:
                     mode, sub = "mosaic", mos
                 else:
@@ -636,7 +642,25 @@ class SlidePredictor:
         fused into the backbone at AppMag 20) keeps the device busy — decode
         and compute overlap, so slide latency is ~max(decode, compute)
         instead of their sum."""
-        return self._consume(*self._start_producer(wsi_path))
+        return self._consume_retrying(wsi_path, self._start_producer(wsi_path))
+
+    def _consume_retrying(self, wsi_path, producer) -> np.ndarray:
+        """:meth:`_consume`, with ONE tolerant-RGB retry when a raw-plane
+        producer ('ycbcr'/'mosaic') fails with an OSError.  The raw batch
+        is strict by design — a corrupt tile fails loudly rather than
+        feeding silent black planes past the screen — but the same slide
+        usually still serves through the RGB path, where the bad tile
+        decodes black (per-tile quarantine in the native reader) and the
+        fused tissue screen drops it, matching what the reference gets
+        from OpenSlide's tolerant decode."""
+        mode = producer[4]
+        try:
+            return self._consume(*producer)
+        except OSError:
+            if mode not in ("ycbcr", "mosaic"):
+                raise
+            return self._consume(*self._start_producer(wsi_path,
+                                                        force_rgb=True))
 
     def predict_slides(self, wsi_paths, on_error=None):
         """Cross-slide pipelined serving: while the device works slide i's
@@ -656,7 +680,7 @@ class SlidePredictor:
                 nxt = (self._start_producer(paths[i + 1])
                        if i + 1 < len(paths) else None)
                 try:
-                    out = self._consume(*producer)
+                    out = self._consume_retrying(path, producer)
                 except Exception as e:
                     if on_error is None:
                         raise

@@ -236,3 +236,69 @@ def test_unloadable_library_degrades_to_unavailable(tmp_path, monkeypatch):
     # make the staleness check accept the bogus .so so CDLL is reached
     monkeypatch.setattr(native, "_stale", lambda: False)
     assert native.available() is False
+
+
+def _first_ifd_tag(path, tag):
+    """Minimal classic-TIFF IFD walk: (count, values) of `tag` in dir 0.
+    Test-only helper to locate tile offsets/bytecounts for fault injection."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    bo = "<" if data[:2] == b"II" else ">"
+    assert struct.unpack(bo + "H", data[2:4])[0] == 42  # classic TIFF
+    (ifd,) = struct.unpack(bo + "I", data[4:8])
+    (n,) = struct.unpack(bo + "H", data[ifd:ifd + 2])
+    sizes = {3: 2, 4: 4}
+    fmts = {3: "H", 4: "I"}
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        t, typ, cnt = struct.unpack(bo + "HHI", data[e:e + 8])
+        if t != tag:
+            continue
+        size = sizes[typ] * cnt
+        off = e + 8 if size <= 4 else struct.unpack(bo + "I",
+                                                    data[e + 8:e + 12])[0]
+        vals = struct.unpack(bo + fmts[typ] * cnt, data[off:off + size])
+        return vals
+    raise AssertionError(f"tag {tag} not found")
+
+
+def test_corrupt_tile_rgb_tolerant_raw_strict(tmp_path):
+    """Per-tile quarantine asymmetry, by design: a corrupt JPEG tile decodes
+    to BLACK on the tolerant RGB path (pipeline keeps going; the tissue
+    screen drops it) but FAILS the raw-YCbCr batch loudly (silent black
+    planes would feed the model wrong pixels with no screen to catch the
+    downstream reconstruction).  Holds for both raw decode routes: 4:2:0
+    (libtiff raw mode) and 4:2:2 (libjpeg-direct)."""
+    T = 64
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (3 * T, 3 * T, 3), dtype=np.uint8)
+    for sub in [(2, 2), (2, 1)]:
+        path = str(tmp_path / f"c{sub[0]}{sub[1]}.tiff")
+        native.write_tiled_tiff(path, [img], tile=(T, T), jpeg_quality=80,
+                                subsampling=sub)
+        coords = [(x * T, y * T) for y in range(3) for x in range(3)]
+        clean = native.NativeTiffReader(path)  # pre-corruption decode
+        want = clean.read_regions(coords, 0, (T, T))
+        clean.close()
+        offs = _first_ifd_tag(path, 324)   # TileOffsets
+        cnts = _first_ifd_tag(path, 325)   # TileByteCounts
+        with open(path, "r+b") as f:       # stomp tile 4 (center): no SOI
+            f.seek(offs[4])
+            f.write(b"\x00" * cnts[4])
+
+        r = native.NativeTiffReader(path)
+        out = r.read_regions(coords, 0, (T, T))
+        assert (out[4] == 0).all(), "corrupt tile must decode to black"
+        good = [i for i in range(9) if i != 4]
+        for i in good:  # neighbors unaffected (JPEG is lossy: compare
+            # against the clean file's own decode, not the source pixels)
+            np.testing.assert_array_equal(out[i], want[i])
+        assert r.ycbcr_subsampling(0, (T, T)) == sub
+        with pytest.raises(OSError, match="decoded"):
+            r.read_regions_ycbcr(coords, 0, (T, T))
+        # intact tiles still serve raw individually
+        ok = r.read_regions_ycbcr([coords[0]], 0, (T, T))
+        assert ok.shape[0] == 1
+        r.close()

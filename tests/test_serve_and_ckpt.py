@@ -1280,6 +1280,55 @@ def test_http_merged_run_quarantines_and_fans_out_failures():
         svc.close()
 
 
+@pytest.mark.parametrize("sub", [(2, 2), (2, 1)])
+def test_corrupt_tile_slide_retries_on_tolerant_rgb_path(tmp_path, sub):
+    """A corrupt JPEG tile fails the strict raw-plane batch (by design: no
+    silent black planes), but the slide must still SERVE: predict_wsi /
+    predict_slides retry once on the tolerant RGB path, where the bad tile
+    decodes black and the fused tissue screen drops it."""
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native library not built")
+    from tests.test_native import _first_ifd_tag
+
+    T = 64
+    rng = np.random.default_rng(13)
+    h, w = 5 * T, 6 * T
+    lv0 = np.empty((h, w, 3), np.uint8)
+    lv0[..., 0] = rng.integers(150, 220, (h, w))
+    lv0[..., 1] = rng.integers(60, 140, (h, w))
+    lv0[..., 2] = rng.integers(150, 230, (h, w))
+    path = str(tmp_path / "corrupt.tiff")
+    native.write_tiled_tiff(path, [lv0, lv0[::4, ::4]], tile=(T, T),
+                            jpeg_quality=80, subsampling=sub,
+                            description="synthetic|AppMag = 20")
+    offs = _first_ifd_tag(path, 324)
+    cnts = _first_ifd_tag(path, 325)
+    with open(path, "r+b") as f:  # stomp a mid-grid tile: no JPEG SOI
+        f.seek(offs[7])
+        f.write(b"\x00" * cnts[7])
+
+    pred = make_predictor()
+    tup = pred._start_producer(path)
+    tup[3].set()
+    tup[1].join(timeout=30)
+    assert tup[4] == "ycbcr", tup[4]  # raw mode picked; raw read will fail
+
+    out = pred.predict_wsi(path)  # retried on the RGB path
+
+    pred_rgb = make_predictor()
+    pred_rgb._ycbcr_sub = lambda slide, psr: None  # RGB from the start
+    np.testing.assert_allclose(out, pred_rgb.predict_wsi(path),
+                               rtol=2e-4, atol=1e-4)
+
+    # predict_slides: the corrupt slide serves, not quarantined
+    failures = []
+    got = dict(pred.predict_slides([path],
+                                   on_error=lambda p, e: failures.append(p)))
+    assert not failures and path in got
+    np.testing.assert_allclose(got[path], out, rtol=2e-4, atol=1e-4)
+
+
 def test_http_service_shutdown_never_strands_requests():
     """close() ordering: requests accepted before close complete (even when
     queued behind a busy worker), predict() after close raises instead of
