@@ -805,11 +805,12 @@ def main() -> None:
     # the published numbers are unaffected; cache keys include the jax
     # version, so staleness is handled upstream)
     try:
+        import jax  # deferred: backend contact stays inside leg watchdogs
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/sequoia_bench_xla_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    except Exception:  # noqa: BLE001 — older jax: run uncached
-        pass
+    except (ImportError, AttributeError) as e:  # older jax: run uncached
+        log(f"[cache] persistent compile cache unavailable: {e}")
 
     cached = {}
     if os.path.exists(CACHE):

@@ -112,6 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stay resident and serve over HTTP instead of a "
                         "one-shot run: POST /predict {'wsi': path|[paths]}, "
                         "GET /genes, GET /healthz")
+    p.add_argument("--http_max_pending", type=int, default=256,
+                   help="backpressure cap on admitted-but-unfinished slides "
+                        "under --http; past it POST /predict returns 429")
+    p.add_argument("--http_timeout", type=float, default=None,
+                   help="per-request wait bound in seconds under --http "
+                        "(504 on expiry); default: wait forever")
     p.add_argument("--checkpoints", type=str, required=True,
                    help="CV dir, .pt file, or HF-layout dir")
     p.add_argument("--feat_type", default="resnet",
@@ -227,8 +233,11 @@ def main(argv=None) -> None:
             port_n = int(port)
         except ValueError:
             raise SystemExit(f"--http expects [HOST:]PORT, got {args.http!r}")
-        http_serve.run(http_serve.PredictorService(pred, genes),
-                       host or "127.0.0.1", port_n)
+        http_serve.run(
+            http_serve.PredictorService(
+                pred, genes, max_pending_slides=args.http_max_pending,
+                request_timeout=args.http_timeout),
+            host or "127.0.0.1", port_n)
         return
 
     if len(set(args.wsi)) != len(args.wsi):

@@ -23,6 +23,15 @@ pending into ONE ``predict_slides`` run (slides from different clients
 cross-slide pipeline together, duplicate paths compute once).  Four
 concurrent clients therefore see ~batch throughput instead of 4x serial
 latency — the device never idles between requests.
+
+Backpressure: admitted-but-unfinished slides are capped at
+``max_pending_slides`` — past that, ``POST /predict`` returns **429**
+immediately instead of letting the queue (and every client's latency)
+grow without bound behind a slow slide.  ``request_timeout`` bounds how
+long any one client blocks: on expiry the request is abandoned (skipped
+if still queued; its results discarded if already in flight) and the
+client gets **504**.  ``GET /healthz`` reports live ``pending_slides``
+so a load balancer can shed before hitting the hard cap.
 """
 
 from __future__ import annotations
@@ -42,10 +51,18 @@ def _jsonable(v) -> float | None:
     return f if math.isfinite(f) else None
 
 
+class ServiceOverloaded(RuntimeError):
+    """Pending-slide cap reached; the client should retry later (429)."""
+
+
+class RequestTimeout(RuntimeError):
+    """The client's wait bound expired before its batch completed (504)."""
+
+
 class _Request:
     """One client's pending slide list + its delivery slot."""
 
-    __slots__ = ("paths", "results", "failed", "error", "done")
+    __slots__ = ("paths", "results", "failed", "error", "done", "abandoned")
 
     def __init__(self, paths: list[str]):
         self.paths = paths
@@ -53,6 +70,8 @@ class _Request:
         self.failed: dict[str, str] = {}
         self.error: BaseException | None = None
         self.done = threading.Event()
+        # set by a timed-out owner: worker skips it if still queued
+        self.abandoned = False
 
 
 class PredictorService:
@@ -63,17 +82,27 @@ class PredictorService:
     blocks until the worker delivers, so the handler-facing API stays
     synchronous."""
 
-    def __init__(self, predictor, genes: list[str]):
+    def __init__(self, predictor, genes: list[str],
+                 max_pending_slides: int = 256,
+                 request_timeout: float | None = None):
         self.predictor = predictor
         self.genes = list(genes)
+        self.max_pending_slides = int(max_pending_slides)
+        self.request_timeout = request_timeout
         self.requests = 0
         self.slides_ok = 0
         self.slides_failed = 0
+        self.rejected = 0
+        self.timed_out = 0
         self.last_slide_seconds: float | None = None
         self._pending: "queue.Queue[_Request | None]" = queue.Queue()
+        # admitted-but-unfinished slides (queued + in flight): the
+        # backpressure counter behind the 429 cap
+        self._pending_slides = 0
         # orders enqueues against close(): the shutdown sentinel is
         # guaranteed to be the LAST queue item, so no request can land
-        # behind it and block its owner forever
+        # behind it and block its owner forever; also guards the stats
+        # counters (mutated on the worker thread, read by health())
         self._lock = threading.Lock()
         self._closed = False
         self._worker = threading.Thread(target=self._serve_loop, daemon=True,
@@ -90,18 +119,52 @@ class PredictorService:
             self._pending.put(None)
         self._worker.join()
 
-    def predict(self, paths: list[str]) -> tuple[dict, dict]:
+    def predict(self, paths: list[str],
+                timeout: float | None = None) -> tuple[dict, dict]:
         """paths -> ({name: {gene: float}}, {name: error}); blocks until the
-        merged pipeline run containing these slides completes."""
+        merged pipeline run containing these slides completes.
+
+        Raises :class:`ServiceOverloaded` when admitting these slides would
+        push admitted-but-unfinished slides past ``max_pending_slides``, and
+        :class:`RequestTimeout` when ``timeout`` (default
+        ``self.request_timeout``; None = wait forever) expires first."""
         req = _Request([str(p) for p in paths])
         with self._lock:
             if self._closed:
                 raise RuntimeError("PredictorService is closed")
+            if (self._pending_slides + len(req.paths)
+                    > self.max_pending_slides):
+                self.rejected += 1
+                raise ServiceOverloaded(
+                    f"{self._pending_slides} slides already pending "
+                    f"(+{len(req.paths)} would exceed the "
+                    f"max_pending_slides={self.max_pending_slides} cap); "
+                    "retry later")
+            self._pending_slides += len(req.paths)
             self._pending.put(req)
-        req.done.wait()
+        if timeout is None:
+            timeout = self.request_timeout
+        if not req.done.wait(timeout):
+            # best effort: the worker skips still-queued abandoned requests
+            # (freeing their slide budget without running them); an
+            # in-flight batch finishes and its results are discarded
+            req.abandoned = True
+            with self._lock:
+                self.timed_out += 1
+            raise RequestTimeout(
+                f"request not served within {timeout}s "
+                f"({len(req.paths)} slides)")
         if req.error is not None:
             raise req.error
         return req.results, req.failed
+
+    def _release(self, reqs) -> None:
+        """Return finished/discarded requests' slides to the admission
+        budget (the single decrement site for ``_pending_slides``)."""
+        n = sum(len(r.paths) for r in reqs)
+        if n:
+            with self._lock:
+                self._pending_slides -= n
 
     # -- worker -------------------------------------------------------------
 
@@ -120,7 +183,13 @@ class PredictorService:
                     self._run_batch(batch)
                     return self._fail_remaining()
                 batch.append(nxt)
-            self._run_batch(batch)
+            # timed-out owners are gone: skip their work, free their budget
+            dropped = [r for r in batch if r.abandoned]
+            if dropped:
+                self._release(dropped)
+                batch = [r for r in batch if not r.abandoned]
+            if batch:
+                self._run_batch(batch)
 
     def _fail_remaining(self) -> None:
         """Defense in depth at shutdown: the close() lock means nothing can
@@ -134,6 +203,7 @@ class PredictorService:
             if req is not None:
                 req.error = RuntimeError("PredictorService is closed")
                 req.done.set()
+                self._release([req])
 
     def _run_batch(self, batch: list[_Request]) -> None:
         """One merged predict_slides run over the union of the batch's
@@ -154,7 +224,8 @@ class PredictorService:
                 req.failed[path] = msg
 
         try:
-            self.requests += len(batch)
+            with self._lock:
+                self.requests += len(batch)
             t0 = time.perf_counter()
             n_ok = 0
             for path, out in self.predictor.predict_slides(
@@ -164,10 +235,11 @@ class PredictorService:
                 for req in wanted[path]:
                     req.results[path] = row
             dt = time.perf_counter() - t0
-            self.slides_ok += n_ok
-            self.slides_failed += len(failed_paths)
-            if n_ok:
-                self.last_slide_seconds = round(dt / n_ok, 3)
+            with self._lock:
+                self.slides_ok += n_ok
+                self.slides_failed += len(failed_paths)
+                if n_ok:
+                    self.last_slide_seconds = round(dt / n_ok, 3)
         except BaseException as e:  # noqa: BLE001 — delivered per request
             for req in batch:
                 if not req.done.is_set():
@@ -175,16 +247,22 @@ class PredictorService:
         finally:
             for req in batch:
                 req.done.set()
+            self._release(batch)
 
     def health(self) -> dict:
         p = self.predictor
-        return {"status": "ok", "folds": len(p.vis_models),
-                "feat_type": p.extractor.feat_type,
-                "genes": len(self.genes),
-                "requests": self.requests,
-                "slides_ok": self.slides_ok,
-                "slides_failed": self.slides_failed,
-                "last_slide_seconds": self.last_slide_seconds}
+        with self._lock:
+            return {"status": "ok", "folds": len(p.vis_models),
+                    "feat_type": p.extractor.feat_type,
+                    "genes": len(self.genes),
+                    "requests": self.requests,
+                    "slides_ok": self.slides_ok,
+                    "slides_failed": self.slides_failed,
+                    "rejected": self.rejected,
+                    "timed_out": self.timed_out,
+                    "pending_slides": self._pending_slides,
+                    "max_pending_slides": self.max_pending_slides,
+                    "last_slide_seconds": self.last_slide_seconds}
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -227,6 +305,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(400, {"error": f"bad request: {e}"})
         try:
             results, failed = self.service.predict([str(p) for p in wsi])
+        except ServiceOverloaded as e:
+            return self._reply(429, {"error": str(e)})
+        except RequestTimeout as e:
+            return self._reply(504, {"error": str(e)})
         except Exception as e:  # predictor bug: report, keep serving
             return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
         self._reply(200 if results or not failed else 502,

@@ -116,6 +116,13 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
     multi-chip training — params placed via ``parallel.shard_params`` (gene
     head over 'model'), every batch sharded over 'data'; XLA inserts the
     gradient collectives.
+
+    Memory note: with neither ``save_fn`` nor ``state_path``, the best
+    snapshot is kept as an on-chip copy (one extra param set of HBM, ~520 MB
+    f32 at the production G=20,820 head) because downloading it per
+    improving epoch costs more than the epoch itself on a slow host link;
+    the previous snapshot is released before each copy and an allocation
+    failure degrades to a host snapshot automatically.
     """
     from sequoia_tpu.train import checkpoint as ckpt_io
 
@@ -175,8 +182,16 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
             # the full ~520 MB f32 param set to host on every improving
             # epoch — np.asarray-ing the tree per save cost more wall time
             # than the 16 train steps of the epoch on a slow host link;
-            # materialized to numpy once at return
-            best_params = jax.tree.map(jnp.copy, p)
+            # materialized to numpy once at return.  Release the previous
+            # snapshot FIRST so peak extra HBM stays at one param set, and
+            # degrade to a host snapshot if the copy cannot allocate —
+            # safe because ``p`` (the improving params) is what the
+            # snapshot is being replaced with anyway.
+            best_params = None
+            try:
+                best_params = jax.tree.map(jnp.copy, p)
+            except Exception:  # noqa: BLE001 — RESOURCE_EXHAUSTED et al.
+                best_params = jax.tree.map(lambda x: np.asarray(x), p)
         else:
             best_params = jax.tree.map(lambda x: np.asarray(x), p)
             if save_fn is not None:

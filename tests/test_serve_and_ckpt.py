@@ -2,6 +2,7 @@
 
 import os
 import sys
+import time
 import types
 
 import numpy as np
@@ -1105,6 +1106,93 @@ def test_http_nan_predictions_serialize_as_null():
         assert resp.status == 413
         conn.close()
     finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_backpressure_and_timeout():
+    """Load behavior under a stalled pipeline: admitted-but-unfinished
+    slides past ``max_pending_slides`` get 429 (not an unbounded queue), a
+    timed-out client gets RequestTimeout/504 and its still-queued work is
+    skipped, and /healthz exposes the live pending counter."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from sequoia_tpu import http_serve
+
+    release = threading.Event()
+    started = threading.Event()
+    served_paths: list[str] = []
+
+    class SlowPredictor:
+        vis_models = [None]
+
+        class extractor:
+            feat_type = "resnet"
+
+        @staticmethod
+        def predict_slides(paths, on_error=None):
+            started.set()
+            release.wait(60)
+            for p in paths:
+                served_paths.append(p)
+                yield p, np.asarray([[1.0]])
+
+    svc = http_serve.PredictorService(SlowPredictor(), ["A"],
+                                      max_pending_slides=3)
+    srv = http_serve.make_server(svc, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = "http://127.0.0.1:%d" % srv.server_address[1]
+
+    def post(wsi, timeout=30):
+        req = urllib.request.Request(
+            base + "/predict", data=json.dumps({"wsi": wsi}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read().decode())
+
+    results: dict = {}
+    try:
+        # client A: one slide IN FLIGHT (worker blocked on `release`)
+        ta = threading.Thread(
+            target=lambda: results.update(a=post("s1")), daemon=True)
+        ta.start()
+        assert started.wait(30)
+        # client B: one slide QUEUED behind the stall (pending = 2)
+        tb = threading.Thread(
+            target=lambda: results.update(b=post("s2")), daemon=True)
+        tb.start()
+        deadline = time.monotonic() + 30
+        while svc.health()["pending_slides"] < 2:
+            assert time.monotonic() < deadline
+            time.sleep(0.01)
+        # client C: admitted (pending = 3 = cap) but gives up after 0.2 s
+        with pytest.raises(http_serve.RequestTimeout):
+            svc.predict(["s3"], timeout=0.2)
+        # client D: over the cap -> immediate 429, queue never grows
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post("s4")
+        assert exc.value.code == 429
+        h = svc.health()
+        assert h["pending_slides"] == 3 and h["max_pending_slides"] == 3
+        assert h["rejected"] == 1 and h["timed_out"] == 1
+
+        release.set()  # un-stall the pipeline
+        ta.join(30)
+        tb.join(30)
+        assert results["a"][0] == 200 and "s1" in results["a"][1]["predictions"]
+        assert results["b"][0] == 200 and "s2" in results["b"][1]["predictions"]
+        # the abandoned request's slide was skipped, not computed
+        assert "s3" not in served_paths
+        deadline = time.monotonic() + 30
+        while svc.health()["pending_slides"] != 0:
+            assert time.monotonic() < deadline
+            time.sleep(0.01)
+        assert svc.health()["slides_ok"] == 2
+    finally:
+        release.set()
         srv.shutdown()
         srv.server_close()
 

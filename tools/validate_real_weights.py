@@ -87,7 +87,16 @@ def load_state_dict(path_or_dir: str):
 
         sd = load_file(p)
     else:
-        sd = torch.load(p, map_location="cpu", weights_only=False)
+        try:
+            # state-dict artifacts (the common case) load with the safe
+            # unpickler — no arbitrary code execution from a compromised
+            # upstream repo
+            sd = torch.load(p, map_location="cpu", weights_only=True)
+        except Exception:  # noqa: BLE001 — whole-module pickle layout
+            log(f"WARNING: {p} is not a plain state dict; falling back to "
+                "weights_only=False (executes pickle code — only do this "
+                "for the known HE2RNA whole-module layout, he2rna.py:301)")
+            sd = torch.load(p, map_location="cpu", weights_only=False)
         if hasattr(sd, "state_dict"):  # whole-module pickle
             sd = sd.state_dict()
     return {k: v for k, v in sd.items()}
