@@ -490,20 +490,25 @@ def measure_train():
     h_train, _ = he2rna_fit.make_he2rna_step_fns(hcfg, hopt)
     key = jax.random.PRNGKey(2)
     t0 = time.perf_counter()
-    hparams, hopt_state, hl = h_train(hparams, hopt_state, feats, rna, valid,
-                                      key)
+    hparams, hopt_state, hl, key = h_train(hparams, hopt_state, feats, rna,
+                                           valid, key)
     _ = float(hl)
     log(f"[train] HE2RNA step compiled+ran in {time.perf_counter() - t0:.1f}s")
+    # the RNG chains THROUGH the jitted step (split on device), so this
+    # loop — like the real fit() loop — pays no per-step host key dispatch;
+    # round 4's 47 ms here was exactly that dispatch cost, not the model
+    # (device step: ~10 ms; see tools/profile_train_step.py per-k table)
     t0 = time.perf_counter()
-    for i in range(TRAIN_STEPS):
-        hparams, hopt_state, hl = h_train(hparams, hopt_state, feats, rna,
-                                          valid, jax.random.fold_in(key, i))
+    for _ in range(TRAIN_STEPS):
+        hparams, hopt_state, hl, key = h_train(hparams, hopt_state, feats,
+                                               rna, valid, key)
     assert np.isfinite(float(hl))
     h_step_s = (time.perf_counter() - t0) / TRAIN_STEPS
     out["he2rna_step_ms"] = h_step_s * 1e3
     out["he2rna_slides_per_sec"] = B / h_step_s
     log(f"[train] HE2RNA step {h_step_s * 1e3:.2f} ms "
-        f"= {B / h_step_s:.0f} slides/s")
+        f"= {B / h_step_s:.0f} slides/s (random-k lax.switch step; per-k "
+        "device costs 6.5-14 ms, see profile_train_step.py)")
 
     # -- (c) full epoch through the real train loop (= GTEx pretrain) ------
     from sequoia_tpu.data.dataset import Batch
@@ -715,11 +720,18 @@ def measure_decode():
 MIN_E2E_RELAY_MBPS = 2.5
 
 
+#: per-leg h2d audit (bytes/slide, effective MB/s, candidates/kept) captured
+#: by measure_e2e_serving so the with_io JSON carries its own accounting —
+#: measured vs projected is then checkable from the artifact alone
+E2E_AUDITS: dict[str, dict] = {}
+
+
 def measure_e2e_serving(relay_rate: float | None = None,
                         backbone: str = "resnet",
                         slides: list[str] | None = None,
                         tile: int | None = None,
-                        expect_mode: str | None = None):
+                        expect_mode: str | None = None,
+                        audit_key: str | None = None):
     """MEASURED wall-clock slides/hour through serve.predict_slides on
     fabricated pyramidal TIFFs — the real streaming path (decode -> raw
     subsampled-YCbCr upload -> fused reconstruct+screen+featurize ->
@@ -785,6 +797,7 @@ def measure_e2e_serving(relay_rate: float | None = None,
     warm = time.perf_counter() - t0
     log(f"[e2e:{backbone}] warmup slide in {warm:.1f}s")
 
+    io0 = dict(pred.io_stats)
     t0 = time.perf_counter()
     n = 0
     for _path, out in pred.predict_slides(slides):
@@ -792,8 +805,23 @@ def measure_e2e_serving(relay_rate: float | None = None,
         n += 1
     elapsed = time.perf_counter() - t0
     per_slide = elapsed / n
+    d = {k: pred.io_stats[k] - io0[k] for k in io0}
+    audit = {
+        "slides_timed": n,
+        "bytes_uploaded_per_slide_mb": round(d["bytes_uploaded"] / n / 1e6, 1),
+        "effective_h2d_mbps": round(d["bytes_uploaded"] / elapsed / 1e6, 2),
+        "relay_probe_mbps": round(relay_rate, 2) if relay_rate else None,
+        "candidates_per_slide": d["candidates"] // n,
+        "kept_per_slide": d["kept"] // n,
+        "decode_threads": 8,  # wsi.read_regions* default on this host
+        "host_cores": os.cpu_count(),
+    }
+    if audit_key:
+        E2E_AUDITS[audit_key] = audit
     log(f"[e2e:{backbone}] {n} slides in {elapsed:.1f}s -> "
-        f"{per_slide:.2f}s/slide (cross-slide pipelined)")
+        f"{per_slide:.2f}s/slide (cross-slide pipelined; "
+        f"{audit['bytes_uploaded_per_slide_mb']} MB/slide h2d at "
+        f"{audit['effective_h2d_mbps']} MB/s effective)")
     return per_slide
 
 

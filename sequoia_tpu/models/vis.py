@@ -167,7 +167,13 @@ def apply(cfg: ViSConfig, params: Params, x: jax.Array) -> jax.Array:
     def body(carry, bp):
         return _block(cfg, carry, bp), None
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    # unroll: the backward of a rolled scan re-stages per-iteration
+    # activation saves/reloads; unrolling lets XLA schedule the whole
+    # residual stream in place (measured on v5e at the production shape:
+    # blocks fwd+bwd 12.95 -> 10.81 ms, full train step 17.2 -> 15.4 ms;
+    # docs/BENCHMARKS.md "train-step close-out").  Param layout is
+    # unchanged — still one stacked (depth, ...) pytree per tensor.
+    x, _ = jax.lax.scan(body, x, params["blocks"], unroll=True)
     x = jnp.mean(x.astype(jnp.float32), axis=1)
     x = layer_norm(x, params["head_ln_scale"], params["head_ln_bias"])
     return linear(x, params["head_w"], params["head_b"])

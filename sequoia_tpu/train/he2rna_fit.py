@@ -30,12 +30,19 @@ def make_he2rna_step_fns(cfg: he2rna.HE2RNAConfig,
         pred = he2rna.apply(cfg, params, feats, train=True, rng=rng)
         return stats.masked_mse(pred, rna, valid)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    @partial(jax.jit, donate_argnums=(0, 1, 5))
     def train_step(params, opt_state, feats, rna, valid, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, feats, rna, valid, rng)
+        """One Adam step; the RNG is split ON DEVICE and the successor key
+        returned, so a host training loop chains steps without a per-step
+        host->device key dispatch (TPU-idiomatic; also what keeps the
+        dispatched step cost at the device cost through a slow transport).
+        Returns ``(params, opt_state, loss, next_rng)``."""
+        rng, sub = jax.random.split(rng)
+        loss, grads = jax.value_and_grad(loss_fn)(params, feats, rna, valid,
+                                                  sub)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss, rng
 
     @jax.jit
     def eval_step(params, feats, rna, valid):
@@ -141,12 +148,14 @@ def fit(cfg, params, lr, train_loader, valid_loader, test_loader, *,
         for batch in train_loader:
             if batch.n_valid == 0:
                 continue
-            rng, sub = jax.random.split(rng)
-            params, opt_state, loss = train_step(
+            params, opt_state, loss, rng = train_step(
                 params, opt_state, jnp.asarray(batch.features),
-                jnp.asarray(batch.rna), jnp.asarray(batch.valid), sub)
-            tlosses.append(float(loss))
-        train_loss = float(np.mean(tlosses)) if tlosses else np.nan
+                jnp.asarray(batch.rna), jnp.asarray(batch.valid), rng)
+            # keep the scalar ON DEVICE; one host sync per epoch below
+            # (a float() here would stall the step pipeline every batch)
+            tlosses.append(loss)
+        train_loss = (float(np.mean([float(l) for l in tlosses]))
+                      if tlosses else np.nan)
 
         if valid_loader is not None:
             valid_loss, score = he2rna_evaluate(
