@@ -150,11 +150,15 @@ def main(argv=None) -> None:
     # non-20x slide would feed mag-sized tiles to a 256px-compiled
     # extractor: crash at 40x, silently-wrong features below 20x.
     resize_to = 224 if args.feat_type == "uni" else args.patch_size
+    # windows pad/truncate to the MODEL's token budget (the reference
+    # hard-codes 100 because its checkpoints are always 100-token)
+    num_tokens = vis_cfg.num_clusters if vis_cfg is not None else \
+        getattr(cfg, "num_clusters", 100)
     spatial.run_visualize(slide, mask, list(gene_ids), fold_models, extractor,
                           gene_names=gene_names, patch_size=args.patch_size,
                           resize_factor=manual_resize, stride=args.stride,
                           save_path=save_path, resize_patch_to=resize_to,
-                          accumulate=args.accumulate)
+                          accumulate=args.accumulate, num_tokens=num_tokens)
     print("Done")
 
 

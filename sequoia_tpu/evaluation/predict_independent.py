@@ -85,9 +85,13 @@ def predict_independent(df: pd.DataFrame, feature_path: str, save_dir: str, *,
         if verbose:
             print(f"fold {fold}: loaded {src}")
 
+    # the significance null mirrors the ensemble's architecture (reference
+    # predict_independent_dataset.py:75-80 re-uses the real ctor args) —
+    # including its token count, which the loaded checkpoints dictate
     rand_cfg = vis.ViSConfig(num_outputs=test_ds.num_genes,
                              input_dim=feature_dim, depth=depth,
-                             nheads=num_heads, dim_f=64, dim_s=64, dim_c=64)
+                             nheads=num_heads, dim_f=64, dim_s=64, dim_c=64,
+                             num_clusters=cfg.num_clusters)
     key, *rkeys = jax.random.split(key, folds + 1)
     rand_params = [vis.init(rand_cfg, k) for k in rkeys]
 

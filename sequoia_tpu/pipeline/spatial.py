@@ -352,10 +352,13 @@ def run_visualize(slide, mask_xy: np.ndarray, gene_ids: list[str],
                   resize_factor: float | None = None, stride: int = 1,
                   save_path: str | None = None,
                   resize_patch_to: int | None = None,
-                  accumulate: str = "auto") -> pd.DataFrame:
+                  accumulate: str = "auto",
+                  num_tokens: int = 100) -> pd.DataFrame:
     """Full per-slide flow (reference visualize.py __main__):
 
-    ``fold_models``: {fold: predict_fn((W, 100, D) -> (W, G))}.
+    ``fold_models``: {fold: predict_fn((W, num_tokens, D) -> (W, G))}.
+    ``num_tokens``: the model's token budget (reference contract: 100;
+    pass the checkpoint's ``num_clusters`` for non-contract models).
     Returns the result DataFrame (and writes ``stride-{stride}.csv``).
     """
     if resize_factor is None:
@@ -381,7 +384,7 @@ def run_visualize(slide, mask_xy: np.ndarray, gene_ids: list[str],
 
     fold_keys, means, _ = sliding_window_predict_arrays(
         tile_feats, df, fold_models, inds, stride=stride,
-        accumulate=accumulate)
+        num_tokens=num_tokens, accumulate=accumulate)
     folds = sorted(fold_keys)
     # Assemble all {gene}_{fold} + across-fold-mean columns in ONE concat —
     # per-column inserts fragment the frame and are Python-quadratic at

@@ -66,12 +66,16 @@ def make_feature_store(out: str, df: pd.DataFrame, dim: int = 2048,
                        seed: int = 0) -> None:
     import h5py
 
+    from sequoia_tpu.data.dataset import slide_h5_path
+
     rng = np.random.default_rng(seed)
     for _, row in df.iterrows():
-        wsi = row["wsi_file_name"].replace(".svs", "")
-        d = os.path.join(out, "features", row["tcga_project"], wsi)
-        os.makedirs(d, exist_ok=True)
-        with h5py.File(os.path.join(d, wsi + ".h5"), "w") as f:
+        # the loaders resolve stores through slide_h5_path (including its
+        # GTEX .svs-retention quirk) — write where they will read
+        path = slide_h5_path(os.path.join(out, "features"),
+                             row["tcga_project"], row["wsi_file_name"])
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with h5py.File(path, "w") as f:
             f.create_dataset("resnet_features",
                              data=rng.normal(size=(n_patches, dim)).astype(np.float32))
             f.create_dataset("cluster_features",
@@ -108,6 +112,9 @@ if __name__ == "__main__":
     p.add_argument("--wsis", action="store_true",
                    help="also write synthetic pyramidal WSIs")
     p.add_argument("--feature_dim", type=int, default=2048)
+    p.add_argument("--n_tokens", type=int, default=100,
+                   help="cluster tokens per slide in the synthetic feature "
+                        "store (the reference contract is 100)")
     p.add_argument("--gene_list", type=str, default=None,
                    help="use gene names from this CSV (e.g. the imported "
                         "real 20,820-gene list) instead of GENE##### "
@@ -119,7 +126,8 @@ if __name__ == "__main__":
     df = make_ref_file(args.out, args.n_slides, args.n_genes, args.project,
                        genes=genes)
     if args.features:
-        make_feature_store(args.out, df, dim=args.feature_dim)
+        make_feature_store(args.out, df, dim=args.feature_dim,
+                           tokens=args.n_tokens)
     if args.wsis:
         make_wsis(args.out, df)
     n_rna = sum(c.startswith("rna_") for c in df.columns)
