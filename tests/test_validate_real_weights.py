@@ -57,6 +57,80 @@ def test_offline_fixture_validation_passes(tmp_path, capsys):
     assert "Pending network" not in text
 
 
+def test_offline_converter_matrix_exhaustive(tmp_path, capsys):
+    """Every converter direction the gate can exercise offline (VERDICT r4
+    item 3): vis hub-layout, vit state dict, he2rna state dict AND the
+    reference's whole-module pickle (he2rna.py:301), resnet50 zoo state
+    dict, UNI timm state dict — all against float64 torch oracles."""
+    import sys as _sys
+    import types
+
+    import torch.nn as nn
+
+    from sequoia_tpu.models import convert as cvt
+    from sequoia_tpu.models import he2rna, vit
+    from torch_goldens import resnet50_sd, uni_sd
+
+    hub = tmp_path / "hub"
+    _vis_fixture(hub)
+    torch.save(resnet50_sd(torch.Generator().manual_seed(0)),
+               hub / "resnet50.pth")
+    uni_dir = hub / "uni"
+    uni_dir.mkdir(parents=True)
+    torch.save(uni_sd(torch.Generator().manual_seed(1)),
+               uni_dir / "pytorch_model.bin")
+    # fused-qkv state dicts don't record heads; small fixtures need the
+    # sidecar (the real 1024-wide UNI infers heads=16 without it)
+    (uni_dir / "config.json").write_text(json.dumps({"num_heads": 4}))
+
+    # vit state dict (dim_head=64, the torch default the shape-inference
+    # rule assumes — a fused-qkv state dict does not record the head count)
+    vcfg = vit.ViTConfig(num_outputs=6, dim=64, depth=1, heads=2, dim_head=64,
+                         mlp_dim=16, num_clusters=5)
+    vsd = cvt.vit_to_torch(vcfg, vit.init(vcfg, jax.random.PRNGKey(1)))
+    torch.save({k: torch.as_tensor(np.asarray(v)) for k, v in vsd.items()},
+               hub / "vit-test.pt")
+
+    # he2rna: plain state dict + whole-module pickle of the SAME weights
+    hcfg = he2rna.HE2RNAConfig(input_dim=16, output_dim=6, layers=(8, 8),
+                               ks=(1, 2, 5))
+    hsd = cvt.he2rna_to_torch(hcfg, he2rna.init(hcfg, jax.random.PRNGKey(2)))
+    hsd_t = {k: torch.as_tensor(np.asarray(v)) for k, v in hsd.items()}
+    torch.save(hsd_t, hub / "he2rna-test.pt")
+
+    mod = types.ModuleType("he2rna_ref_module")
+
+    class HE2RNA(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv0 = nn.Conv1d(16, 8, 1)
+            self.conv1 = nn.Conv1d(8, 8, 1)
+            self.conv2 = nn.Conv1d(8, 6, 1)
+
+    HE2RNA.__module__ = "he2rna_ref_module"
+    HE2RNA.__qualname__ = "HE2RNA"
+    mod.HE2RNA = HE2RNA
+    _sys.modules["he2rna_ref_module"] = mod
+    try:
+        m = HE2RNA()
+        m.load_state_dict(hsd_t)
+        torch.save(m, hub / "he2rna-module.pt")
+
+        notes = tmp_path / "NOTES.md"
+        rc = vrw.main(["--cancers", "test", "--folds", "0",
+                       "--local-hub", str(hub), "--notes", str(notes)])
+    finally:
+        del _sys.modules["he2rna_ref_module"]
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # vis + resnet + uni + vit + he2rna-sd + he2rna-module = 6
+    assert out["validated"] == 6 and out["passed"] == 6, out
+    assert out["pending_network"] == 0
+    text = notes.read_text()
+    for frag in ("vit-test.pt", "he2rna-test.pt", "he2rna-module.pt"):
+        assert frag in text, frag
+
+
 def test_skip_clean_when_network_unreachable(tmp_path, capsys, monkeypatch):
     monkeypatch.setenv("HF_HUB_OFFLINE", "1")  # hub calls fail immediately
     monkeypatch.setattr(vrw, "_resolve_remote", lambda *a, **k: None)
