@@ -871,13 +871,15 @@ def main() -> None:
         ("spatial", lambda: measure_spatial()),
         ("train", lambda: measure_train()),
         ("decode", lambda: measure_decode()),  # host-only: always safe
-        ("e2e", lambda: measure_e2e_serving(relay_rate)),
-        ("e2e_uni", lambda: measure_e2e_serving(relay_rate, backbone="uni")),
+        ("e2e", lambda: measure_e2e_serving(relay_rate, audit_key="e2e")),
+        ("e2e_uni", lambda: measure_e2e_serving(relay_rate, backbone="uni",
+                                                audit_key="e2e_uni")),
         # real Aperio tile geometry (240px tiles != 256px patches): serving
         # must take the tile-mosaic path, asserted via expect_mode
         ("e2e_aperio",
          lambda: measure_e2e_serving(relay_rate, slides=E2E_SLIDES_240,
-                                     tile=APERIO_TILE, expect_mode="mosaic")),
+                                     tile=APERIO_TILE, expect_mode="mosaic",
+                                     audit_key="e2e_aperio")),
     ]
     device_ran = ["resnet"]
     for name, fn in remaining_legs:
@@ -1020,6 +1022,10 @@ def main() -> None:
                         if "decode" in results else "") + ")"),
             "vs_baseline": round(sph / REF_SLIDES_PER_HOUR, 2),
         }
+        if "e2e" in E2E_AUDITS:
+            # h2d accounting so measured-vs-projected is auditable from the
+            # artifact alone (VERDICT r4 item 4)
+            out["with_io"]["audit"] = E2E_AUDITS["e2e"]
         if "decode" in results and "resnet" in results:
             # same pipeline on a host whose h2d is not the sandbox relay:
             # decode and compute overlap (measured legs), upload rides PCIe.
@@ -1060,6 +1066,8 @@ def main() -> None:
                      f"sandbox h2d relay ~{relay_rate:.1f} MB/s)"),
             "vs_baseline": round(sph / REF_UNI_SLIDES_PER_HOUR, 2),
         }
+        if "e2e_uni" in E2E_AUDITS:
+            out["with_io_uni"]["audit"] = E2E_AUDITS["e2e_uni"]
         if "decode" in results and "uni" in results:
             dec = results["decode"].get("jpeg_ycbcr",
                                         results["decode"]["jpeg"])
@@ -1092,6 +1100,8 @@ def main() -> None:
                      f"sandbox h2d relay ~{relay_rate:.1f} MB/s)"),
             "vs_baseline": round(sph / REF_SLIDES_PER_HOUR, 2),
         }
+        if "e2e_aperio" in E2E_AUDITS:
+            out["with_io_aperio"]["audit"] = E2E_AUDITS["e2e_aperio"]
         if "decode" in results and "resnet" in results:
             dec = results["decode"].get(
                 "jpeg240_mosaic_ycbcr",

@@ -100,6 +100,11 @@ class SlidePredictor:
                 (cfg, params, jax.jit(_aggregator_apply(model_type, cfg)))
                 for cfg, params in vis_models]
         self.genes = None  # caller may attach the gene-name list
+        # h2d audit trail (VERDICT r4 item 4): cumulative across slides;
+        # snapshot before/after a run and diff for per-run accounting.
+        # Counts the patch/tile payload uploads (the dominant bytes) plus
+        # the aggregation-tail feature upload; mutated under the GIL only.
+        self.io_stats = {"bytes_uploaded": 0, "candidates": 0, "kept": 0}
 
     # -- stages -----------------------------------------------------------
 
@@ -293,11 +298,17 @@ class SlidePredictor:
         stack is indexed by every patch in the batch, so under a mesh it
         must be replicated while idx/offs/wh shard with the batch)."""
         mesh = self.extractor.mesh
+        self.io_stats["bytes_uploaded"] += arr.nbytes
         if mesh is None:
             return jnp.asarray(arr)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         return jax.device_put(arr, NamedSharding(mesh, P()))
+
+    def _upload_counted(self, arr):
+        """extractor.upload with the h2d byte audit."""
+        self.io_stats["bytes_uploaded"] += arr.nbytes
+        return self.extractor.upload(arr)
 
     def _fused_program(self):
         """One jitted (params, u8_batch) -> (features, keep_flags) program:
@@ -354,6 +365,8 @@ class SlidePredictor:
             # ValueError deep inside the init) with an actionable message;
             # predict_slides quarantines this per slide
             raise ValueError("no tissue patches survived screening")
+        if isinstance(feats, np.ndarray):
+            self.io_stats["bytes_uploaded"] += feats.nbytes
         xj = jnp.asarray(feats)
         mask = jnp.ones((feats.shape[0],), bool)
         _, labels, _, _ = km.kmeans_fit(
@@ -523,8 +536,9 @@ class SlidePredictor:
                         pieces = [np.concatenate([p, q_])
                                   for p, q_ in zip(pieces, pad)]
                     f, fl = fused(self.extractor.params, stack_dev,
-                                  *(self.extractor.upload(p)
+                                  *(self._upload_counted(p)
                                     for p in pieces))
+                    self.io_stats["candidates"] += n
                     f = np.asarray(f)[:n]
                     fl = np.asarray(fl)[:n]
                     for o, row, ok in zip(orig[s:s + bs], f, fl):
@@ -544,6 +558,7 @@ class SlidePredictor:
             return self.predict_features(
                 np.zeros((0, self.extractor.feature_dim), np.float32))
         kept = sorted(heap, key=lambda item: -item[0])
+        self.io_stats["kept"] += len(kept)
         feats = np.stack([row for _, row in kept])
         return self.predict_features(feats)
 
@@ -570,6 +585,9 @@ class SlidePredictor:
         def run_block(parts: tuple[np.ndarray, ...]) -> None:
             nonlocal kept
             if mode == "screened":
+                self.io_stats["bytes_uploaded"] += parts[0].nbytes
+                self.io_stats["candidates"] += len(parts[0])
+                self.io_stats["kept"] += len(parts[0])
                 feats.append(self.extractor(parts[0]))
                 return
             # the fused program is compiled for exactly (bs, ...): chunk a
@@ -585,11 +603,13 @@ class SlidePredictor:
                         [p, np.zeros((short,) + p.shape[1:], p.dtype)])
                         for p in pieces]
                 f, fl = fused(self.extractor.params,
-                              *(self.extractor.upload(p) for p in pieces))
+                              *(self._upload_counted(p) for p in pieces))
+                self.io_stats["candidates"] += pieces[0].shape[0]
                 take = np.asarray(f)[np.asarray(fl)]
                 if kept + len(take) > self.max_patches:
                     take = take[: self.max_patches - kept]
                 kept += len(take)
+                self.io_stats["kept"] += len(take)
                 if len(take):
                     feats.append(take)
                 if kept >= self.max_patches:
