@@ -479,8 +479,9 @@ def measure_train():
     out["vis_mfu_pct"] = 100.0 * flops / step_s / V5E_BF16_PEAK
     out["vis_tflops"] = flops / step_s / 1e12
     log(f"[train] ViS step {step_s * 1e3:.2f} ms = {B / step_s:.0f} slides/s, "
-        f"{out['vis_tflops']:.1f} TF/s ({out['vis_mfu_pct']:.1f}% MFU; the "
-        "step is AdamW-memory-bound: ~130M f32 params x (p,m,v) read+write)")
+        f"{out['vis_tflops']:.1f} TF/s ({out['vis_mfu_pct']:.1f}% MFU; "
+        "backward-dominated — per-piece roofline in docs/BENCHMARKS.md "
+        "\"train-step close-out\", tools/profile_train_step.py)")
 
     # -- (b) HE2RNA train step ---------------------------------------------
     hcfg = he2rna.HE2RNAConfig(input_dim=D, output_dim=G)

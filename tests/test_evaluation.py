@@ -171,3 +171,39 @@ def test_cv_vit_variant(tmp_path):
     assert (tmp_path / "exp" / "train_state_0.npz").exists()
     sd = checkpoint.load_torch_checkpoint(str(tmp_path / "exp" / "model_best_0.pt"))
     assert "transformer.layers.0.0.to_qkv.weight" in sd
+
+
+def test_predict_independent_non_contract_tokens(tmp_path):
+    """Checkpoints trained at 8 cluster tokens (not the contract's 100):
+    the significance-null model must mirror the loaded ensemble's
+    num_clusters (round-5 fix — it was hard-coded to 100)."""
+    store = tmp_path / "features"
+    df = make_store(str(store), n_slides=6, n_genes=4, dim=8, tokens=8)
+    cfg = vis.ViSConfig(num_outputs=4, input_dim=8, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=8)
+    for fold in range(2):
+        params = vis.init(cfg, jax.random.PRNGKey(fold))
+        checkpoint.save_torch_state_dict(
+            convert.vis_to_torch(cfg, params),
+            str(tmp_path / f"ckpt_{fold}.pt"))
+    out = predict_independent(
+        df, str(store), str(tmp_path / "res"),
+        checkpoint_template=str(tmp_path / "ckpt_{fold}.pt"),
+        folds=2, depth=1, num_heads=2, verbose=False)
+    assert out["pred"].shape == (6, 4)
+    assert out["random"].shape == (6, 4)
+    assert np.isfinite(out["random"].to_numpy()).all()
+
+
+def test_he2rna_cv_non_contract_tokens(tmp_path):
+    """An 8-token store filters the reference k sweep to k <= T (round-5
+    fix — lax.top_k, like torch.topk, rejects k > T)."""
+    store = tmp_path / "features"
+    df = make_store(str(store), n_slides=8, n_genes=3, dim=8, tokens=8)
+    out = cv.run_he2rna_cross_validation(
+        df, str(store), str(tmp_path / "exp"), k=2, batch_size=4,
+        max_epochs=1, verbose=False)
+    assert set(out) == {"split_0", "split_1", "genes"}
+    assert os.path.exists(tmp_path / "exp" / "model_0.pt")
+    for i in range(2):
+        assert np.isfinite(out[f"split_{i}"]["preds"]).all()
