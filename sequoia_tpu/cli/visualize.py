@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "faithful) or fully device-resident f32 (one table "
                         "upload, jitted gather/scatter; ~1e-5 rel. diff); "
                         "auto = device for stacked vis folds at >=1024 genes")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard tile featurization AND the window stage "
+                        "over all local chips (('data','model') mesh, "
+                        "model=1); vis folds only, implies device "
+                        "accumulation")
     return p
 
 
@@ -102,7 +107,12 @@ def main(argv=None) -> None:
 
     slide_path, mask, manual_resize = resolve_paths(args)
     slide = open_slide(slide_path)
-    extractor = load_extractor(args.feat_type, args.weights, args.batch_size)
+    extractor = load_extractor(args.feat_type, args.weights, args.batch_size,
+                               data_parallel=args.data_parallel)
+    mesh = extractor.mesh if args.data_parallel else None
+    if mesh is not None and args.model_type != "vis":
+        raise SystemExit("--data_parallel window sharding needs vis fold "
+                         "checkpoints (the stacked predictor)")
 
     folds = [int(i) for i in args.folds.split(",")]
     fold_models = {}
@@ -140,7 +150,10 @@ def main(argv=None) -> None:
     if args.model_type == "vis" and len(vis_fold_params) == len(folds):
         # all folds share one architecture: one vmapped forward per batch
         fold_models = spatial.make_vis_stacked_predict_fn(vis_cfg,
-                                                          vis_fold_params)
+                                                          vis_fold_params,
+                                                          mesh=mesh)
+    elif mesh is not None:
+        raise SystemExit("--data_parallel needs homogeneous vis folds")
 
     save_path = os.path.join("visualizations", args.project, args.save_folder,
                              args.wsi_file_name)
@@ -158,7 +171,9 @@ def main(argv=None) -> None:
                           gene_names=gene_names, patch_size=args.patch_size,
                           resize_factor=manual_resize, stride=args.stride,
                           save_path=save_path, resize_patch_to=resize_to,
-                          accumulate=args.accumulate, num_tokens=num_tokens)
+                          accumulate="device" if mesh is not None
+                          else args.accumulate,
+                          num_tokens=num_tokens, mesh=mesh)
     print("Done")
 
 

@@ -118,7 +118,7 @@ def collect_windows(df: pd.DataFrame, *, stride: int = 1, window: int = 10):
 
 def _sliding_window_device(tile_feats, windows, multi_fn, gene_indices,
                            n, dim, *, num_tokens: int, batch_windows: int,
-                           _device_sums: bool = False):
+                           _device_sums: bool = False, mesh=None):
     """Device-resident window stage (``accumulate='device'``): the (n, D)
     feature table crosses host->device ONCE; per chunk a jitted gather
     assembles (W, num_tokens, D) windows from padded index rows, the
@@ -127,7 +127,14 @@ def _sliding_window_device(tile_feats, windows, multi_fn, gene_indices,
     fold (donated across chunks).  Pad index = n selects the table's
     appended zero row on gather and is dropped (``mode='drop'``) on
     scatter, so partial windows and partial tail chunks need no host-side
-    special-casing."""
+    special-casing.
+
+    ``mesh``: a ('data','model') Mesh shards the stage — window batches
+    over 'data' (the table replicates; every window gathers arbitrary
+    rows), fold gene heads over 'model' when ``multi_fn`` was built with
+    the same mesh, and overlap averaging becomes one-hot GEMMs whose
+    window-axis reduction carries the cross-shard psum (same layout the
+    multichip dryrun certifies, ``__graft_entry__._dryrun_spatial``)."""
     fold_keys = list(multi_fn.fold_keys)
     g_all = np.arange(len(gene_indices))
     # "selection is the identity" needs the model's G, discovered from the
@@ -136,6 +143,18 @@ def _sliding_window_device(tile_feats, windows, multi_fn, gene_indices,
 
     table = jnp.concatenate([jnp.asarray(tile_feats, jnp.float32),
                              jnp.zeros((1, dim), jnp.float32)])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        table = jax.device_put(table, NamedSharding(mesh, P()))
+        batch_windows = -(-batch_windows // mesh.shape["data"]) \
+            * mesh.shape["data"]
+
+        def _upload_idx(idx):
+            return jax.device_put(jnp.asarray(idx),
+                                  NamedSharding(mesh, P("data")))
+    else:
+        _upload_idx = jnp.asarray
     gather = jax.jit(lambda t, i: t[i])
     gene_idx_dev = jnp.asarray(gene_indices)
 
@@ -145,13 +164,24 @@ def _sliding_window_device(tile_feats, windows, multi_fn, gene_indices,
 
     from functools import partial
 
-    @partial(jax.jit, donate_argnums=0)
-    def scatter_add(sums, preds, idx):
-        # sums (n, G_sel) f32; preds (W, G_sel); idx (W, K) padded with n
-        def body(i, s):
-            return s.at[idx[i]].add(preds[i], mode="drop")
+    if mesh is None:
+        @partial(jax.jit, donate_argnums=0)
+        def scatter_add(sums, preds, idx):
+            # sums (n, G_sel) f32; preds (W, G_sel); idx (W, K) pad = n
+            def body(i, s):
+                return s.at[idx[i]].add(preds[i], mode="drop")
 
-        return jax.lax.fori_loop(0, preds.shape[0], body, sums)
+            return jax.lax.fori_loop(0, preds.shape[0], body, sums)
+    else:
+        @partial(jax.jit, donate_argnums=0)
+        def scatter_add(sums, preds, idx):
+            # sharded: member matrix as a one-hot GEMM whose window-axis
+            # reduction carries the cross-'data' psum (a sequential
+            # fori_loop over a sharded W would serialize the mesh); the
+            # pad index n lands in a dropped extra row
+            member = jnp.sum(jax.nn.one_hot(idx, n + 1, dtype=jnp.float32),
+                             axis=1)                       # (W, n+1)
+            return sums + jnp.einsum("wn,wg->ng", member, preds)[:n]
 
     sums_dev = {f: jnp.zeros((n, len(gene_indices)), jnp.float32)
                 for f in fold_keys}
@@ -171,14 +201,14 @@ def _sliding_window_device(tile_feats, windows, multi_fn, gene_indices,
             sidx[i, : len(sel)] = sel
         np.add.at(counts, np.concatenate(chunk), 1)
 
-        feats_dev = gather(table, jnp.asarray(gidx))
+        feats_dev = gather(table, _upload_idx(gidx))
         preds = multi_fn.raw_fwd(feats_dev)  # (F, W, G) on device
         if full_width is None:
             full_width = preds.shape[2] == len(gene_indices) and bool(
                 np.array_equal(gene_indices, g_all))
         if not full_width:
             preds = select_genes(preds)
-        sidx_dev = jnp.asarray(sidx)
+        sidx_dev = _upload_idx(sidx)
         for fi, f in enumerate(fold_keys):
             sums_dev[f] = scatter_add(sums_dev[f], preds[fi], sidx_dev)
 
@@ -205,10 +235,15 @@ def sliding_window_predict_arrays(tile_feats: np.ndarray, df: pd.DataFrame,
                                   num_tokens: int = 100,
                                   batch_windows: int = 64,
                                   accumulate: str = "auto",
-                                  _device_sums: bool = False):
+                                  _device_sums: bool = False, mesh=None):
     """Reference ``sliding_window_method`` over cached features, all folds
     in one pass: windows are gathered/padded ONCE and every fold's model
     runs on the same device batch.
+
+    ``mesh``: optional ('data','model') Mesh — the device accumulate path
+    shards window batches over 'data' (and the fold heads over 'model'
+    when the stacked predictor was built with the same mesh); implies
+    ``accumulate='device'``.
 
     ``predict_fns``: {fold: (W, num_tokens, D) -> (W, G)} callables, or a
     single STACKED predictor (from :func:`make_vis_stacked_predict_fn`)
@@ -260,15 +295,21 @@ def sliding_window_predict_arrays(tile_feats: np.ndarray, df: pd.DataFrame,
     if accumulate == "device" and raw_fwd is None:
         raise ValueError("accumulate='device' needs a stacked predictor "
                          "(make_vis_stacked_predict_fn)")
+    if mesh is not None and raw_fwd is None:
+        raise ValueError("mesh sharding needs a stacked predictor "
+                         "(make_vis_stacked_predict_fn)")
     if accumulate == "auto":
         accumulate = ("device" if raw_fwd is not None
-                      and len(gene_indices) >= 1024 else "host")
+                      and (mesh is not None or len(gene_indices) >= 1024)
+                      else "host")
+    if mesh is not None and accumulate != "device":
+        raise ValueError("mesh sharding requires accumulate='device'")
     if accumulate == "device":
         return _sliding_window_device(tile_feats, windows, multi_fn,
                                       gene_indices, n, dim,
                                       num_tokens=num_tokens,
                                       batch_windows=batch_windows,
-                                      _device_sums=_device_sums)
+                                      _device_sums=_device_sums, mesh=mesh)
     if _device_sums:
         raise ValueError("_device_sums requires accumulate='device'")
 
@@ -353,7 +394,7 @@ def run_visualize(slide, mask_xy: np.ndarray, gene_ids: list[str],
                   save_path: str | None = None,
                   resize_patch_to: int | None = None,
                   accumulate: str = "auto",
-                  num_tokens: int = 100) -> pd.DataFrame:
+                  num_tokens: int = 100, mesh=None) -> pd.DataFrame:
     """Full per-slide flow (reference visualize.py __main__):
 
     ``fold_models``: {fold: predict_fn((W, num_tokens, D) -> (W, G))}.
@@ -384,7 +425,7 @@ def run_visualize(slide, mask_xy: np.ndarray, gene_ids: list[str],
 
     fold_keys, means, _ = sliding_window_predict_arrays(
         tile_feats, df, fold_models, inds, stride=stride,
-        num_tokens=num_tokens, accumulate=accumulate)
+        num_tokens=num_tokens, accumulate=accumulate, mesh=mesh)
     folds = sorted(fold_keys)
     # Assemble all {gene}_{fold} + across-fold-mean columns in ONE concat —
     # per-column inserts fragment the frame and are Python-quadratic at
@@ -415,14 +456,27 @@ def make_vis_predict_fn(cfg, params):
     return lambda feats: fwd(params, jnp.asarray(feats))
 
 
-def make_vis_stacked_predict_fn(cfg, fold_params: dict):
+def make_vis_stacked_predict_fn(cfg, fold_params: dict, mesh=None):
     """All folds as ONE vmapped forward over stacked parameters:
-    (W, 100, D) -> {fold: (W, G)} (for :func:`sliding_window_predict_multi`)."""
+    (W, 100, D) -> {fold: (W, G)} (for :func:`sliding_window_predict_multi`).
+
+    ``mesh``: shard every fold's (D, G) gene head (and bias) over the
+    'model' axis, the rest replicated — the layout the multichip dryrun's
+    spatial leg certifies."""
     from sequoia_tpu.models import vis as vis_mod
 
     folds = sorted(fold_params)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
                            *[fold_params[f] for f in folds])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        specs = jax.tree.map(lambda _: P(), stacked)
+        specs["head_w"] = P(None, None, "model")
+        specs["head_b"] = P(None, "model")
+        stacked = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            stacked, specs)
     fwd = jax.jit(jax.vmap(lambda p, x: vis_mod.apply(cfg, p, x),
                            in_axes=(0, None)))
 

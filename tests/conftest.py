@@ -10,7 +10,14 @@ import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    # 8 virtual devices time-share this host's core(s): heavy per-shard
+    # programs (production-shape dryrun legs) reach a collective minutes
+    # apart, and XLA:CPU's default 40s rendezvous timeout ABORTS the
+    # process (same flag __graft_entry__._get_devices sets standalone)
+    flags += " --xla_cpu_collective_timeout_seconds=900"
+os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

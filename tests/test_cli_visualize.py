@@ -267,3 +267,59 @@ def test_cli_visualize_breast_st_layout(tmp_path, monkeypatch):
     out = pd.read_csv(f"visualizations/Breast-ST/maps/{wsi}/stride-4.csv",
                       index_col=0)
     assert "G0" in out.columns and out["G0"].notna().sum() > 5
+
+
+@pytest.mark.slow
+def test_cli_visualize_data_parallel_matches_single(tmp_path, monkeypatch):
+    """--data_parallel (mesh-sharded featurize + window stage) produces the
+    same stride CSV as the single-device run, to device-f32 tolerance."""
+    from sequoia_tpu.cli import visualize as cv
+
+    native = pytest.importorskip("sequoia_tpu.native")
+    if not native.available():
+        pytest.skip("native tiff reader unavailable")
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+
+    monkeypatch.chdir(tmp_path)
+    project = "TCGA-SYN"
+    wsi = "TCGA-AA-0002.svs"
+    stem = wsi.replace(".svs", "")
+    slide = synthetic_wsi()
+    os.makedirs(f"TCGA/{project}", exist_ok=True)
+    native.write_tiled_tiff(f"TCGA/{project}/{wsi}",
+                            [slide.levels[0], slide.levels[1]],
+                            tile=(128, 128))
+    from sequoia_tpu.pipeline import patch_gen
+    mask, _ = patch_gen.compute_slide_mask(slide)
+    os.makedirs(f"TCGA/{project}_Masks/{stem}", exist_ok=True)
+    np.save(f"TCGA/{project}_Masks/{stem}/mask.npy", mask)
+
+    genes = [f"G{i}" for i in range(6)]
+    ckpt_dir = "vis_resnet/syn/"
+    os.makedirs(ckpt_dir, exist_ok=True)
+    cfg = vis.ViSConfig(num_outputs=6, input_dim=2048, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    for fold in range(2):
+        params = vis.init(cfg, jax.random.PRNGKey(fold))
+        name = "model_best.pt" if fold == 0 else f"model_best_{fold}.pt"
+        checkpoint.save_torch_state_dict(convert.vis_to_torch(cfg, params),
+                                         os.path.join(ckpt_dir, name))
+    with open(os.path.join(ckpt_dir, "test_results.pkl"), "wb") as f:
+        pickle.dump({"genes": genes}, f)
+
+    base = ["--study", "syn", "--project", project, "--gene_names", "G1,G4",
+            "--wsi_file_name", wsi, "--model_type", "vis",
+            "--feat_type", "resnet", "--folds", "0,1", "--stride", "4",
+            "--patch_size", "64", "--weights", "random",
+            "--batch_size", "32"]
+    cv.main(base + ["--save_folder", "single"])
+    cv.main(base + ["--save_folder", "sharded", "--data_parallel"])
+
+    a = pd.read_csv(f"visualizations/{project}/single/{wsi}/stride-4.csv",
+                    index_col=0)
+    b = pd.read_csv(f"visualizations/{project}/sharded/{wsi}/stride-4.csv",
+                    index_col=0)
+    for col in ("G1_0", "G1_1", "G1", "G4"):
+        np.testing.assert_allclose(b[col].to_numpy(), a[col].to_numpy(),
+                                   rtol=2e-4, atol=2e-5)

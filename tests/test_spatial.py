@@ -209,3 +209,52 @@ def test_device_accumulate_requires_stacked_predictor():
         spatial.sliding_window_predict_arrays(
             feats, df, {0: lambda x: np.zeros((x.shape[0], 3))}, [0],
             accumulate="gpu")
+
+
+def test_mesh_sharded_spatial_matches_host():
+    """The mesh-sharded window stage (windows over 'data', fold heads over
+    'model', one-hot-GEMM overlap averaging) must match the host float64
+    path — the production wiring of the layout the multichip dryrun's
+    spatial leg certifies."""
+    import jax
+
+    from sequoia_tpu.parallel import sharding as sh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = sh.make_mesh(n_data=4, n_model=2)
+
+    rng = np.random.default_rng(9)
+    df = make_grid_df(rng, nx=16, ny=16, keep=0.9)
+    D, G = 16, 8
+    tile_feats = rng.normal(size=(len(df), D)).astype(np.float32)
+    cfg = vis.ViSConfig(num_outputs=G, input_dim=D, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    fold_params = {f: vis.init(cfg, jax.random.PRNGKey(f)) for f in range(2)}
+
+    host_fn = spatial.make_vis_stacked_predict_fn(cfg, fold_params)
+    mesh_fn = spatial.make_vis_stacked_predict_fn(cfg, fold_params,
+                                                  mesh=mesh)
+
+    for inds in ([1, 4], list(range(G))):
+        kw = dict(stride=2, batch_windows=6)  # 6 rounds up to 8 (4-div)
+        fk_h, m_h, seen_h = spatial.sliding_window_predict_arrays(
+            tile_feats, df, host_fn, inds, accumulate="host", **kw)
+        fk_d, m_d, seen_d = spatial.sliding_window_predict_arrays(
+            tile_feats, df, mesh_fn, inds, mesh=mesh, **kw)
+        assert fk_h == fk_d and (seen_h == seen_d).all()
+        for f in fk_h:
+            np.testing.assert_allclose(m_d[f], m_h[f], rtol=2e-5, atol=2e-6)
+
+    # mesh requires the stacked predictor and device accumulation
+    import pytest
+
+    with pytest.raises(ValueError, match="stacked"):
+        spatial.sliding_window_predict_arrays(
+            tile_feats, df, {0: lambda x: np.zeros((x.shape[0], G))}, [0],
+            mesh=mesh)
+    with pytest.raises(ValueError, match="device"):
+        spatial.sliding_window_predict_arrays(
+            tile_feats, df, mesh_fn, [0], mesh=mesh, accumulate="host")
