@@ -16,7 +16,7 @@ if "xla_cpu_collective_timeout_seconds" not in flags:
     # programs (production-shape dryrun legs) reach a collective minutes
     # apart, and XLA:CPU's default 40s rendezvous timeout ABORTS the
     # process (same flag __graft_entry__._get_devices sets standalone)
-    flags += " --xla_cpu_collective_timeout_seconds=900"
+    flags += " --xla_cpu_collective_timeout_seconds=3600"
 os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
