@@ -11,12 +11,16 @@ import sys
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags += " --xla_force_host_platform_device_count=8"
-if "xla_cpu_collective_timeout_seconds" not in flags:
+if "xla_cpu_collective" not in flags:
     # 8 virtual devices time-share this host's core(s): heavy per-shard
     # programs (production-shape dryrun legs) reach a collective minutes
-    # apart, and XLA:CPU's default 40s rendezvous timeout ABORTS the
-    # process (same flag __graft_entry__._get_devices sets standalone)
-    flags += " --xla_cpu_collective_timeout_seconds=3600"
+    # apart, and XLA:CPU's default 40s rendezvous TERMINATION timeout
+    # ABORTS the process.  Three distinct flags; the *_call_* pair governs
+    # the in-process rendezvous CHECK that was firing (same trio in
+    # __graft_entry__._get_devices for standalone runs)
+    flags += (" --xla_cpu_collective_timeout_seconds=3600"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
 os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
