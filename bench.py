@@ -721,25 +721,23 @@ def measure_decode():
 MIN_E2E_RELAY_MBPS = 2.5
 
 
-#: per-leg h2d audit (bytes/slide, effective MB/s, candidates/kept) captured
-#: by measure_e2e_serving so the with_io JSON carries its own accounting —
-#: measured vs projected is then checkable from the artifact alone
-E2E_AUDITS: dict[str, dict] = {}
-
-
 def measure_e2e_serving(relay_rate: float | None = None,
                         backbone: str = "resnet",
                         slides: list[str] | None = None,
                         tile: int | None = None,
-                        expect_mode: str | None = None,
-                        audit_key: str | None = None):
+                        expect_mode: str | None = None):
     """MEASURED wall-clock slides/hour through serve.predict_slides on
     fabricated pyramidal TIFFs — the real streaming path (decode -> raw
     subsampled-YCbCr upload -> fused reconstruct+screen+featurize ->
     kmeans -> ViS) with >=2-slide cross-slide overlap.  ``slides``/``tile``
     select the fixture layout (default: patch-size tiles); ``expect_mode``
     asserts which producer mode serving picks, so the leg measures the
-    path it claims to (e.g. 'mosaic' for 240px Aperio tiles)."""
+    path it claims to (e.g. 'mosaic' for 240px Aperio tiles).
+
+    Returns ``{"s_per_slide": float, "audit": {...}}`` — the audit block
+    (bytes/slide, effective h2d MB/s, relay probe, candidates/kept,
+    decode threads/cores) is published inside the with_io JSON so
+    measured-vs-projected is checkable from the artifact alone."""
     if relay_rate is not None and relay_rate < MIN_E2E_RELAY_MBPS:
         raise RuntimeError(
             f"relay too slow for the e2e leg ({relay_rate:.2f} MB/s < "
@@ -798,6 +796,8 @@ def measure_e2e_serving(relay_rate: float | None = None,
     warm = time.perf_counter() - t0
     log(f"[e2e:{backbone}] warmup slide in {warm:.1f}s")
 
+    from sequoia_tpu.data.wsi import DEFAULT_DECODE_THREADS
+
     io0 = dict(pred.io_stats)
     t0 = time.perf_counter()
     n = 0
@@ -814,16 +814,14 @@ def measure_e2e_serving(relay_rate: float | None = None,
         "relay_probe_mbps": round(relay_rate, 2) if relay_rate else None,
         "candidates_per_slide": d["candidates"] // n,
         "kept_per_slide": d["kept"] // n,
-        "decode_threads": 8,  # wsi.read_regions* default on this host
+        "decode_threads": DEFAULT_DECODE_THREADS,
         "host_cores": os.cpu_count(),
     }
-    if audit_key:
-        E2E_AUDITS[audit_key] = audit
     log(f"[e2e:{backbone}] {n} slides in {elapsed:.1f}s -> "
         f"{per_slide:.2f}s/slide (cross-slide pipelined; "
         f"{audit['bytes_uploaded_per_slide_mb']} MB/slide h2d at "
         f"{audit['effective_h2d_mbps']} MB/s effective)")
-    return per_slide
+    return {"s_per_slide": per_slide, "audit": audit}
 
 
 # ---------------------------------------------------------------------------
@@ -872,15 +870,13 @@ def main() -> None:
         ("spatial", lambda: measure_spatial()),
         ("train", lambda: measure_train()),
         ("decode", lambda: measure_decode()),  # host-only: always safe
-        ("e2e", lambda: measure_e2e_serving(relay_rate, audit_key="e2e")),
-        ("e2e_uni", lambda: measure_e2e_serving(relay_rate, backbone="uni",
-                                                audit_key="e2e_uni")),
+        ("e2e", lambda: measure_e2e_serving(relay_rate)),
+        ("e2e_uni", lambda: measure_e2e_serving(relay_rate, backbone="uni")),
         # real Aperio tile geometry (240px tiles != 256px patches): serving
         # must take the tile-mosaic path, asserted via expect_mode
         ("e2e_aperio",
          lambda: measure_e2e_serving(relay_rate, slides=E2E_SLIDES_240,
-                                     tile=APERIO_TILE, expect_mode="mosaic",
-                                     audit_key="e2e_aperio")),
+                                     tile=APERIO_TILE, expect_mode="mosaic")),
     ]
     device_ran = ["resnet"]
     for name, fn in remaining_legs:
@@ -1006,7 +1002,7 @@ def main() -> None:
                 v = results["decode"][k]
                 out["decode"][k] = round(v, 0) if isinstance(v, float) else v
     if "e2e" in results:
-        sph = 3600.0 / results["e2e"]
+        sph = 3600.0 / results["e2e"]["s_per_slide"]
         out["with_io"] = {
             "metric": "slides_per_hour_e2e_with_io",
             "value": round(sph, 1),
@@ -1023,10 +1019,9 @@ def main() -> None:
                         if "decode" in results else "") + ")"),
             "vs_baseline": round(sph / REF_SLIDES_PER_HOUR, 2),
         }
-        if "e2e" in E2E_AUDITS:
-            # h2d accounting so measured-vs-projected is auditable from the
-            # artifact alone (VERDICT r4 item 4)
-            out["with_io"]["audit"] = E2E_AUDITS["e2e"]
+        # h2d accounting so measured-vs-projected is auditable from the
+        # artifact alone (VERDICT r4 item 4)
+        out["with_io"]["audit"] = results["e2e"]["audit"]
         if "decode" in results and "resnet" in results:
             # same pipeline on a host whose h2d is not the sandbox relay:
             # decode and compute overlap (measured legs), upload rides PCIe.
@@ -1055,7 +1050,7 @@ def main() -> None:
                           "cache_reason": failures.get("e2e", "leg skipped")}
 
     if "e2e_uni" in results:
-        sph = 3600.0 / results["e2e_uni"]
+        sph = 3600.0 / results["e2e_uni"]["s_per_slide"]
         out["with_io_uni"] = {
             "metric": "uni_slides_per_hour_e2e_with_io",
             "value": round(sph, 1),
@@ -1067,8 +1062,7 @@ def main() -> None:
                      f"sandbox h2d relay ~{relay_rate:.1f} MB/s)"),
             "vs_baseline": round(sph / REF_UNI_SLIDES_PER_HOUR, 2),
         }
-        if "e2e_uni" in E2E_AUDITS:
-            out["with_io_uni"]["audit"] = E2E_AUDITS["e2e_uni"]
+        out["with_io_uni"]["audit"] = results["e2e_uni"]["audit"]
         if "decode" in results and "uni" in results:
             dec = results["decode"].get("jpeg_ycbcr",
                                         results["decode"]["jpeg"])
@@ -1087,7 +1081,7 @@ def main() -> None:
                                                            "leg skipped")}
 
     if "e2e_aperio" in results:
-        sph = 3600.0 / results["e2e_aperio"]
+        sph = 3600.0 / results["e2e_aperio"]["s_per_slide"]
         out["with_io_aperio"] = {
             "metric": "slides_per_hour_e2e_with_io_aperio_tiles",
             "value": round(sph, 1),
@@ -1101,8 +1095,7 @@ def main() -> None:
                      f"sandbox h2d relay ~{relay_rate:.1f} MB/s)"),
             "vs_baseline": round(sph / REF_SLIDES_PER_HOUR, 2),
         }
-        if "e2e_aperio" in E2E_AUDITS:
-            out["with_io_aperio"]["audit"] = E2E_AUDITS["e2e_aperio"]
+        out["with_io_aperio"]["audit"] = results["e2e_aperio"]["audit"]
         if "decode" in results and "resnet" in results:
             dec = results["decode"].get(
                 "jpeg240_mosaic_ycbcr",

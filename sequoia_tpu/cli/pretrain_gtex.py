@@ -65,7 +65,7 @@ def main(argv=None) -> None:
     if args.model in ("vis", "vit"):
         cfg, params, apply_fn, to_torch, from_torch = cv.build_model(
             args.model, dataset.num_genes, dataset.feature_dim, key,
-            num_clusters=getattr(dataset, "num_tokens", 100))
+            num_clusters=getattr(dataset, "num_tokens", None) or 100)
         if args.checkpoint:
             sd = checkpoint.load_torch_checkpoint(args.checkpoint)
             cfg, params = from_torch(sd, cfg)
@@ -76,13 +76,10 @@ def main(argv=None) -> None:
                    save_fn=lambda p: checkpoint.save_torch_state_dict(
                        to_torch(cfg, p), save_path))
     else:
-        tokens = getattr(dataset, "num_tokens", None) or 100
-        cfg = he2rna.HE2RNAConfig(input_dim=dataset.feature_dim,
-                                  output_dim=dataset.num_genes,
-                                  layers=(256, 256),
-                                  ks=tuple(kk for kk in
-                                           (1, 2, 5, 10, 20, 50, 100)
-                                           if kk <= tokens) or (1,))
+        cfg = he2rna.HE2RNAConfig(
+            input_dim=dataset.feature_dim, output_dim=dataset.num_genes,
+            layers=(256, 256),
+            ks=he2rna.ks_for_tokens(getattr(dataset, "num_tokens", None)))
         params = he2rna.init(cfg, key)
         if args.checkpoint:
             sd = checkpoint.load_torch_checkpoint(args.checkpoint)

@@ -113,6 +113,11 @@ def main(argv=None) -> None:
     if mesh is not None and args.model_type != "vis":
         raise SystemExit("--data_parallel window sharding needs vis fold "
                          "checkpoints (the stacked predictor)")
+    if mesh is not None and args.accumulate == "host":
+        # refuse rather than silently switching the user's explicit
+        # reference-faithful float64 host accumulation to device f32
+        raise SystemExit("--data_parallel requires device accumulation; "
+                         "drop --accumulate host (or --data_parallel)")
 
     folds = [int(i) for i in args.folds.split(",")]
     fold_models = {}

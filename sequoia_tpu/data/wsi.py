@@ -155,8 +155,13 @@ def open_slide(path_or_reader) -> SlideReader:
     return PILReader(path)
 
 
+#: decode worker threads for batched region reads (the native reader keeps
+#: one TIFF* handle per worker); bench audits reference this constant
+DEFAULT_DECODE_THREADS = 8
+
+
 def read_regions(slide: SlideReader, locations, level, size,
-                 nthreads: int = 8) -> np.ndarray:
+                 nthreads: int = DEFAULT_DECODE_THREADS) -> np.ndarray:
     """Batch region decode: uses the reader's parallel fast path when it has
     one, else a sequential loop.  Returns (n, h, w, 3) uint8."""
     fast = getattr(slide, "read_regions", None)

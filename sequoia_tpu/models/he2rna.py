@@ -47,6 +47,16 @@ class HE2RNAConfig:
     dropout: float = 0.5
 
 
+def ks_for_tokens(tokens: int | None) -> tuple[int, ...]:
+    """The reference k sweep (``he2rna.py:83``) filtered to k <= the store's
+    token count — identical at the contract's 100 cluster tokens; torch
+    topk (and ``lax.top_k``) both reject k > T, which the reference never
+    hits because its stores always carry 100 tokens.  ``tokens`` None or
+    falsy means the contract default."""
+    t = tokens or 100
+    return tuple(k for k in HE2RNAConfig.ks if k <= t) or (1,)
+
+
 def init(cfg: HE2RNAConfig, key: jax.Array, dtype=jnp.float32,
          bias_init=None) -> Params:
     """``bias_init``: optional (G,) vector for the output layer's bias

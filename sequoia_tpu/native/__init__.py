@@ -214,7 +214,10 @@ class NativeTiffReader:
         return self.level_dimensions[0]
 
     def _to_level(self, x0: int, y0: int, level: int) -> tuple[int, int]:
-        ds = self.level_dimensions[0][0] / self.level_dimensions[level][0]
+        lw = self.level_dimensions[level][0]
+        if lw <= 0:  # hostile header: declared zero-width level
+            raise OSError(f"level {level} has non-positive width {lw}")
+        ds = self.level_dimensions[0][0] / lw
         return int(x0 / ds), int(y0 / ds)
 
     def read_region(self, location, level, size) -> np.ndarray:

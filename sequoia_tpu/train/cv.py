@@ -89,7 +89,7 @@ def run_cross_validation(
         test_ds = ds.FeatureDataset(test_df, feature_path)
         num_outputs, feature_dim = train_ds.num_genes, train_ds.feature_dim
 
-        num_clusters = getattr(train_ds, "num_tokens", 100)
+        num_clusters = getattr(train_ds, "num_tokens", None) or 100
 
         key, kinit, krand, khead = jax.random.split(key, 4)
         if checkpoint_path and change_num_genes:
@@ -210,16 +210,10 @@ def run_he2rna_cross_validation(
 
         key, kinit, khead = jax.random.split(key, 3)
         out_dim = num_genes if change_num_genes and num_genes else train_ds.num_genes
-        # reference k sweep (he2rna.py:83), filtered to k <= token count —
-        # identical at the contract's 100 cluster tokens; torch.topk (and
-        # lax.top_k) both reject k > T, which the reference never hits
-        # because its stores always carry 100 tokens
-        tokens = getattr(train_ds, "num_tokens", None) or 100
-        cfg = he2rna.HE2RNAConfig(input_dim=train_ds.feature_dim,
-                                  output_dim=out_dim, layers=(256, 256),
-                                  ks=tuple(kk for kk in
-                                           (1, 2, 5, 10, 20, 50, 100)
-                                           if kk <= tokens) or (1,))
+        cfg = he2rna.HE2RNAConfig(
+            input_dim=train_ds.feature_dim, output_dim=out_dim,
+            layers=(256, 256),
+            ks=he2rna.ks_for_tokens(getattr(train_ds, "num_tokens", None)))
         params = he2rna.init(cfg, kinit)
         if checkpoint_path:
             sd = checkpoint.load_torch_checkpoint(checkpoint_path)

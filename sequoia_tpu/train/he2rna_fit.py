@@ -151,10 +151,10 @@ def fit(cfg, params, lr, train_loader, valid_loader, test_loader, *,
             params, opt_state, loss, rng = train_step(
                 params, opt_state, jnp.asarray(batch.features),
                 jnp.asarray(batch.rna), jnp.asarray(batch.valid), rng)
-            # keep the scalar ON DEVICE; one host sync per epoch below
+            # keep the scalar ON DEVICE; ONE host transfer per epoch below
             # (a float() here would stall the step pipeline every batch)
             tlosses.append(loss)
-        train_loss = (float(np.mean([float(l) for l in tlosses]))
+        train_loss = (float(np.mean(jax.device_get(tlosses)))
                       if tlosses else np.nan)
 
         if valid_loader is not None:

@@ -209,11 +209,16 @@ def build_corpus(outdir: str) -> dict[str, str]:
         struct.pack_into("<H", m, target, 64)
         cases["bps_64"] = bytes(m)
 
-    # image dims lie: huge width with small tiles (tag 256/257)
+    # image dims lie: huge width with small tiles (tag 256/257), and a
+    # declared ZERO-width image (division-by-zero bait in level math)
     m = bytearray(data)
     if (_patch_entry_value(m, ifds[0], 256, 0x7FFFFFFF)
             and _patch_entry_value(m, ifds[0], 257, 0x7FFFFFFF)):
         cases["image_dims_huge"] = bytes(m)
+    m = bytearray(data)
+    if (_patch_entry_value(m, ifds[0], 256, 0)
+            and _patch_entry_value(m, ifds[0], 257, 0)):
+        cases["image_dims_zero"] = bytes(m)
 
     # deterministic random bit flips all over the file
     for i in range(8):
@@ -254,14 +259,24 @@ def exercise_one(path: str) -> str:
                             else "read_bad_shape")
         except OSError:
             outcomes.append("read_refused")
+        except Exception as e:  # noqa: BLE001 — an unexpected TYPE is
+            # itself a finding (the reader contract is OSError), but it
+            # must surface as a labeled outcome, never kill the runner
+            outcomes.append(f"read_error:{type(e).__name__}")
         try:
             coords = [(0, 0), (TILE, 0), (0, TILE), (SIDE - TILE, SIDE - TILE)]
             r.read_regions(coords, 0, (TILE, TILE), nthreads=4)
             outcomes.append("batch_ok")
         except OSError:
             outcomes.append("batch_refused")
-        r.tile_dims(0)
-        sub = r.ycbcr_subsampling(0, (TILE, TILE))
+        except Exception as e:  # noqa: BLE001
+            outcomes.append(f"batch_error:{type(e).__name__}")
+        try:
+            r.tile_dims(0)
+            sub = r.ycbcr_subsampling(0, (TILE, TILE))
+        except Exception as e:  # noqa: BLE001
+            outcomes.append(f"probe_error:{type(e).__name__}")
+            sub = None
         if sub is not None:
             try:
                 r.read_regions_ycbcr([(0, 0), (TILE, TILE)], 0, (TILE, TILE),
@@ -269,6 +284,8 @@ def exercise_one(path: str) -> str:
                 outcomes.append("ycbcr_ok")
             except OSError:
                 outcomes.append("ycbcr_refused")
+            except Exception as e:  # noqa: BLE001
+                outcomes.append(f"ycbcr_error:{type(e).__name__}")
         return ",".join(outcomes)
     finally:
         r.close()

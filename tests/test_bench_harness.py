@@ -160,8 +160,9 @@ def test_partial_fresh_legs_survive_headline_failure(bench, tmp_path,
                                  "jpeg422_ycbcr": 4000.0})
     monkeypatch.setattr(
         bench, "measure_e2e_serving",
-        lambda relay_rate=None, backbone="resnet", **kw: (
-            10.0 if backbone == "resnet" else 20.0))
+        lambda relay_rate=None, backbone="resnet", **kw: {
+            "s_per_slide": 10.0 if backbone == "resnet" else 20.0,
+            "audit": {"slides_timed": 2}})
 
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -211,10 +212,14 @@ def test_measure_e2e_aperio_smoke_cpu(bench, tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "NUM_CLUSTERS", 8)
     monkeypatch.setattr(bench, "FEAT_BATCH", 8)
     slides = [str(tmp_path / f"aperio_{i}.tiff") for i in range(2)]
-    per_slide = bench.measure_e2e_serving(
+    res = bench.measure_e2e_serving(
         relay_rate=None, slides=slides, tile=bench.APERIO_TILE,
         expect_mode="mosaic")
-    assert per_slide > 0
+    assert res["s_per_slide"] > 0
+    # the leg's self-audit: bytes and screening counts must be recorded
+    audit = res["audit"]
+    assert audit["bytes_uploaded_per_slide_mb"] > 0
+    assert audit["candidates_per_slide"] >= audit["kept_per_slide"] > 0
 
     # and the expect_mode guard actually guards: a patch-size-tile fixture
     # takes the per-patch 'ycbcr' mode, so demanding 'mosaic' must raise

@@ -64,10 +64,12 @@ def _check(proc):
                  "ifd_offset_beyond_eof", "tile_dims_huge",
                  "image_dims_huge"):
         assert results.get(name) == "open_refused", (name, results.get(name))
-    # Every case produced an outcome label — nothing escaped as an
-    # unexpected exception type.
+    # Every case produced an outcome label — and every refusal used the
+    # reader's contractual exception type (OSError); a *_error:Type label
+    # means some OTHER exception escaped a read surface.
     for name, outcome in results.items():
         assert not outcome.startswith("open_error:"), (name, outcome)
+        assert "_error:" not in outcome, (name, outcome)
     return results
 
 

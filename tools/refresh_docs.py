@@ -56,6 +56,8 @@ def cache_lookup(cache: dict, path: str):
 
 def fmt(v) -> str:
     if isinstance(v, float):
+        if 0 < abs(v) < 1:  # keep significant digits (0.004 must not
+            return f"{v:.3g}"  # splice in as "0")
         return f"{v:,.2f}".rstrip("0").rstrip(".")
     if isinstance(v, int):
         return f"{v:,}"
