@@ -532,6 +532,9 @@ def measure_train():
     loop.train(lambda p, x: vis.apply(cfg2, p, x), params2,
                loop.make_adamw(3e-3), {"train": _Loader()},
                num_epochs=3, phases=("train",), verbose=False,
+               # bf16 config => host-side bf16 batch cast halves the h2d
+               # bytes bit-identically (loop.train docstring)
+               h2d_dtype="bfloat16",
                log_fn=lambda e, ph, m_: marks.append(time.perf_counter()))
     epoch_s = marks[2] - marks[1]  # steady state: epochs 0-1 pay compiles
     out["epoch_slides_per_hour"] = EPOCH_SLIDES / epoch_s * 3600.0

@@ -30,7 +30,8 @@ def build_model(model_type: str, num_outputs: int, feature_dim: int, key,
     if model_type == "vit":
         cfg = vit.ViTConfig(num_outputs=num_outputs, dim=feature_dim,
                             depth=depth, heads=num_heads, mlp_dim=2048,
-                            dim_head=64, num_clusters=num_clusters)
+                            dim_head=64, num_clusters=num_clusters,
+                            compute_dtype=compute_dtype)
         params = vit.init(cfg, key)
         return cfg, params, (lambda c: (lambda p, x: vit.apply(c, p, x)))(cfg), \
             convert.vit_to_torch, convert.vit_from_torch
@@ -54,9 +55,20 @@ def run_cross_validation(
         hf_export: bool = False,
         checkpoint_path: str | None = None, change_num_genes: int = 0,
         log_fn=None, verbose: bool = True, resume: bool = False,
-        mesh=None, eval_on: str = "final") -> dict:
+        mesh=None, eval_on: str = "final",
+        compute_dtype: str | None = None,
+        moment_dtype: str | None = None) -> dict:
     """Reference ``src/main.py`` flow: per-fold train -> test-fold eval ->
     random-model null -> ``test_results.pkl``.
+
+    ``compute_dtype``: None (default) keeps the f32 parity path.
+    "bfloat16" runs the aggregator blocks in bf16 (f32 LayerNorm/head/
+    optimizer) AND casts feature batches to bf16 on host before upload —
+    bit-identical to uploading f32 (the model casts its input first; both
+    casts are round-to-nearest-even) at half the h2d bytes.
+
+    ``moment_dtype``: store AdamW moments in this dtype (see
+    ``loop.make_adamw``) — opt-in, non-parity, cuts optimizer HBM traffic.
 
     ``eval_on``: which trained weights produce ``test_results.pkl``.
     ``"final"`` (default) matches the reference exactly — its ``train``
@@ -96,7 +108,7 @@ def run_cross_validation(
             # GTEx->TCGA: build at the pretraining width, load, swap head.
             cfg, params, apply_fn, to_torch, from_torch = build_model(
                 model_type, change_num_genes, feature_dim, kinit, depth,
-                num_heads, num_clusters)
+                num_heads, num_clusters, compute_dtype)
             sd = checkpoint.load_torch_checkpoint(checkpoint_path)
             cfg, params = from_torch(sd, cfg)
             if model_type == "vis":
@@ -108,7 +120,7 @@ def run_cross_validation(
         else:
             cfg, params, apply_fn, to_torch, from_torch = build_model(
                 model_type, num_outputs, feature_dim, kinit, depth, num_heads,
-                num_clusters)
+                num_clusters, compute_dtype)
             if checkpoint_path:
                 # our CV writes model_best_{i}.pt for every fold; the
                 # reference writes model_best.pt for fold 0 (its falsy
@@ -136,13 +148,14 @@ def run_cross_validation(
 
         if do_train:
             result = loop.train(
-                apply_fn, params, loop.make_adamw(lr), loaders,
+                apply_fn, params,
+                loop.make_adamw(lr, moment_dtype=moment_dtype), loaders,
                 num_epochs=num_epochs, patience=20, delta=0.5,
                 save_on=save_on, stop_on=stop_on, verbose=verbose,
                 log_fn=log_fn,
                 state_path=(os.path.join(save_dir, f"train_state_{i}.npz")
                             if resume else None),
-                mesh=mesh,
+                mesh=mesh, h2d_dtype=compute_dtype,
                 save_fn=lambda p: checkpoint.save_torch_state_dict(
                     to_torch(cfg, p), save_path))
             params = (result.final_params if eval_on == "final"
@@ -173,7 +186,7 @@ def run_cross_validation(
         # Untrained-model significance null (reference main.py:194-204).
         _, rand_params, rand_apply, _, _ = build_model(
             model_type, num_outputs, feature_dim, krand, depth, num_heads,
-            num_clusters)
+            num_clusters, compute_dtype)
         random_preds, _, _, _ = loop.evaluate(rand_apply, rand_params,
                                               test_loader, verbose=verbose)
 

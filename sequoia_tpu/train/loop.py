@@ -33,9 +33,64 @@ from sequoia_tpu.data.dataset import BatchLoader
 from sequoia_tpu.ops import stats
 
 
-def make_adamw(lr: float = 1e-3, weight_decay: float = 0.0) -> optax.GradientTransformation:
-    """torch.optim.AdamW defaults (betas .9/.999, eps 1e-8, amsgrad=False)."""
-    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+def make_adamw(lr: float = 1e-3, weight_decay: float = 0.0,
+               moment_dtype: str | None = None) -> optax.GradientTransformation:
+    """torch.optim.AdamW defaults (betas .9/.999, eps 1e-8, amsgrad=False).
+
+    ``moment_dtype``: None (default) is the f32 optax parity path.  A dtype
+    string (e.g. "bfloat16") switches to a first-party AdamW that STORES
+    both moments in that dtype while doing all update math in f32 — the
+    train step's optimizer piece is HBM-bound (docs/BENCHMARKS.md
+    "train-step close-out": p,m,v read+write + g read = 3.69 GB/step at the
+    production G=20,820 head, ~6.2 ms at achieved bandwidth), and bf16
+    moments cut that traffic ~29% (2×527 MB of m,v halve).  Opt-in and
+    non-parity: the reference trains torch AdamW with f32 state, so the
+    trained-quality parity gates keep the default."""
+    if moment_dtype is None:
+        return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
+                           weight_decay=weight_decay)
+    return _adamw_low_mem(lr, 0.9, 0.999, 1e-8, weight_decay,
+                          jnp.dtype(moment_dtype))
+
+
+def _adamw_low_mem(lr, b1, b2, eps, weight_decay,
+                   moment_dtype) -> optax.GradientTransformation:
+    """AdamW with both moments stored in ``moment_dtype`` (update math f32).
+
+    Same decoupled-weight-decay formulation as optax.adamw:
+    ``p -= lr * (m_hat / (sqrt(v_hat) + eps) + wd * p)``.  At
+    moment_dtype=f32 this matches optax to f32 roundoff (pinned by test).
+    The state is a plain dict whose ``mu``/``nu`` subtrees mirror the param
+    pytree, so ``parallel.sharding.opt_state_pspecs`` shards them like the
+    params (gene-head moments stay on the 'model' axis)."""
+
+    def init(params):
+        z = lambda p: jnp.zeros(p.shape, moment_dtype)  # noqa: E731
+        return {"count": jnp.zeros([], jnp.int32),
+                "mu": jax.tree.map(z, params),
+                "nu": jax.tree.map(z, params)}
+
+    def update(grads, state, params=None):
+        count = state["count"] + 1
+        t = count.astype(jnp.float32)
+        bc1 = 1.0 - jnp.power(jnp.float32(b1), t)
+        bc2 = 1.0 - jnp.power(jnp.float32(b2), t)
+        mu = jax.tree.map(
+            lambda m, g: b1 * m.astype(jnp.float32)
+            + (1.0 - b1) * g.astype(jnp.float32), state["mu"], grads)
+        nu = jax.tree.map(
+            lambda v, g: b2 * v.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            state["nu"], grads)
+        updates = jax.tree.map(
+            lambda m, v, p: (-lr * (m / bc1 / (jnp.sqrt(v / bc2) + eps)
+                                    + weight_decay * p.astype(jnp.float32))
+                             ).astype(p.dtype), mu, nu, params)
+        cast = lambda t_: jax.tree.map(  # noqa: E731
+            lambda x: x.astype(moment_dtype), t_)
+        return updates, {"count": count, "mu": cast(mu), "nu": cast(nu)}
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_adam(lr: float) -> optax.GradientTransformation:
@@ -101,7 +156,8 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
           phases=("train", "val"), save_fn: Callable | None = None,
           log_fn: Callable | None = None, verbose: bool = True,
           state_path: str | None = None,
-          prefetch_depth: int = 2, mesh=None) -> TrainResult:
+          prefetch_depth: int = 2, mesh=None,
+          h2d_dtype: str | None = None) -> TrainResult:
     """Reference ``vit.train`` semantics over jitted steps.
 
     ``save_fn(params)`` is invoked whenever the reference would have written
@@ -116,6 +172,17 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
     multi-chip training — params placed via ``parallel.shard_params`` (gene
     head over 'model'), every batch sharded over 'data'; XLA inserts the
     gradient collectives.
+
+    ``h2d_dtype``: cast the feature batch to this dtype ON HOST (on the
+    prefetch thread) before upload.  Pass the model's ``compute_dtype``
+    when it is set: ViS/ViT ``apply`` cast the input to that dtype as
+    their FIRST op, and the host-side numpy cast and XLA's on-device
+    convert are both round-to-nearest-even, so the step is bit-identical
+    while the dominant h2d transfer (the (B, T, D) features; ~13 MB/batch
+    f32 at production shapes vs the reference's per-batch ``.to(device)``,
+    src/vit.py:160-161) halves for bf16.  Targets/masks are not touched
+    (the loss stays f32).  Do NOT set this for a model that does not cast
+    its input (``compute_dtype=None``) — there it would change the math.
 
     Memory note: with neither ``save_fn`` nor ``state_path``, the best
     snapshot is kept as an on-chip copy (one extra param set of HBM, ~520 MB
@@ -198,16 +265,20 @@ def train(apply_fn, params, optimizer, loaders: dict[str, BatchLoader], *,
                 save_fn(best_params)
         best_epoch = epoch
 
+    feat_np_dtype = np.dtype(jnp.dtype(h2d_dtype)) if h2d_dtype else None
+
     def to_device(batch):
         """(feats, rna, valid) on device, or None for an all-pad batch."""
         if batch.n_valid == 0:
             return None
+        feats = batch.features
+        if feat_np_dtype is not None and feats.dtype != feat_np_dtype:
+            feats = np.asarray(feats).astype(feat_np_dtype)
         if mesh is not None:
             from sequoia_tpu.parallel import sharding as _sh
 
-            return _sh.shard_batch_arrays(
-                mesh, batch.features, batch.rna, batch.valid)
-        return (jnp.asarray(batch.features), jnp.asarray(batch.rna),
+            return _sh.shard_batch_arrays(mesh, feats, batch.rna, batch.valid)
+        return (jnp.asarray(feats), jnp.asarray(batch.rna),
                 jnp.asarray(batch.valid))
 
     # Per-phase "step has compiled" gates: worker-thread uploads may only

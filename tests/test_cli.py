@@ -30,6 +30,32 @@ def test_cli_main_trains(tmp_path, monkeypatch):
     assert (out / "model_best_0.pt").exists()
 
 
+def test_cli_main_bf16_fast_path(tmp_path, monkeypatch):
+    # --compute_dtype bfloat16 (bf16 blocks + host-side bf16 batch casts)
+    # and --moment_dtype bfloat16 (low-memory AdamW) train end-to-end and
+    # still emit the reference artifacts (torch-loadable f32 state dict)
+    import torch
+
+    from sequoia_tpu.cli import main as cli_main
+
+    store = tmp_path / "features"
+    df = make_store(str(store), n_slides=10, n_genes=4, dim=8)
+    ref = tmp_path / "ref_file.csv"
+    df.to_csv(ref, index=False)
+
+    monkeypatch.chdir(tmp_path)
+    cli_main.main([
+        "--ref_file", str(ref), "--feature_path", str(store),
+        "--model_type", "vis", "--depth", "1", "--num-heads", "2",
+        "--k", "2", "--batch_size", "4", "--num_epochs", "2", "--train",
+        "--compute_dtype", "bfloat16", "--moment_dtype", "bfloat16",
+        "--exp_name", "bf16"])
+    out = tmp_path / "saved_exp" / "TCGA" / "bf16"
+    assert (out / "test_results.pkl").exists()
+    sd = torch.load(out / "model_best_0.pt", weights_only=True)
+    assert all(v.dtype == torch.float32 for v in sd.values())
+
+
 @pytest.mark.slow
 def test_cli_feature_and_kmeans_pipeline(tmp_path, monkeypatch):
     from sequoia_tpu.cli import compute_features as cf

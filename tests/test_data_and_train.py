@@ -113,6 +113,82 @@ def test_train_loop_learns_and_early_stop_logic(tmp_path):
     np.testing.assert_allclose(p2, preds, rtol=1e-5, atol=1e-6)
 
 
+def test_train_h2d_bf16_cast_is_bit_identical(tmp_path):
+    # loop.train(h2d_dtype=...) casts feature batches on host (on the
+    # prefetch thread) before upload; for a model whose FIRST op is the same
+    # cast (compute_dtype set, models/vis.py apply) the trajectory must be
+    # BIT-identical to uploading f32 — both casts are round-to-nearest-even.
+    df = make_store(str(tmp_path), n_slides=8, n_genes=3, dim=8)
+    d = ds.FeatureDataset(df, str(tmp_path))
+    cfg = vis.ViSConfig(num_outputs=3, input_dim=8, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100,
+                        compute_dtype="bfloat16")
+    apply_fn = lambda p, x: vis.apply(cfg, p, x)
+
+    def run(h2d):
+        params = vis.init(cfg, jax.random.PRNGKey(0))
+        loaders = {"train": ds.BatchLoader(d, 4, shuffle=True, seed=0),
+                   "val": ds.BatchLoader(d, 4)}
+        return loop.train(apply_fn, params, loop.make_adamw(1e-3), loaders,
+                          num_epochs=2, verbose=False, h2d_dtype=h2d)
+
+    a, b = run(None), run("bfloat16")
+    assert a.history == b.history  # float-for-float identical metrics
+    jax.tree.map(np.testing.assert_array_equal, a.final_params,
+                 b.final_params)
+
+
+def test_low_mem_adamw_matches_optax_at_f32():
+    import jax.numpy as jnp
+    import optax
+
+    key = jax.random.PRNGKey(0)
+    params = {"w": jax.random.normal(key, (16, 8)),
+              "b": jnp.zeros((8,), jnp.float32)}
+    ref = loop.make_adamw(1e-3, weight_decay=0.01)
+    new = loop.make_adamw(1e-3, weight_decay=0.01, moment_dtype="float32")
+    sr, sn = ref.init(params), new.init(params)
+    pr = pn = params
+    for i in range(5):
+        g = jax.tree.map(lambda p: jnp.sin(p + i), pr)
+        ur, sr = ref.update(g, sr, pr)
+        pr = optax.apply_updates(pr, ur)
+        g = jax.tree.map(lambda p: jnp.sin(p + i), pn)
+        un, sn = new.update(g, sn, pn)
+        pn = optax.apply_updates(pn, un)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5,
+                                                         atol=1e-7), pr, pn)
+
+
+def test_low_mem_adamw_bf16_trains_and_shards(tmp_path):
+    import jax.numpy as jnp
+
+    from sequoia_tpu.parallel import sharding as sh
+
+    df = make_store(str(tmp_path), n_slides=8, n_genes=3, dim=8)
+    d = ds.FeatureDataset(df, str(tmp_path))
+    cfg = vis.ViSConfig(num_outputs=3, input_dim=8, depth=1, nheads=2,
+                        dim_f=4, dim_s=4, dim_c=4, num_clusters=100)
+    params = vis.init(cfg, jax.random.PRNGKey(0))
+    opt = loop.make_adamw(1e-2, moment_dtype="bfloat16")
+
+    state = opt.init(params)
+    assert state["mu"]["head_w"].dtype == jnp.bfloat16
+    assert state["nu"]["blocks"]["wf"].dtype == jnp.bfloat16
+    # the dict state's mu/nu mirror the param tree, so the mesh sharding
+    # helper assigns them the param specs (gene-head moments on 'model')
+    specs = sh.opt_state_pspecs(state, params)
+    assert specs["mu"] == sh.param_pspecs(params)
+    assert specs["nu"] == sh.param_pspecs(params)
+
+    loaders = {"train": ds.BatchLoader(d, 4, shuffle=True, seed=0),
+               "val": ds.BatchLoader(d, 4)}
+    res = loop.train(lambda p, x: vis.apply(cfg, p, x), params, opt, loaders,
+                     num_epochs=6, verbose=False)
+    losses = [h["train"]["loss"] for h in res.history]
+    assert losses[-1] < losses[0]  # bf16-moment AdamW still learns
+
+
 def test_he2rna_fit_quick(tmp_path):
     df = make_store(str(tmp_path), n_slides=12, n_genes=3, dim=8)
     d = ds.FeatureDataset(df, str(tmp_path))

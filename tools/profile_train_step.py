@@ -185,6 +185,20 @@ def profile_vis() -> dict:
     out["adamw_floor_ms"] = opt_bytes / (V5E_HBM_GBS * 1e9) * 1e3
     out["adamw_traffic_mb"] = round(opt_bytes / 1e6, 1)
 
+    # 4b. A/B: the opt-in low-memory AdamW (bf16 moments, f32 math) —
+    # m,v traffic halves (loop.make_adamw(moment_dtype=...))
+    opt16 = loop.make_adamw(1e-3, moment_dtype="bfloat16")
+
+    def opt16_body(c):
+        p, s, g = c
+        updates, s = opt16.update(g, s, p)
+        return optax.apply_updates(p, updates), s, g
+
+    out["adamw_bf16_ms"] = scan_time(
+        opt16_body, (params, opt16.init(params), grads)) * 1e3
+    opt16_bytes = (3 * 4 + 4 * 2) * n_params  # p r/w + g read f32; m,v bf16
+    out["adamw_bf16_floor_ms"] = opt16_bytes / (V5E_HBM_GBS * 1e9) * 1e3
+
     # 5. metrics alone (loss/MAE/Pearson over (B, G) on device)
     pred0 = jax.jit(lambda p, x: vis.apply(cfg, p, x))(params, feats)
 
