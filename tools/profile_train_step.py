@@ -102,10 +102,13 @@ def profile_vis() -> dict:
     from sequoia_tpu.ops import stats
     from sequoia_tpu.train import loop
 
-    rng = np.random.default_rng(0)
-    feats = jax.device_put(rng.normal(size=(B, T, D)).astype(np.float32))
-    rna = jax.device_put(rng.normal(size=(B, G)).astype(np.float32))
-    valid = jax.device_put(np.ones((B,), bool))
+    # inputs generated ON DEVICE (jax.random) — a wedged sandbox relay
+    # makes even a 13 MB device_put take minutes, and timing only needs
+    # plausible magnitudes, not a specific numpy stream
+    kf, kr = jax.random.split(jax.random.PRNGKey(42))
+    feats = jax.random.normal(kf, (B, T, D), jnp.float32)
+    rna = jax.random.normal(kr, (B, G), jnp.float32)
+    valid = jnp.ones((B,), bool)
 
     cfg = vis.ViSConfig(num_outputs=G, input_dim=D, depth=6, nheads=16,
                         dim_f=64, dim_s=64, dim_c=64, num_clusters=T,
@@ -224,6 +227,17 @@ def profile_vis() -> dict:
     out["full_step_device_ms"] = scan_time(
         full_body, (params, opt_state)) * 1e3
 
+    # 6b. the full step with the bf16-moment optimizer (the one remaining
+    # close-out lever): grads + update fused in one program
+    def full16_body(c):
+        p, s = c
+        loss, g = jax.value_and_grad(loss_fn)(p, feats, rna, valid)
+        updates, s = opt16.update(g, s, p)
+        return optax.apply_updates(p, updates), s
+
+    out["full_step_bf16moments_device_ms"] = scan_time(
+        full16_body, (params, opt16.init(params))) * 1e3
+
     params2 = vis.init(cfg, jax.random.PRNGKey(1))
 
     def step2(p, s, x, y, v):
@@ -258,10 +272,13 @@ def profile_he2rna() -> dict:
     from sequoia_tpu.ops import stats
     from sequoia_tpu.train.loop import make_adam
 
-    rng = np.random.default_rng(0)
-    feats = jax.device_put(rng.normal(size=(B, T, D)).astype(np.float32))
-    rna = jax.device_put(rng.normal(size=(B, G)).astype(np.float32))
-    valid = jax.device_put(np.ones((B,), bool))
+    import jax.numpy as jnp
+
+    # on-device inputs: see profile_vis (relay-robust)
+    kf, kr = jax.random.split(jax.random.PRNGKey(43))
+    feats = jax.random.normal(kf, (B, T, D), jnp.float32)
+    rna = jax.random.normal(kr, (B, G), jnp.float32)
+    valid = jnp.ones((B,), bool)
     key = jax.random.PRNGKey(2)
 
     base = he2rna.HE2RNAConfig(input_dim=D, output_dim=G)
@@ -312,7 +329,12 @@ def main() -> None:
                       "/tmp/sequoia_bench_xla_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
-    res = {"vis": profile_vis(), "he2rna": profile_he2rna()}
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    res = {}
+    if which in ("all", "vis"):
+        res["vis"] = profile_vis()
+    if which in ("all", "he2rna"):
+        res["he2rna"] = profile_he2rna()
     print(json.dumps(res, indent=2, default=str))
 
 
